@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{GraftEncoder, TokenTables}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` carries one named entry per implemented operator (SURVEY §2);
+  * SQL-expressible entries have a DuckDB oracle in `oracleSql` with
+  * IDENTICAL column names/types on both sides. Encode/decode round-trip
+  * entries are non-SQL-expressible and deliberately omitted from oracleSql
+  * (driver records a rows-only check).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: encode the token table derived from sf0.001 documents with
+    * the auto-selected codecs, decode it back, aggregate — proves the whole
+    * engine end-to-end. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val input = TokenTables.fromDocuments(spark, "/root/testdata/sf0.001")
+    val segments = GraftEncoder.encode(input, buckets = 8)
+    val decoded = GraftEncoder.decode(segments)
+    decoded.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tokens"))
+      .orderBy($"source")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queries0.Relational.all ++
+      queries0.Encode.all ++
+      queries0.Text.all ++
+      queries0.Dedup.all ++
+      queries0.Similarity.all
+
+  def oracleSql: Map[String, String] =
+    queries0.Relational.oracles ++
+      queries0.Text.oracles ++
+      queries0.Dedup.oracles ++
+      queries0.Similarity.oracles
 }

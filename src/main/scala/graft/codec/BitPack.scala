@@ -1,0 +1,94 @@
+package graft.codec
+
+/** Bit-packing primitive: fixed-width packing of non-negative longs into a
+  * little-endian bit stream. This is the workhorse inside RLE v2 DIRECT /
+  * PATCHED_BASE and the FOR codec — the same role bit-unpacking plays in the
+  * orc-rust decode stack the reference delegates to
+  * (/root/reference/src/lib.rs:30, SURVEY §1.4 item 2).
+  *
+  * Widths 0..64. Width 0 writes nothing (all values must be 0).
+  * Values must fit in `width` bits (caller's responsibility; checked in
+  * tests, not per-value on the hot path).
+  */
+object BitPack {
+
+  /** Minimum width able to represent v (v >= 0). 0 for v == 0. */
+  @inline def bitWidth(v: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(v)
+
+  /** Max bit width over values[from, from+len). */
+  def maxBitWidth(values: Array[Long], from: Int, len: Int): Int = {
+    var acc = 0L
+    var i = from
+    val end = from + len
+    while (i < end) { acc |= values(i); i += 1 }
+    bitWidth(acc)
+  }
+
+  /** Pack len values at the given width into the writer. */
+  def pack(values: Array[Long], from: Int, len: Int, width: Int, out: ByteWriter): Unit = {
+    if (width == 0) return
+    var acc = 0L     // bit accumulator, little-endian: lowest bits are earliest
+    var nbits = 0
+    var i = from
+    val end = from + len
+    while (i < end) {
+      val v = values(i)
+      acc |= v << nbits
+      val used = 64 - nbits
+      if (width >= used) {
+        // accumulator full (or exactly full): flush 8 bytes
+        var k = 0
+        while (k < 8) { out.writeByte((acc >>> (8 * k)).toInt & 0xff); k += 1 }
+        acc = if (used == 64) 0L else v >>> used
+        nbits = width - used
+      } else {
+        nbits += width
+      }
+      i += 1
+    }
+    // flush remainder
+    var k = 0
+    while (k * 8 < nbits) { out.writeByte((acc >>> (8 * k)).toInt & 0xff); k += 1 }
+  }
+
+  /** Unpack len values of the given width into out[from, from+len). */
+  def unpack(in: ByteReader, len: Int, width: Int, out: Array[Long], from: Int): Unit = {
+    if (width == 0) {
+      java.util.Arrays.fill(out, from, from + len, 0L)
+      return
+    }
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    var acc = 0L
+    var nbits = 0
+    var i = from
+    val end = from + len
+    while (i < end) {
+      if (nbits >= width) {
+        out(i) = acc & mask
+        // JVM shifts count mod 64: >>> 64 is a no-op, so zero explicitly
+        acc = if (width == 64) 0L else acc >>> width
+        nbits -= width
+        i += 1
+      } else {
+        // need more bytes; nbits < width <= 64 so there is room for >=1 byte
+        if (nbits > 56) {
+          // accumulator nearly full: one more byte completes this value
+          // (nbits in 57..63 and width <= 64 -> need = width - nbits in 1..8)
+          val need = width - nbits
+          val b = in.readByte().toLong
+          out(i) = (acc | (b << nbits)) & mask
+          acc = b >>> need
+          nbits = 8 - need
+          i += 1
+        } else {
+          acc |= in.readByte().toLong << nbits
+          nbits += 8
+        }
+      }
+    }
+    // discard any padding bits left in acc (they belong to this run only)
+  }
+
+  /** Number of bytes len values at width occupy. */
+  @inline def packedBytes(len: Int, width: Int): Int = (len.toLong * width + 7).toInt / 8
+}

@@ -1,0 +1,80 @@
+package graft.codec
+
+import java.util.zip.{Deflater, Inflater}
+
+/** General-purpose block compression applied on top of the lightweight
+  * encodings — the same layering ORC uses (per-256KiB compression chunks of
+  * SNAPPY/zlib over the RLE/dict streams; fixture footer
+  * `compression_size: 262144`, SURVEY §1.4 item 7). We use zlib via the
+  * JDK's Deflater (no external deps) and keep it OPTIONAL per chunk: the
+  * wrapper picks whichever of {raw, deflate} is smaller, so pathological
+  * inputs never grow.
+  *
+  * Wrapper framing: [flag:1B (0=raw,1=deflate)][varint rawLen][body].
+  */
+object BlockCompression {
+
+  final val FlagRaw = 0
+  final val FlagDeflate = 1
+
+  /** zlib level: 6 = ORC's default zlib stance (size over speed); the
+    * encode benchmark exercises levels explicitly. */
+  @volatile var level: Int = 6
+
+  def deflate(data: Array[Byte], lvl: Int): Array[Byte] = {
+    val d = new Deflater(lvl, true)
+    try {
+      d.setInput(data)
+      d.finish()
+      val out = new ByteWriter(math.max(64, data.length / 3))
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) {
+        val n = d.deflate(buf)
+        out.writeBytes(buf, 0, n)
+      }
+      out.toArray
+    } finally d.end()
+  }
+
+  def inflate(data: Array[Byte], from: Int, len: Int, rawLen: Int): Array[Byte] = {
+    val inf = new Inflater(true)
+    try {
+      inf.setInput(data, from, len)
+      val out = new Array[Byte](rawLen)
+      var pos = 0
+      while (pos < rawLen && !inf.finished()) {
+        pos += inf.inflate(out, pos, rawLen - pos)
+      }
+      require(pos == rawLen, s"inflate produced $pos of $rawLen bytes")
+      out
+    } finally inf.end()
+  }
+
+  /** Wrap a payload, deflating only when it wins. */
+  def wrap(payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteWriter(payload.length + 8)
+    val compressed =
+      if (payload.length >= 64) deflate(payload, level) else payload
+    if (compressed.length < payload.length) {
+      out.writeByte(FlagDeflate)
+      out.writeVarLong(payload.length.toLong)
+      out.writeBytes(compressed)
+    } else {
+      out.writeByte(FlagRaw)
+      out.writeVarLong(payload.length.toLong)
+      out.writeBytes(payload)
+    }
+    out.toArray
+  }
+
+  def unwrap(bytes: Array[Byte], from: Int): Array[Byte] = {
+    val in = new ByteReader(bytes, from)
+    val flag = in.readByte()
+    val rawLen = in.readVarLong().toInt
+    flag match {
+      case FlagRaw => in.readBytes(rawLen)
+      case FlagDeflate => inflate(bytes, in.position, bytes.length - in.position, rawLen)
+      case other => throw new IllegalStateException(s"bad block flag $other")
+    }
+  }
+}

@@ -1,0 +1,187 @@
+package graft.codec
+
+/** A per-column-chunk integer codec. All kernels operate on Array[Long]
+  * (int32 token values are widened on entry; the framing remembers nothing
+  * about the logical type — the engine does).
+  *
+  * Framing contract: `encode` output starts with the codec's own payload
+  * (value count included); [[IntCodecs.encodeChunk]] prepends one id byte so
+  * chunks are self-describing — the analog of ORC's per-column encoding kind
+  * in the stripe footer (SURVEY §1.4 dump; /root/reference/src/lib.rs:139).
+  */
+trait IntCodec extends Serializable {
+  def id: Int
+  def name: String
+  def encode(values: Array[Long]): Array[Byte]
+  def decode(bytes: Array[Byte]): Array[Long]
+}
+
+/** Uncompressed fallback — the graceful-degradation stance the reference
+  * takes for unsupported predicates (src/predicate.rs:74-75): never fail,
+  * fall back to the safe path. Zigzag varints, so still compact-ish. */
+object RawIntCodec extends IntCodec {
+  val id = 0
+  val name = "raw"
+  def encode(values: Array[Long]): Array[Byte] = {
+    val out = new ByteWriter(values.length * 2 + 8)
+    out.writeVarLong(values.length.toLong)
+    var i = 0
+    while (i < values.length) { out.writeZigZag(values(i)); i += 1 }
+    out.toArray
+  }
+  def decode(bytes: Array[Byte]): Array[Long] = {
+    val in = new ByteReader(bytes)
+    val n = in.readVarLong().toInt
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = in.readZigZag(); i += 1 }
+    out
+  }
+}
+
+/** Plain fixed-width bit-packing of zigzag values (no base). */
+object BitPackCodec extends IntCodec {
+  val id = 1
+  val name = "bitpack"
+  def encode(values: Array[Long]): Array[Byte] = {
+    val n = values.length
+    val zz = new Array[Long](n)
+    var i = 0
+    var acc = 0L
+    while (i < n) { zz(i) = ZigZag.encode(values(i)); acc |= zz(i); i += 1 }
+    val w = BitPack.bitWidth(acc)
+    val out = new ByteWriter(BitPack.packedBytes(n, w) + 8)
+    out.writeVarLong(n.toLong)
+    out.writeByte(w)
+    BitPack.pack(zz, 0, n, w, out)
+    out.toArray
+  }
+  def decode(bytes: Array[Byte]): Array[Long] = {
+    val in = new ByteReader(bytes)
+    val n = in.readVarLong().toInt
+    val w = in.readByte()
+    val out = new Array[Long](n)
+    BitPack.unpack(in, n, w, out, 0)
+    var i = 0
+    while (i < n) { out(i) = ZigZag.decode(out(i)); i += 1 }
+    out
+  }
+}
+
+/** Frame-of-reference: subtract the chunk minimum, bit-pack the deltas.
+  * Covers ORC PATCHED_BASE's niche without patches (SURVEY §7.2). */
+object ForCodec extends IntCodec {
+  val id = 2
+  val name = "for"
+  def encode(values: Array[Long]): Array[Byte] = {
+    val n = values.length
+    if (n == 0) return { val o = new ByteWriter(4); o.writeVarLong(0); o.toArray }
+    var minV = values(0)
+    var i = 1
+    while (i < n) { if (values(i) < minV) minV = values(i); i += 1 }
+    val rebased = new Array[Long](n)
+    var acc = 0L
+    i = 0
+    while (i < n) { rebased(i) = values(i) - minV; acc |= rebased(i); i += 1 }
+    val w = BitPack.bitWidth(acc)
+    val out = new ByteWriter(BitPack.packedBytes(n, w) + 16)
+    out.writeVarLong(n.toLong)
+    out.writeZigZag(minV)
+    out.writeByte(w)
+    BitPack.pack(rebased, 0, n, w, out)
+    out.toArray
+  }
+  def decode(bytes: Array[Byte]): Array[Long] = {
+    val in = new ByteReader(bytes)
+    val n = in.readVarLong().toInt
+    if (n == 0) return Array.emptyLongArray
+    val base = in.readZigZag()
+    val w = in.readByte()
+    val out = new Array[Long](n)
+    BitPack.unpack(in, n, w, out, 0)
+    var i = 0
+    while (i < n) { out(i) += base; i += 1 }
+    out
+  }
+}
+
+/** RLE v2 as an [[IntCodec]]. */
+object RleV2Codec extends IntCodec {
+  val id = 3
+  val name = "rle_v2"
+  def encode(values: Array[Long]): Array[Byte] = RleV2.encode(values)
+  def decode(bytes: Array[Byte]): Array[Long] = RleV2.decode(bytes)
+}
+
+/** Dictionary encoding for integers: sorted symbol table (delta-friendly,
+  * RLE v2-encoded) + bit-packed indexes. Mirrors ORC DICTIONARY_V2's
+  * sorted-table design for strings (SURVEY §1.4 item 4), applied to the
+  * token domain where vocabularies repeat heavily. */
+object DictIntCodec extends IntCodec {
+  val id = 4
+  val name = "dict_int"
+  def encode(values: Array[Long]): Array[Byte] = {
+    val n = values.length
+    val distinct = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { distinct.add(values(i)); i += 1 }
+    val dict = new Array[Long](distinct.size)
+    val it = distinct.iterator()
+    i = 0
+    while (it.hasNext) { dict(i) = it.next(); i += 1 }
+    val index = new java.util.HashMap[java.lang.Long, Integer](dict.length * 2)
+    i = 0
+    while (i < dict.length) { index.put(dict(i), i); i += 1 }
+    val idx = new Array[Long](n)
+    i = 0
+    while (i < n) { idx(i) = index.get(values(i)).toLong; i += 1 }
+    val w = BitPack.bitWidth(math.max(0L, dict.length - 1L))
+    val dictBytes = RleV2.encode(dict)
+    val out = new ByteWriter(dictBytes.length + BitPack.packedBytes(n, w) + 16)
+    out.writeVarLong(n.toLong)
+    out.writeVarLong(dict.length.toLong)
+    out.writeVarLong(dictBytes.length.toLong)
+    out.writeBytes(dictBytes)
+    out.writeByte(w)
+    BitPack.pack(idx, 0, n, w, out)
+    out.toArray
+  }
+  def decode(bytes: Array[Byte]): Array[Long] = {
+    val in = new ByteReader(bytes)
+    val n = in.readVarLong().toInt
+    in.readVarLong() // dict size (implied by dict stream; kept for stats)
+    val dictLen = in.readVarLong().toInt
+    val dict = RleV2.decode(new ByteReader(in.readBytes(dictLen)))
+    val w = in.readByte()
+    val idx = new Array[Long](n)
+    BitPack.unpack(in, n, w, idx, 0)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = dict(idx(i).toInt); i += 1 }
+    out
+  }
+}
+
+object IntCodecs {
+  val all: Seq[IntCodec] =
+    Seq(RawIntCodec, BitPackCodec, ForCodec, RleV2Codec, DictIntCodec)
+  private val byId: Map[Int, IntCodec] = all.map(c => c.id -> c).toMap
+
+  def forId(id: Int): IntCodec =
+    byId.getOrElse(id, throw new IllegalArgumentException(s"unknown int codec id $id"))
+
+  /** Self-describing chunk: [codecId][block wrapper(codec payload)] — the
+    * block wrapper adds optional zlib on top, ORC-style (§1.4 item 7). */
+  def encodeChunk(values: Array[Long], codec: IntCodec): Array[Byte] = {
+    val payload = BlockCompression.wrap(codec.encode(values))
+    val out = new Array[Byte](payload.length + 1)
+    out(0) = codec.id.toByte
+    System.arraycopy(payload, 0, out, 1, payload.length)
+    out
+  }
+
+  def decodeChunk(bytes: Array[Byte]): Array[Long] = {
+    val codec = forId(bytes(0).toInt)
+    codec.decode(BlockCompression.unwrap(bytes, 1))
+  }
+}

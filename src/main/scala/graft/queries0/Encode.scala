@@ -1,0 +1,76 @@
+package graft.queries0
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{GraftEncoder, TokenTables}
+
+/** Engine-facing queries: encode/decode round-trips and codec telemetry.
+  * Non-SQL-expressible (no DuckDB oracle) — the driver records rows-only
+  * checks; exact correctness is asserted in EnginePipelineSpec.
+  *
+  * Re-expresses the reference's decode-correctness contract (its golden
+  * batch-equality tests, /root/reference/tests/basic_reading.rs:259-277) as
+  * element-for-element token equality after a full encode->decode cycle.
+  */
+object Encode {
+
+  private def roundtrip(spark: SparkSession, input: org.apache.spark.sql.Dataset[graft.engine.TokenRow]): DataFrame = {
+    import spark.implicits._
+    val segments = GraftEncoder.encode(input, buckets = 16)
+    val decoded = GraftEncoder.decode(segments)
+    val in = input.toDF("doc_id", "tokens", "n_tok", "source")
+    val dec = decoded.toDF("doc_id", "tokens_dec", "n_tok_dec", "source_dec")
+    in.join(dec, Seq("doc_id"), "full_outer")
+      .withColumn("ok",
+        $"tokens" === $"tokens_dec" && $"n_tok" === $"n_tok_dec" &&
+          $"source" === $"source_dec")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(coalesce($"ok", lit(false)), 0L).otherwise(1L)).as("n_mismatch"))
+      .orderBy($"source")
+  }
+
+  /** Round-trip on the documents-derived token table of this sf dir. */
+  def roundtripDocs(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, TokenTables.fromDocuments(spark, dir))
+
+  /** Round-trip on the deterministic synthetic table (skewed lengths). */
+  def roundtripSynthetic(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, TokenTables.synthetic(spark, nDocs = 2000, seed = 42L))
+
+  /** Which codec won per column — the selector's decisions as a table. */
+  def codecMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val input = TokenTables.fromDocuments(spark, dir)
+    GraftEncoder.encode(input, buckets = 16)
+      .select(explode($"cols").as("c"))
+      .groupBy($"c.col".as("col"), $"c.codecName".as("codec"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum($"c.bytesIn").as("bytes_in"),
+        sum($"c.bytesOut").as("bytes_out"))
+      .orderBy($"col", $"codec")
+  }
+
+  /** Compression ratio per column over the synthetic skewed table. */
+  def compressionStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val input = TokenTables.synthetic(spark, nDocs = 2000, seed = 42L)
+    GraftEncoder.encode(input, buckets = 16)
+      .select(explode($"cols").as("c"))
+      .groupBy($"c.col".as("col"))
+      .agg(
+        sum($"c.bytesIn").as("bytes_in"),
+        sum($"c.bytesOut").as("bytes_out"),
+        (sum($"c.bytesIn") / sum($"c.bytesOut")).as("ratio"))
+      .orderBy($"col")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "encode_roundtrip_docs" -> (roundtripDocs _),
+    "encode_roundtrip_synthetic" -> (roundtripSynthetic _),
+    "encode_codec_mix" -> (codecMix _),
+    "encode_compression_stats" -> (compressionStats _))
+}

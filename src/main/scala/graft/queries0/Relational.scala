@@ -1,0 +1,433 @@
+package graft.queries0
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The relational operator surface the reference exercises through its host
+  * engine (SURVEY §2.B: projections, every filter form, aggregations,
+  * joins of all types, windows, sorts/limits/offsets, set ops, rollup,
+  * scalar functions, CTE-shaped plans) — answered with vanilla Spark
+  * DataFrame primitives so Catalyst owns pushdown/pruning/join selection.
+  *
+  * Oracle parity rules (driver hashes values after sorting columns by name):
+  *  - every computed column aliased identically on both sides;
+  *  - double aggregation avoided: monetary sums go through DECIMAL(18,2)
+  *    (exact, order-independent) and only then cast to DOUBLE — one exact
+  *    division/cast yields bit-identical doubles in Spark and DuckDB;
+  *  - counts are BIGINT on both sides (DuckDB sum(int) is HUGEINT — always
+  *    cast);
+  *  - ordered windows get a unique tiebreaker so row sets are deterministic.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** sum over DECIMAL(18,2), surfaced as DOUBLE — exact then one cast. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  // --- aggregation ----------------------------------------------------------
+
+  def aggGroup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(BigDecimal(1)).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  def aggMinMax(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship"))
+
+  def aggAvgFiltered(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") > lit(25.0))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_price"))
+
+  def countDistinct0(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").agg(
+      countDistinct(col("o_custkey")).as("n_cust"),
+      count(lit(1)).as("n_orders"))
+
+  def rollup0(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  // --- filters ---------------------------------------------------------------
+
+  def filterEq(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === lit("R"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  def filterRange(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_totalprice") >= lit(1000.0) && col("o_totalprice") < lit(2500.0))
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  def filterCompound(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter((col("l_returnflag") === lit("A") || col("l_linestatus") === lit("F")) &&
+        !(col("l_discount") > lit(0.05)))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  def filterIsNull(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("lang").isNull)
+      .select(col("doc_id"), col("source"))
+
+  def filterInBetween(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase") &&
+        col("value").between(10.0, 500.0) && col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+
+  // --- projection / scalar functions -----------------------------------------
+
+  def projScalar(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      length(col("p_name")).as("name_len"),
+      substring(col("p_name"), 1, 8).as("name8"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"))
+
+  def projLike(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), col("p_name"))
+
+  def caseWhen(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("bucket",
+        when(col("o_totalprice") > 300000.0, "big")
+          .when(col("o_totalprice") > 100000.0, "mid")
+          .otherwise("small"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+
+  def dateExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+
+  def dateTrunc(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+
+  // --- sort / limit / offset ---------------------------------------------------
+
+  def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .limit(10)
+
+  def offsetLimit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .offset(100)
+      .limit(50)
+
+  // --- joins -------------------------------------------------------------------
+
+  def joinInnerAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  def joinBroadcastDims(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    // dims are tiny: explicit broadcast, no shuffle of the fact side
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  def joinLeftOuterHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_with_orders"))
+  }
+
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_without_orders"))
+  }
+
+  // --- windows -------------------------------------------------------------------
+
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t(spark, dir, "customer")
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rnk"))
+  }
+
+  def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .withColumn("running_price",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_price"))
+  }
+
+  def windowRowNumber(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("rn"))
+  }
+
+  // --- set ops -------------------------------------------------------------------
+
+  def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_nationkey").as("key"))
+    val s = t(spark, dir, "supplier").select(col("s_nationkey").as("key"))
+    c.union(s).distinct()
+  }
+
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_nationkey").as("key"))
+    val s = t(spark, dir, "supplier").select(col("s_nationkey").as("key"))
+    c.intersect(s)
+  }
+
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_nationkey").as("key"))
+    val s = t(spark, dir, "supplier").select(col("s_nationkey").as("key"))
+    c.except(s)
+  }
+
+  // --- subquery shapes --------------------------------------------------------------
+
+  /** Scalar-subquery shape: orders above the global average price (the
+    * threshold computed exactly, then one cast — see class doc). */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val thr = o.agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+      count(lit(1))).as("thr"))
+    o.crossJoin(thr)
+      .filter(col("o_totalprice") > col("thr"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above_avg"))
+  }
+
+  /** CTE shape: revenue per nation via two joins, reused aggregate. */
+  def cteJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    val n = t(spark, dir, "nation")
+    val custRev = o.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    c.join(custRev, c("c_custkey") === custRev("o_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("nation_rev"),
+        count(lit(1)).as("n_customers"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_group" -> (aggGroup _),
+    "q_agg_minmax" -> (aggMinMax _),
+    "q_agg_avg_filtered" -> (aggAvgFiltered _),
+    "q_count_distinct" -> (countDistinct0 _),
+    "q_rollup" -> (rollup0 _),
+    "q_filter_eq" -> (filterEq _),
+    "q_filter_range" -> (filterRange _),
+    "q_filter_compound" -> (filterCompound _),
+    "q_filter_isnull" -> (filterIsNull _),
+    "q_filter_in_between" -> (filterInBetween _),
+    "q_proj_scalar" -> (projScalar _),
+    "q_proj_like" -> (projLike _),
+    "q_case_when" -> (caseWhen _),
+    "q_date_extract" -> (dateExtract _),
+    "q_date_trunc" -> (dateTrunc _),
+    "q_sort_limit" -> (sortLimit _),
+    "q_offset_limit" -> (offsetLimit _),
+    "q_join_inner_agg" -> (joinInnerAgg _),
+    "q_join_broadcast_dims" -> (joinBroadcastDims _),
+    "q_join_left_outer_histogram" -> (joinLeftOuterHistogram _),
+    "q_join_semi" -> (joinSemi _),
+    "q_join_anti" -> (joinAnti _),
+    "q_window_rank" -> (windowRank _),
+    "q_window_running_sum" -> (windowRunningSum _),
+    "q_window_row_number" -> (windowRowNumber _),
+    "q_set_union" -> (setUnion _),
+    "q_set_intersect" -> (setIntersect _),
+    "q_set_except" -> (setExcept _),
+    "q_scalar_subquery" -> (scalarSubquery _),
+    "q_cte_join_agg" -> (cteJoinAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_minmax" ->
+      """SELECT COUNT(*) AS n, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship FROM lineitem""".stripMargin,
+    "q_agg_avg_filtered" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM lineitem WHERE l_quantity > 25.0 GROUP BY l_returnflag""".stripMargin,
+    "q_count_distinct" ->
+      "SELECT COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders FROM orders",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_filter_eq" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_returnflag = 'R'",
+    "q_filter_range" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice >= 1000.0 AND o_totalprice < 2500.0""".stripMargin,
+    "q_filter_compound" ->
+      """SELECT COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE (l_returnflag = 'A' OR l_linestatus = 'F') AND NOT (l_discount > 0.05)""".stripMargin,
+    "q_filter_isnull" ->
+      "SELECT doc_id, source FROM documents WHERE lang IS NULL",
+    "q_filter_in_between" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_type IN ('click','purchase') AND value BETWEEN 10.0 AND 500.0
+        |  AND value IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
+    "q_proj_scalar" ->
+      """SELECT p_partkey, UPPER(p_brand) AS brand_u, CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+        |  SUBSTRING(p_name, 1, 8) AS name8, p_brand || '#' || p_type AS brand_type
+        |FROM part""".stripMargin,
+    "q_proj_like" ->
+      "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%red%'",
+    "q_case_when" ->
+      """SELECT CASE WHEN o_totalprice > 300000.0 THEN 'big'
+        |            WHEN o_totalprice > 100000.0 THEN 'mid' ELSE 'small' END AS bucket,
+        |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_date_extract" ->
+      """SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_date_trunc" ->
+      """SELECT DATE_TRUNC('day', ts) AS day, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_offset_limit" ->
+      "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey ASC LIMIT 50 OFFSET 100",
+    "q_join_inner_agg" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_join_broadcast_dims" ->
+      """SELECT r_name, COUNT(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q_join_left_outer_histogram" ->
+      """SELECT n_orders, COUNT(*) AS n_customers FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey
+        |) GROUP BY n_orders""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_with_orders FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_join_anti" ->
+      """SELECT COUNT(*) AS n_without_orders FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_window_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    CAST(RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS rnk
+        |  FROM customer
+        |) WHERE rnk <= 3""".stripMargin,
+    "q_window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_price
+        |FROM orders WHERE o_custkey < 50""".stripMargin,
+    "q_window_row_number" ->
+      """SELECT o_orderpriority, o_orderkey, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ASC) AS INTEGER) AS rn
+        |  FROM orders
+        |) WHERE rn <= 5""".stripMargin,
+    "q_set_union" ->
+      """SELECT DISTINCT key FROM (
+        |  SELECT c_nationkey AS key FROM customer
+        |  UNION ALL SELECT s_nationkey AS key FROM supplier
+        |)""".stripMargin,
+    "q_set_intersect" ->
+      "SELECT c_nationkey AS key FROM customer INTERSECT SELECT s_nationkey AS key FROM supplier",
+    "q_set_except" ->
+      "SELECT c_nationkey AS key FROM customer EXCEPT SELECT s_nationkey AS key FROM supplier",
+    "q_scalar_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_above_avg FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_cte_join_agg" ->
+      """WITH cust_rev AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT n_name, CAST(SUM(rev) AS DOUBLE) AS nation_rev, COUNT(*) AS n_customers
+        |FROM customer JOIN cust_rev ON c_custkey = o_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
+}

@@ -1,0 +1,139 @@
+package graft.queries0
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (language-ID heuristic, quality scoring, token
+  * counting, fingerprinting).
+  *
+  * Oracle-parity technique: every feature is computed from LENGTH/REPLACE
+  * arithmetic on exact integers, with at most ONE double division at the
+  * end — portable bit-for-bit between Spark and DuckDB (see Relational's
+  * class doc for why).
+  */
+object Text {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Occurrence count of `pat` in `c` via length arithmetic (portable;
+    * the intermediate division is exact so double->long agrees between
+    * Spark's truncating cast and DuckDB's rounding cast). */
+  private def occPlain(c: Column, pat: String): Column =
+    ((length(c) - length(replace(c, lit(pat), lit("")))) / lit(pat.length)).cast("long")
+
+  /** Whitespace token count: spaces + 1 (length arithmetic, portable). */
+  private def wsTokens(c: Column): Column = (occPlain(c, " ") + lit(1L)).cast("long")
+
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      wsTokens(col("text")).as("n_tokens_ws"),
+      length(col("text")).cast("long").as("n_chars_txt"))
+
+  /** Quality features: length, punctuation ratio, mean word length,
+    * stopword ratio — each one exact-int arithmetic + one division. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val text = col("text")
+    val chars = length(text).cast("long")
+    val spaces = occPlain(text, " ")
+    val words = spaces + lit(1L)
+    val punct = occPlain(text, ".") + occPlain(text, ",") +
+      occPlain(text, "!") + occPlain(text, "?")
+    val stops = occPlain(text, " the ") + occPlain(text, " and ") +
+      occPlain(text, " of ") + occPlain(text, " to ")
+    d.select(
+      col("doc_id"),
+      chars.as("n_chars_txt"),
+      words.as("n_words"),
+      (punct.cast("double") / chars).as("punct_ratio"),
+      ((chars - spaces).cast("double") / words).as("mean_word_len"),
+      (stops.cast("double") / words).as("stopword_ratio"))
+  }
+
+  /** Language-ID by stopword-count heuristic; confusion matrix vs the
+    * `lang` column. Deterministic argmax with fixed tie order. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val text = concat(lit(" "), lower(col("text")), lit(" "))
+    val en = occPlain(text, " the ") + occPlain(text, " and ") + occPlain(text, " of ")
+    val de = occPlain(text, " der ") + occPlain(text, " und ") + occPlain(text, " die ")
+    val fr = occPlain(text, " le ") + occPlain(text, " la ") + occPlain(text, " et ")
+    val es = occPlain(text, " el ") + occPlain(text, " los ") + occPlain(text, " que ")
+    val best = greatest(en, de, fr, es)
+    val predicted = when(best === 0, "other")
+      .when(en === best, "en")
+      .when(de === best, "de")
+      .when(fr === best, "fr")
+      .otherwise("es")
+    d.select(col("lang"), predicted.as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Document fingerprint: polynomial rolling hash over the text bytes —
+    * our deterministic content-address for shard-stable dedup keys.
+    * Not SQL-expressible (no oracle); pinned by a golden unit test. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, rollingHash(text)) }
+      .toDF("doc_id", "fingerprint")
+  }
+
+  /** 64-bit polynomial rolling hash, base 1099511628211 (FNV prime). */
+  def rollingHash(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h = h * 1099511628211L + s.charAt(i)
+      i += 1
+    }
+    h
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count" -> (tokenCount _),
+    "text_quality_score" -> (qualityScore _),
+    "text_lang_id" -> (langId _),
+    "text_fingerprint" -> (fingerprint _))
+
+  private val occSql = (colName: String, pat: String) =>
+    s"(LENGTH($colName) - LENGTH(REPLACE($colName, '$pat', ''))) / ${pat.length}"
+
+  val oracles: Map[String, String] = Map(
+    "text_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(${occSql("text", " ")} + 1 AS BIGINT) AS n_tokens_ws,
+         |  CAST(LENGTH(text) AS BIGINT) AS n_chars_txt
+         |FROM documents""".stripMargin,
+    "text_quality_score" ->
+      s"""SELECT doc_id,
+         |  CAST(LENGTH(text) AS BIGINT) AS n_chars_txt,
+         |  CAST(${occSql("text", " ")} + 1 AS BIGINT) AS n_words,
+         |  CAST(${occSql("text", ".")} + ${occSql("text", ",")} + ${occSql("text", "!")} + ${occSql("text", "?")} AS DOUBLE) / LENGTH(text) AS punct_ratio,
+         |  CAST(LENGTH(text) - ${occSql("text", " ")} AS DOUBLE) / (${occSql("text", " ")} + 1) AS mean_word_len,
+         |  CAST(${occSql("text", " the ")} + ${occSql("text", " and ")} + ${occSql("text", " of ")} + ${occSql("text", " to ")} AS DOUBLE) / (${occSql("text", " ")} + 1) AS stopword_ratio
+         |FROM documents""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    ${occSql("t", " the ")} + ${occSql("t", " and ")} + ${occSql("t", " of ")} AS s_en,
+         |    ${occSql("t", " der ")} + ${occSql("t", " und ")} + ${occSql("t", " die ")} AS s_de,
+         |    ${occSql("t", " le ")} + ${occSql("t", " la ")} + ${occSql("t", " et ")} AS s_fr,
+         |    ${occSql("t", " el ")} + ${occSql("t", " los ")} + ${occSql("t", " que ")} AS s_es
+         |  FROM (SELECT lang, ' ' || LOWER(text) || ' ' AS t FROM documents)
+         |)
+         |SELECT lang,
+         |  CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'other'
+         |       WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+         |       WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+         |       WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+         |       ELSE 'es' END AS predicted,
+         |  COUNT(*) AS n
+         |FROM scored GROUP BY 1, 2""".stripMargin)
+}

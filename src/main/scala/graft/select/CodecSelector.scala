@@ -1,0 +1,156 @@
+package graft.select
+
+import graft.codec._
+
+/** Per-column-chunk codec auto-selector.
+  *
+  * Mirrors ORC's encoding-selection heuristics (SURVEY §1.4 item 4: the ORC
+  * writer samples distinct/total cardinality with a 0.8 dictionary
+  * threshold, and RLE v2 picks sub-encodings from run structure) but
+  * generalizes them: cheap sampled statistics (cardinality estimate, mean
+  * run length, sortedness, bit widths) pre-filter to a small candidate set,
+  * the candidates are trial-encoded on contiguous sample blocks (contiguous,
+  * not strided, so run structure survives sampling), and the best
+  * bytes-per-value wins. RAW is always a candidate — the selector never
+  * fails, it degrades (the reference's graceful-degradation stance for
+  * unsupported predicates, /root/reference/src/predicate.rs:74-75).
+  */
+object CodecSelector {
+
+  final val DictThreshold = 0.8 // ORC orc.dictionary.key.threshold default
+
+  final case class IntStats(
+      n: Int,
+      sampleSize: Int,
+      distinctRatio: Double,
+      meanRunLen: Double,
+      sortedFrac: Double,
+      directWidth: Int,
+      forWidth: Int)
+
+  /** Contiguous-block sample: up to `blocks` blocks of `blockLen`, evenly
+    * spaced. Returns (sampleArray) — may alias the input when small. */
+  def sampleBlocks(values: Array[Long], blocks: Int = 8, blockLen: Int = 512): Array[Long] = {
+    val n = values.length
+    if (n <= blocks * blockLen) return values
+    val out = new Array[Long](blocks * blockLen)
+    val stride = (n - blockLen).toLong / (blocks - 1)
+    var b = 0
+    while (b < blocks) {
+      val from = (b * stride).toInt
+      System.arraycopy(values, from, out, b * blockLen, blockLen)
+      b += 1
+    }
+    out
+  }
+
+  def intStats(values: Array[Long]): IntStats = {
+    val s = sampleBlocks(values)
+    val n = s.length
+    if (n == 0) return IntStats(0, 0, 0, 0, 1.0, 0, 0)
+    val distinct = new java.util.HashSet[java.lang.Long]()
+    var runs = 1
+    var sortedPairs = 0
+    var minV = s(0)
+    var maxV = s(0)
+    var zzMax = 0L
+    distinct.add(s(0))
+    var i = 1
+    while (i < n) {
+      distinct.add(s(i))
+      if (s(i) != s(i - 1)) runs += 1
+      if (s(i) >= s(i - 1)) sortedPairs += 1
+      if (s(i) < minV) minV = s(i)
+      if (s(i) > maxV) maxV = s(i)
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      val zz = ZigZag.encode(s(i))
+      if (java.lang.Long.compareUnsigned(zz, zzMax) > 0) zzMax = zz
+      i += 1
+    }
+    IntStats(
+      n = values.length,
+      sampleSize = n,
+      distinctRatio = distinct.size.toDouble / n,
+      meanRunLen = n.toDouble / runs,
+      sortedFrac = if (n > 1) sortedPairs.toDouble / (n - 1) else 1.0,
+      directWidth = BitPack.bitWidth(zzMax),
+      forWidth = BitPack.bitWidth(maxV - minV))
+  }
+
+  /** Pick the int codec for one column chunk. */
+  def chooseInt(values: Array[Long]): IntCodec = {
+    if (values.length < 32) return BitPackCodec
+    val stats = intStats(values)
+    var candidates: List[IntCodec] = RawIntCodec :: ForCodec :: Nil
+    if (stats.meanRunLen >= 1.3 || stats.sortedFrac >= 0.7) candidates ::= RleV2Codec
+    if (stats.distinctRatio <= 0.5 && stats.distinctRatio * stats.sampleSize <= 4096)
+      candidates ::= DictIntCodec
+    if (stats.directWidth <= stats.forWidth) candidates ::= BitPackCodec
+    val sample = sampleBlocks(values)
+    var best: IntCodec = RawIntCodec
+    var bestSize = Long.MaxValue
+    candidates.foreach { c =>
+      // compare POST-block-compression sizes: byte-aligned codecs often
+      // deflate better than bit-packed ones, and the shipped chunk is the
+      // wrapped form
+      val sz = IntCodecs.encodeChunk(sample, c).length.toLong
+      if (sz < bestSize || (sz == bestSize && c.id < best.id)) { best = c; bestSize = sz }
+    }
+    best
+  }
+
+  /** Encode one int chunk with the auto-selected codec.
+    * Returns (codec, self-describing chunk bytes). */
+  def encodeIntsAuto(values: Array[Long]): (IntCodec, Array[Byte]) = {
+    val codec = chooseInt(values)
+    val encoded = IntCodecs.encodeChunk(values, codec)
+    // final guard: never ship a chunk larger than the raw fallback
+    if (codec.id != RawIntCodec.id) {
+      val raw = IntCodecs.encodeChunk(values, RawIntCodec)
+      if (raw.length < encoded.length) return (RawIntCodec, raw)
+    }
+    (codec, encoded)
+  }
+
+  def sampleStrings(values: Array[String], max: Int = 2048): Array[String] = {
+    if (values.length <= max) return values
+    val out = new Array[String](max)
+    val stride = values.length.toDouble / max
+    var i = 0
+    while (i < max) { out(i) = values((i * stride).toInt); i += 1 }
+    out
+  }
+
+  /** Pick the string codec for one column chunk (ORC's 0.8 dict threshold). */
+  def chooseString(values: Array[String]): StringCodec = {
+    if (values.isEmpty) return RawStringCodec
+    val s = sampleStrings(values)
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i < s.length) { distinct.add(s(i)); i += 1 }
+    val ratio = distinct.size.toDouble / s.length
+    val candidates: List[StringCodec] =
+      if (ratio <= DictThreshold) List(DictStringCodec, DictFsstStringCodec)
+      else List(RawStringCodec, FsstStringCodec)
+    var best: StringCodec = candidates.head
+    var bestSize = Long.MaxValue
+    candidates.foreach { c =>
+      val sz = StringCodecs.encodeChunk(s, c).length.toLong
+      if (sz < bestSize) { best = c; bestSize = sz }
+    }
+    best
+  }
+
+  def encodeStringsAuto(values: Array[String]): (StringCodec, Array[Byte]) = {
+    val codec = chooseString(values)
+    val encoded = StringCodecs.encodeChunk(values, codec)
+    if (codec.id != RawStringCodec.id) {
+      val raw = StringCodecs.encodeChunk(values, RawStringCodec)
+      if (raw.length < encoded.length) return (RawStringCodec, raw)
+    }
+    (codec, encoded)
+  }
+}

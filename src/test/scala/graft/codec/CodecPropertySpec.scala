@@ -1,0 +1,102 @@
+package graft.codec
+
+import org.scalacheck.{Gen, Properties, Prop}
+import org.scalacheck.Prop.forAll
+import graft.select.CodecSelector
+
+/** Property layer — an upgrade over the reference's assertion-only tests
+  * (SURVEY §5): every codec round-trips on adversarial generators covering
+  * skewed lengths, constant runs, sorted runs, high-cardinality randoms,
+  * empty and single-element arrays. */
+object CodecPropertySpec extends Properties("codecs") {
+
+  private val genConstant: Gen[Array[Long]] = for {
+    n <- Gen.chooseNum(0, 3000)
+    v <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+  } yield Array.fill(n)(v)
+
+  private val genSorted: Gen[Array[Long]] = for {
+    n <- Gen.chooseNum(0, 3000)
+    base <- Gen.chooseNum(-1000000L, 1000000L)
+    steps <- Gen.listOfN(n, Gen.chooseNum(0L, 100L))
+  } yield steps.scanLeft(base)(_ + _).tail.toArray
+
+  private val genRuns: Gen[Array[Long]] = for {
+    runs <- Gen.listOf(Gen.zip(Gen.chooseNum(1, 50), Gen.chooseNum(-100000L, 100000L)))
+  } yield runs.flatMap { case (len, v) => Seq.fill(len)(v) }.toArray
+
+  private val genRandom: Gen[Array[Long]] = for {
+    n <- Gen.chooseNum(0, 3000)
+    vs <- Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+  } yield vs.toArray
+
+  private val genTokens: Gen[Array[Long]] = for {
+    n <- Gen.chooseNum(0, 5000)
+    vocab <- Gen.chooseNum(8, 50000)
+    vs <- Gen.listOfN(n, Gen.chooseNum(0, vocab))
+  } yield vs.map(_.toLong).toArray
+
+  private val genOutliers: Gen[Array[Long]] = for {
+    n <- Gen.chooseNum(0, 3000)
+    vs <- Gen.listOfN(n, Gen.frequency(
+      (95, Gen.chooseNum(0L, 255L)),
+      (5, Gen.chooseNum(Long.MinValue, Long.MaxValue))))
+  } yield vs.toArray
+
+  private val genAnyInts: Gen[Array[Long]] = Gen.oneOf(
+    genConstant, genSorted, genRuns, genRandom, genTokens, genOutliers)
+
+  property("rle_v2 round-trip") = forAll(genAnyInts) { values =>
+    RleV2.decode(RleV2.encode(values)).toSeq == values.toSeq
+  }
+
+  property("every int codec round-trips") = forAll(genAnyInts) { values =>
+    IntCodecs.all.forall { c =>
+      IntCodecs.decodeChunk(IntCodecs.encodeChunk(values, c)).toSeq == values.toSeq
+    }
+  }
+
+  property("auto-selected int chunk round-trips and never beats raw by losing") =
+    forAll(genAnyInts) { values =>
+      val (_, encoded) = CodecSelector.encodeIntsAuto(values)
+      val rawSize = IntCodecs.encodeChunk(values, RawIntCodec).length
+      Prop(IntCodecs.decodeChunk(encoded).toSeq == values.toSeq) :| "round-trip" &&
+        Prop(encoded.length <= rawSize) :| s"size ${encoded.length} <= raw $rawSize"
+    }
+
+  private val genString: Gen[String] = Gen.frequency(
+    (5, Gen.alphaNumStr.map(_.take(40))),
+    (2, Gen.identifier.map(id => s"doc_$id")),
+    (1, Gen.const("")),
+    (1, Gen.const("大熊和奏🤔")),
+    (1, Gen.listOf(Gen.chooseNum(0, 0x10ffff)
+      .suchThat(cp => cp < 0xd800 || cp > 0xdfff))
+      .map(cps => new String(cps.flatMap(Character.toChars(_)).toArray)))
+  )
+
+  private val genStrings: Gen[Array[String]] = for {
+    n <- Gen.chooseNum(0, 500)
+    card <- Gen.oneOf(1, 3, 50, 100000)
+    pool <- Gen.listOfN(math.min(card, 64), genString)
+    vs <-
+      if (card >= 100000) Gen.listOfN(n, genString)
+      else Gen.listOfN(n, Gen.oneOf(if (pool.isEmpty) List("") else pool))
+  } yield vs.toArray
+
+  property("every string codec round-trips") = forAll(genStrings) { values =>
+    StringCodecs.all.forall { c =>
+      StringCodecs.decodeChunk(StringCodecs.encodeChunk(values, c)).toSeq == values.toSeq
+    }
+  }
+
+  property("auto-selected string chunk round-trips") = forAll(genStrings) { values =>
+    val (_, encoded) = CodecSelector.encodeStringsAuto(values)
+    StringCodecs.decodeChunk(encoded).toSeq == values.toSeq
+  }
+
+  property("fsst round-trips arbitrary bytes") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val arr = bytes.toArray
+      Fsst.decompress(Fsst.compress(arr)).toSeq == arr.toSeq
+    }
+}

@@ -1,0 +1,107 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end engine correctness: the reference's decode-correctness
+  * contract (golden batch equality, /root/reference/tests/basic_reading.rs)
+  * re-expressed as element-for-element token equality through a full
+  * Spark encode -> shuffle -> decode cycle (north_rule: bit-identical). */
+class EnginePipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def assertRoundTrip(input: org.apache.spark.sql.Dataset[TokenRow]): Unit = {
+    val segments = GraftEncoder.encode(input, buckets = 4)
+    val decoded = GraftEncoder.decode(segments)
+    val in = input.collect().map(r => r.doc_id -> r).toMap
+    val out = decoded.collect().map(r => r.doc_id -> r).toMap
+    assert(out.keySet === in.keySet, "doc ids must round-trip exactly")
+    in.foreach { case (id, r) =>
+      val d = out(id)
+      assert(d.tokens.toSeq === r.tokens.toSeq, s"tokens of $id")
+      assert(d.n_tok === r.n_tok, s"n_tok of $id")
+      assert(d.source === r.source, s"source of $id")
+    }
+  }
+
+  test("synthetic table round-trips bit-identically through encode/decode") {
+    assertRoundTrip(TokenTables.synthetic(spark, nDocs = 800, seed = 42L))
+  }
+
+  test("documents-derived table round-trips bit-identically") {
+    assertRoundTrip(TokenTables.fromDocuments(spark, "/root/testdata/sf0.001"))
+  }
+
+  test("pure chunk encode/decode without Spark (unit layer)") {
+    val rnd = new scala.util.Random(7)
+    val rows = Array.tabulate(300) { i =>
+      val n = 1 + rnd.nextInt(500)
+      val tokens = Array.fill(n)(rnd.nextInt(50257))
+      TokenRow(f"doc_$i%09d", tokens, n, s"src_${i % 3}")
+    }
+    val seg = GraftEncoder.encodeChunk(rows, pid = 0, chunkIdx = 0)
+    val back = GraftEncoder.decodeSegment(seg).toArray
+    assert(back.length === rows.length)
+    rows.zip(back).foreach { case (a, b) =>
+      assert(a.doc_id === b.doc_id)
+      assert(a.tokens.toSeq === b.tokens.toSeq)
+      assert(a.n_tok === b.n_tok)
+      assert(a.source === b.source)
+    }
+    assert(seg.bytesOut < seg.bytesIn, s"must compress: ${seg.bytesOut} vs ${seg.bytesIn}")
+  }
+
+  test("empty and single-row chunks") {
+    val row = TokenRow("doc_x", Array(1, 2, 3), 3, "web")
+    val seg1 = GraftEncoder.encodeChunk(Array(row), 1, 0)
+    assert(GraftEncoder.decodeSegment(seg1).toSeq.head.tokens.toSeq === Seq(1, 2, 3))
+    val seg0 = GraftEncoder.encodeChunk(Array.empty[TokenRow], 1, 1)
+    assert(GraftEncoder.decodeSegment(seg0).isEmpty)
+  }
+
+  test("edge-value tokens (reference extremes, SURVEY §1.2)") {
+    val rows = Array(
+      TokenRow("a", Array(0, Int.MaxValue, Int.MinValue, -1, 1, -128, 127, -32768, 32767), 9, "s"),
+      TokenRow("b", Array.empty[Int], 0, "s"),
+      TokenRow("大熊和奏🤔", Array.fill(600)(42), 600, "大熊"))
+    val seg = GraftEncoder.encodeChunk(rows, 0, 0)
+    val back = GraftEncoder.decodeSegment(seg).toArray
+    rows.zip(back).foreach { case (a, b) =>
+      assert(a.doc_id === b.doc_id)
+      assert(a.tokens.toSeq === b.tokens.toSeq)
+    }
+  }
+
+  test("encoding compresses the synthetic token payload >2x") {
+    import spark.implicits._
+    val segments = GraftEncoder.encode(
+      TokenTables.synthetic(spark, nDocs = 500, seed = 42L), buckets = 4).cache()
+    val stats = segments
+      .select(org.apache.spark.sql.functions.explode($"cols").as("c"))
+      .selectExpr("c.col AS col", "c.bytesIn AS bi", "c.bytesOut AS bo")
+      .groupBy($"col").sum("bi", "bo")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val (tbi, tbo) = stats("tokens")
+    assert(tbo.toDouble / tbi < 0.5, s"tokens must compress >2x: $tbo/$tbi")
+    segments.unpersist()
+  }
+
+  test("chunking is by token count: no chunk greatly exceeds the budget") {
+    import spark.implicits._
+    val segments = GraftEncoder.encode(
+      TokenTables.synthetic(spark, nDocs = 500, seed = 1L), buckets = 2,
+      tokensPerChunk = 4096).collect()
+    // one straddling row may overshoot by up to the max doc length (20k)
+    assert(segments.forall(_.nTokens <= 4096 + 20000))
+    assert(segments.count(_.nTokens >= 2048) >= segments.length / 2,
+      "chunks should be reasonably full")
+  }
+}
