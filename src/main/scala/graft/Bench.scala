@@ -1,24 +1,48 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.bench.EncodeBench
+
+/** Per-round driver benchmark: times every SparkEntry query at
+  * SPARK_GRAFT_SF_DIR, then measures the north metrics (encode GB/s at two
+  * parallelism levels + scaling efficiency + compression vs ORC Java) on
+  * the deterministic synthetic token table. ONE JSON line to stdout. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+    val spark = EncodeBench.session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = results.map(_._2).sum
+
+    // North metrics: same encode job at N and 4N parallelism on one input.
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "200000").toLong
+    val inputPath = EncodeBench.ensureInput(spark, nDocs)
+    val (orcSnappy, _) = EncodeBench.orcBaseline(spark, inputPath)
+    val stored = EncodeBench.storedBytes(spark, inputPath, buckets = 4 * cpus)
+    val runs = Seq(8, 32).map { c =>
+      val s = EncodeBench.session(c)
+      EncodeBench.timedEncode(s, inputPath, buckets = 4 * c, c) // JIT warm
+      EncodeBench.timedEncode(s, inputPath, buckets = 4 * c, c)
+    }
+    val lo = runs.minBy(_.cpus)
+    val hi = runs.maxBy(_.cpus)
+    val eff = (hi.gbps / lo.gbps) / (hi.cpus.toDouble / lo.cpus)
+    val encodeJson =
+      f"""{"gbps_${lo.cpus}":${lo.gbps}%.4f,"gbps_${hi.cpus}":${hi.gbps}%.4f,""" +
+        f""""scaling_efficiency":$eff%.3f,"lightweight_ratio":${hi.ratio}%.3f,""" +
+        f""""stored_bytes":$stored,"orc_snappy_bytes":$orcSnappy,""" +
+        f""""stored_vs_orc_snappy":${stored.toDouble / orcSnappy}%.3f,"n_docs":$nDocs}"""
+
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        f""""encode":$encodeJson,"sf":"$sfDir"}""")
+    EncodeBench.session(1).stop()
   }
 }

@@ -25,7 +25,13 @@ final case class ColChunk(
     payload: Array[Byte])
 
 /** A segment = one horizontal chunk of rows, all columns encoded. The unit
-  * of encode work, lineage, and decode-side skipping. */
+  * of encode work, lineage, and decode-side skipping.
+  *
+  * Determinism contract (the basis of idempotent restart, north_rule):
+  * `bucket` is a pure function of doc_id (pmod(xxhash64(doc_id), buckets)),
+  * rows are chunked in (source, doc_id) sorted order within their bucket,
+  * so segment content and segmentId depend only on the input data — a task
+  * retry or a full job replay rewrites byte-identical files. */
 final case class Segment(
     segmentId: String,
     source: String,
@@ -37,6 +43,10 @@ final case class Segment(
     bytesIn: Long,
     bytesOut: Long,
     cols: Seq[ColChunk])
+
+/** TokenRow + its deterministic bucket (the shuffle/lineage key). */
+final case class BucketedRow(
+    doc_id: String, tokens: Array[Int], n_tok: Int, source: String, bucket: Int)
 
 /** The encode/decode engine: typed Dataset transformations only (input_hint:
   * no RDD unless forced; the chunking inside a partition is genuine
@@ -57,17 +67,35 @@ object GraftEncoder {
 
   final val DefaultTokensPerChunk: Int = 64 * 1024
 
-  /** Salt + repartition: the one explicit shuffle of the encode job. */
-  def partitionForEncode(ds: Dataset[TokenRow], buckets: Int): Dataset[TokenRow] = {
+  /** Deterministic bucket assignment + the one explicit shuffle of the
+    * encode job. The bucket is a pure function of doc_id (NOT the physical
+    * partition id), so restart filtering and replay idempotency hold no
+    * matter how Spark schedules tasks; long-token documents spread
+    * uniformly across buckets (skew clause). */
+  def bucketed(ds: Dataset[TokenRow], buckets: Int): Dataset[BucketedRow] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.repartition(buckets, expr(s"abs(hash(doc_id)) % $buckets"))
-      .sortWithinPartitions($"source", $"doc_id")
+    ds.withColumn("bucket", pmod(xxhash64($"doc_id"), lit(buckets.toLong)).cast("int"))
+      .as[BucketedRow]
+  }
+
+  /** Shuffle each bucket to one task, sort so chunk content is a pure
+    * function of the data (determinism contract on [[Segment]]). */
+  def partitionForEncode(ds: Dataset[BucketedRow], buckets: Int): Dataset[BucketedRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.repartition(buckets, $"bucket")
+      .sortWithinPartitions($"bucket", $"source", $"doc_id")
   }
 
   def encode(ds: Dataset[TokenRow],
              buckets: Int,
-             tokensPerChunk: Int = DefaultTokensPerChunk): Dataset[Segment] = {
+             tokensPerChunk: Int = DefaultTokensPerChunk): Dataset[Segment] =
+    encodeBucketed(bucketed(ds, buckets), buckets, tokensPerChunk)
+
+  def encodeBucketed(ds: Dataset[BucketedRow],
+                     buckets: Int,
+                     tokensPerChunk: Int = DefaultTokensPerChunk): Dataset[Segment] = {
     val spark = ds.sparkSession
     import spark.implicits._
     partitionForEncode(ds, buckets).mapPartitions { rows =>
@@ -75,22 +103,29 @@ object GraftEncoder {
     }
   }
 
-  /** Pure per-partition encode: greedy chunking by token budget. */
-  def encodePartition(rows: Iterator[TokenRow],
+  /** Pure per-partition encode: greedy chunking by token budget, cutting at
+    * bucket boundaries (a partition may hold several buckets — bucket
+    * values hash onto partitions). chunkIdx counts within a bucket. */
+  def encodePartition(rows: Iterator[BucketedRow],
                       tokensPerChunk: Int): Iterator[Segment] = {
     val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
+    val in = rows.buffered
     new Iterator[Segment] {
+      private var curBucket = Int.MinValue
       private var chunkIdx = 0
-      def hasNext: Boolean = rows.hasNext
+      def hasNext: Boolean = in.hasNext
       def next(): Segment = {
+        val bucket = in.head.bucket
+        if (bucket != curBucket) { curBucket = bucket; chunkIdx = 0 }
         val buf = scala.collection.mutable.ArrayBuffer.empty[TokenRow]
         var tokenCount = 0L
-        while (rows.hasNext && tokenCount < tokensPerChunk) {
-          val r = rows.next()
-          buf += r
+        while (in.hasNext && in.head.bucket == bucket &&
+          tokenCount < tokensPerChunk) {
+          val r = in.next()
+          buf += TokenRow(r.doc_id, r.tokens, r.n_tok, r.source)
           tokenCount += r.tokens.length
         }
-        val seg = encodeChunk(buf.toArray, pid, chunkIdx)
+        val seg = encodeChunk(buf.toArray, pid, chunkIdx, bucket)
         chunkIdx += 1
         seg
       }
@@ -99,7 +134,8 @@ object GraftEncoder {
 
   /** Encode one chunk of rows into a Segment (pure function — unit-tested
     * without Spark). */
-  def encodeChunk(rows: Array[TokenRow], pid: Int, chunkIdx: Int): Segment = {
+  def encodeChunk(rows: Array[TokenRow], pid: Int, chunkIdx: Int,
+                  bucket: Int = -1): Segment = {
     val n = rows.length
     val docIds = new Array[String](n)
     val sources = new Array[String](n)
@@ -157,11 +193,11 @@ object GraftEncoder {
       strChunk("source", sources))
 
     val source = if (n > 0) rows(0).source else ""
-    val bucket = pid
+    val bkt = if (bucket >= 0) bucket else pid
     Segment(
-      segmentId = f"p$pid%05d-c$chunkIdx%06d",
+      segmentId = f"b$bkt%05d-c$chunkIdx%06d",
       source = source,
-      bucket = bucket,
+      bucket = bkt,
       partitionId = pid,
       chunkIdx = chunkIdx,
       nRows = n,
@@ -175,6 +211,23 @@ object GraftEncoder {
     val spark = segments.sparkSession
     import spark.implicits._
     segments.flatMap(decodeSegment _)
+  }
+
+  /** Decode only segments whose `tokens` chunk [minV, maxV] intersects
+    * [lo, hi] — the chunk-skipping analog of the reference's stripe pruning
+    * via ORC row-index stats (/root/reference/src/predicate.rs:53-245).
+    * INEXACT by the same contract the reference pins (src/source.rs:279-281
+    * reports PushedDown::No): a surviving segment may contain no matching
+    * token; callers re-filter exactly. Payload bytes of skipped segments are
+    * never inflated or decoded. */
+  def decodeWhereTokenRange(segments: Dataset[Segment], lo: Long, hi: Long): Dataset[TokenRow] = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    segments
+      .filter(exists($"cols", c =>
+        c.getField("col") === lit("tokens") &&
+          c.getField("minV") <= lit(hi) && c.getField("maxV") >= lit(lo)))
+      .flatMap(decodeSegment _)
   }
 
   /** Pure segment decode (unit-tested without Spark). */

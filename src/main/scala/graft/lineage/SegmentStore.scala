@@ -1,0 +1,155 @@
+package graft.lineage
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{GraftEncoder, Segment, TokenRow}
+
+/** One committed lineage row per (snapshot, bucket) — the Iceberg-shaped
+  * commit record demanded by the north_rule: input snapshot-id, chunk
+  * offsets, codecs chosen, bytes in/out. Plays the role the reference's
+  * per-file metrics play on the read side
+  * (/root/reference/src/metrics.rs:57-218: bytes_scanned, rows_decoded,
+  * stripes pruned/matched) — ours is the write-side ledger.
+  *
+  * No wall-clock fields: lineage content is a pure function of the input,
+  * so replays of the same snapshot produce identical ledgers (testable). */
+final case class LineageRow(
+    snapshotId: Long,
+    bucket: Int,
+    nSegments: Long,
+    nRows: Long,
+    nTokens: Long,
+    bytesIn: Long,
+    bytesOut: Long,
+    firstChunk: String,
+    lastChunk: String,
+    codecs: String, // "col:codec=nChunks,..." sorted — the per-chunk choice ledger
+    status: String)
+
+/** Iceberg-shaped segment table over Parquet (no Iceberg runtime jar ships
+  * in this sandbox — SURVEY §7.6; the layout keeps the same contract:
+  * snapshot id, per-partition commits, an append-only lineage ledger, and
+  * idempotent restart — so a real catalog can replace the seam).
+  *
+  * Layout:
+  * {{{
+  *   tableDir/data/snapshotId=S/bucket=N/  (parquet)  // encoded segments
+  *   tableDir/lineage/                     (parquet)  // append-only commit ledger
+  * }}}
+  *
+  * Restart protocol (north_rule "idempotent checkpoint-restart"):
+  *  1. committed = lineage rows for this snapshotId with status=committed
+  *  2. pending   = all buckets minus committed
+  *  3. encode ONLY pending buckets (input filtered by the deterministic
+  *     bucket function — no recompute of finished work)
+  *  4. write with dynamic partition overwrite: only pending bucket dirs are
+  *     replaced; a crashed attempt's partial dir is simply overwritten with
+  *     byte-identical content (Segment determinism contract)
+  *  5. append lineage rows — the commit point. A crash between 4 and 5
+  *     leaves data without a ledger entry; the next run redoes that bucket,
+  *     converging to the same bytes. Exactly-once by determinism, not locks.
+  */
+object SegmentStore {
+
+  final val Committed = "committed"
+
+  def dataDir(tableDir: String): String = s"$tableDir/data"
+  def lineageDir(tableDir: String): String = s"$tableDir/lineage"
+
+  def readLineage(spark: SparkSession, tableDir: String): Dataset[LineageRow] = {
+    import spark.implicits._
+    if (!new java.io.File(lineageDir(tableDir)).exists())
+      spark.emptyDataset[LineageRow]
+    else spark.read.parquet(lineageDir(tableDir)).as[LineageRow]
+  }
+
+  def committedBuckets(spark: SparkSession, tableDir: String, snapshotId: Long): Set[Int] = {
+    import spark.implicits._
+    readLineage(spark, tableDir)
+      .filter($"snapshotId" === snapshotId && $"status" === Committed)
+      .select($"bucket").distinct().as[Int].collect().toSet
+  }
+
+  /** Encode pending buckets of `input` and commit them. Returns the buckets
+    * committed by THIS call (empty = nothing left to do; the job is
+    * restart-complete).
+    *
+    * @param maxBucketsPerRun cap on buckets processed per invocation — the
+    *   incremental-processing knob, and the hook the kill-and-resume test
+    *   uses to simulate a mid-job failure.
+    */
+  def encodeCommit(input: Dataset[TokenRow],
+                   tableDir: String,
+                   snapshotId: Long,
+                   buckets: Int,
+                   tokensPerChunk: Int = GraftEncoder.DefaultTokensPerChunk,
+                   maxBucketsPerRun: Int = Int.MaxValue): Set[Int] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+
+    val done = committedBuckets(spark, tableDir, snapshotId)
+    val pending = (0 until buckets).filterNot(done).take(maxBucketsPerRun)
+    if (pending.isEmpty) return Set.empty
+
+    val pendingSet = pending.toSet
+    val bucketedPending = GraftEncoder.bucketed(input, buckets)
+      .filter($"bucket".isin(pending.map(Int.box): _*))
+    val segments = GraftEncoder.encodeBucketed(bucketedPending, buckets, tokensPerChunk)
+
+    // Dynamic overwrite: ONLY the bucket dirs present in `segments` are
+    // replaced; previously committed buckets are untouched.
+    segments.toDF()
+      .withColumn("snapshotId", lit(snapshotId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("snapshotId", "bucket") // snapshot first: one snapshot never clobbers another
+      .mode(SaveMode.Overwrite)
+      .parquet(dataDir(tableDir))
+
+    // Lineage from what was actually written (read-back, payload column
+    // pruned away by nested-schema pruning — cheap at any scale).
+    val ledger = lineageFromData(spark, tableDir, snapshotId, pendingSet)
+    ledger.write.mode(SaveMode.Append).parquet(lineageDir(tableDir))
+    pendingSet
+  }
+
+  private def lineageFromData(spark: SparkSession, tableDir: String,
+                              snapshotId: Long, only: Set[Int]): Dataset[LineageRow] = {
+    import spark.implicits._
+    val segs = spark.read.parquet(dataDir(tableDir))
+      .filter($"snapshotId" === snapshotId && $"bucket".isin(only.toSeq.map(Int.box): _*))
+    val codecAgg = segs
+      .select($"bucket", explode($"cols").as("c"))
+      .groupBy($"bucket", concat($"c.col", lit(":"), $"c.codecName").as("cc"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"bucket")
+      .agg(concat_ws(",", array_sort(collect_list(concat($"cc", lit("="), $"n")))).as("codecs"))
+    segs.groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("nSegments"),
+        sum($"nRows").cast("long").as("nRows"),
+        sum($"nTokens").as("nTokens"),
+        sum($"bytesIn").as("bytesIn"),
+        sum($"bytesOut").as("bytesOut"),
+        min($"segmentId").as("firstChunk"),
+        max($"segmentId").as("lastChunk"))
+      .join(codecAgg, Seq("bucket"))
+      .withColumn("snapshotId", lit(snapshotId))
+      .withColumn("status", lit(Committed))
+      .as[LineageRow]
+  }
+
+  /** Read the committed segment table back as typed segments. */
+  def readSegments(spark: SparkSession, tableDir: String, snapshotId: Long): Dataset[Segment] = {
+    import spark.implicits._
+    spark.read.parquet(dataDir(tableDir))
+      .filter($"snapshotId" === snapshotId)
+      .drop($"snapshotId")
+      .as[Segment]
+  }
+
+  /** Full decode of a committed snapshot. */
+  def readDecoded(spark: SparkSession, tableDir: String, snapshotId: Long): Dataset[TokenRow] =
+    GraftEncoder.decode(readSegments(spark, tableDir, snapshotId))
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GraftEncoder, TokenTables}
+import graft.lineage.SegmentStore
 
 /** Engine-facing queries: encode/decode round-trips and codec telemetry.
   * Non-SQL-expressible (no DuckDB oracle) — the driver records rows-only
@@ -68,9 +69,56 @@ object Encode {
       .orderBy($"col")
   }
 
+  /** Kill-and-resume through the lineage ledger, surfaced as a query: run 1
+    * commits only 3 of 8 buckets (simulated mid-job failure), run 2 resumes
+    * and completes, run 3 proves idempotent no-op. Output = the final
+    * ledger, one row per bucket (deterministic: lineage carries no
+    * wall-clock fields). */
+  def lineageRestart(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val input = TokenTables.fromDocuments(spark, dir)
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-lineage-q").toString
+    val snap = 1L
+    val first = SegmentStore.encodeCommit(input, tableDir, snap, buckets = 8, maxBucketsPerRun = 3)
+    val resumed = SegmentStore.encodeCommit(input, tableDir, snap, buckets = 8)
+    val rerun = SegmentStore.encodeCommit(input, tableDir, snap, buckets = 8)
+    require(first.size == 3 && resumed.size == 5 && rerun.isEmpty,
+      s"restart protocol violated: $first / $resumed / $rerun")
+    SegmentStore.readLineage(spark, tableDir)
+      .select($"bucket", $"nSegments", $"nRows", $"nTokens", $"bytesIn", $"bytesOut",
+        $"firstChunk", $"lastChunk", $"status")
+      .orderBy($"bucket")
+  }
+
+  /** Chunk skipping by min/max (the reference's stripe-pruning contract,
+    * /root/reference/src/source.rs:279-281: prune inexactly, re-filter
+    * exactly): scan for rare high token ids, report how many segments the
+    * min/max index let us skip vs how many documents truly match. */
+  def prunedScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lo = 50250L
+    val hi = 50256L
+    val input = TokenTables.fromDocuments(spark, dir)
+    val segs = GraftEncoder.encode(input, buckets = 16, tokensPerChunk = 4096).persist()
+    val segStats = segs.agg(
+      count(lit(1)).as("n_segments_total"),
+      sum(when(exists($"cols", c =>
+        c.getField("col") === lit("tokens") &&
+          c.getField("minV") <= lit(hi) && c.getField("maxV") >= lit(lo)),
+        1L).otherwise(0L)).as("n_segments_scanned"))
+    val docStats = GraftEncoder.decodeWhereTokenRange(segs, lo, hi)
+      .agg(
+        count(lit(1)).as("n_docs_scanned"),
+        sum(when(exists(col("tokens"), t => t >= lit(lo.toInt) && t <= lit(hi.toInt)),
+          1L).otherwise(0L)).as("n_docs_matched"))
+    segStats.crossJoin(docStats)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "encode_roundtrip_docs" -> (roundtripDocs _),
     "encode_roundtrip_synthetic" -> (roundtripSynthetic _),
     "encode_codec_mix" -> (codecMix _),
-    "encode_compression_stats" -> (compressionStats _))
+    "encode_compression_stats" -> (compressionStats _),
+    "encode_lineage_restart" -> (lineageRestart _),
+    "encode_pruned_scan" -> (prunedScan _))
 }

@@ -1,0 +1,111 @@
+package graft.lineage
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{GraftEncoder, TokenTables}
+
+/** North_rule checkpoint-restart contract: per-partition lineage rows,
+  * resume skips committed buckets, replay converges to identical bytes,
+  * decode of the committed table is element-for-element equal to the
+  * input. */
+class LineageSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-lineage-spec").toString
+
+  test("kill-and-resume: interrupted run resumes without recomputing committed buckets") {
+    val input = TokenTables.synthetic(spark, nDocs = 400, seed = 42L)
+    val dir = tmp()
+    val snap = 7L
+
+    // "crash" after 2 of 6 buckets
+    val run1 = SegmentStore.encodeCommit(input, dir, snap, buckets = 6, maxBucketsPerRun = 2)
+    assert(run1.size === 2)
+    assert(SegmentStore.committedBuckets(spark, dir, snap) === run1)
+
+    // resume: exactly the remaining 4, disjoint from run1
+    val run2 = SegmentStore.encodeCommit(input, dir, snap, buckets = 6)
+    assert(run2.size === 4)
+    assert((run1 & run2).isEmpty)
+    assert(SegmentStore.committedBuckets(spark, dir, snap) === (0 until 6).toSet)
+
+    // idempotent: a third run is a no-op
+    assert(SegmentStore.encodeCommit(input, dir, snap, buckets = 6).isEmpty)
+
+    // ledger: one committed row per bucket, codecs + chunk offsets recorded
+    val ledger = SegmentStore.readLineage(spark, dir).collect()
+    assert(ledger.length === 6)
+    assert(ledger.forall(_.status === SegmentStore.Committed))
+    assert(ledger.forall(_.codecs.contains("tokens:")))
+    assert(ledger.forall(r => r.firstChunk.nonEmpty && r.lastChunk >= r.firstChunk))
+    assert(ledger.map(_.nRows).sum === 400L)
+
+    // decode of the committed table is bit-identical to the input
+    val decoded = SegmentStore.readDecoded(spark, dir, snap)
+      .collect().map(r => r.doc_id -> r).toMap
+    val expected = input.collect().map(r => r.doc_id -> r).toMap
+    assert(decoded.keySet === expected.keySet)
+    expected.foreach { case (id, r) =>
+      assert(decoded(id).tokens.toSeq === r.tokens.toSeq, s"tokens of $id")
+      assert(decoded(id).source === r.source)
+    }
+  }
+
+  test("replay determinism: interrupted+resumed table equals single-shot table segment-for-segment") {
+    val input = TokenTables.synthetic(spark, nDocs = 300, seed = 1L)
+    val dirA = tmp()
+    val dirB = tmp()
+    SegmentStore.encodeCommit(input, dirA, 1L, buckets = 5, maxBucketsPerRun = 1)
+    SegmentStore.encodeCommit(input, dirA, 1L, buckets = 5, maxBucketsPerRun = 2)
+    SegmentStore.encodeCommit(input, dirA, 1L, buckets = 5)
+    SegmentStore.encodeCommit(input, dirB, 1L, buckets = 5)
+
+    def fingerprint(dir: String): Map[String, (Int, Long, Seq[(String, Long)])] =
+      SegmentStore.readSegments(spark, dir, 1L).collect().map { s =>
+        s.segmentId -> ((s.nRows, s.bytesOut,
+          s.cols.map(c => c.col -> java.util.Arrays.hashCode(c.payload).toLong)))
+      }.toMap
+    assert(fingerprint(dirA) === fingerprint(dirB),
+      "segments must be byte-identical regardless of restart schedule")
+  }
+
+  test("separate snapshots never clobber each other") {
+    val in1 = TokenTables.synthetic(spark, nDocs = 100, seed = 2L)
+    val in2 = TokenTables.synthetic(spark, nDocs = 120, seed = 3L)
+    val dir = tmp()
+    SegmentStore.encodeCommit(in1, dir, 10L, buckets = 3)
+    SegmentStore.encodeCommit(in2, dir, 11L, buckets = 3)
+    assert(SegmentStore.readDecoded(spark, dir, 10L).count() === 100L)
+    assert(SegmentStore.readDecoded(spark, dir, 11L).count() === 120L)
+  }
+
+  test("min/max chunk skipping prunes segments and never loses a match") {
+    import spark.implicits._
+    val input = TokenTables.synthetic(spark, nDocs = 400, seed = 5L)
+    val segs = GraftEncoder.encode(input, buckets = 4, tokensPerChunk = 2048).persist()
+    val lo = 50000L
+    val hi = 50256L
+    val total = segs.count()
+    val scanned = GraftEncoder.decodeWhereTokenRange(segs, lo, hi)
+    val scannedSegIds = segs.filter(
+      org.apache.spark.sql.functions.exists($"cols", c =>
+        c.getField("col") === org.apache.spark.sql.functions.lit("tokens") &&
+          c.getField("minV") <= hi && c.getField("maxV") >= lo)).count()
+    assert(scannedSegIds < total, "pruning must actually skip segments on zipf data")
+    // exactness: every truly-matching doc survives pruning
+    val exact = GraftEncoder.decode(segs)
+      .filter(_.tokens.exists(t => t >= lo && t <= hi)).collect().map(_.doc_id).toSet
+    val viaPruned = scanned
+      .filter(_.tokens.exists(t => t >= lo && t <= hi)).collect().map(_.doc_id).toSet
+    assert(viaPruned === exact, "pruning is inexact-but-superset by contract")
+    segs.unpersist()
+  }
+}
