@@ -22,14 +22,17 @@ object Bench {
     val total = results.map(_._2).sum
 
     // North metrics: same encode job at N and 4N parallelism on one input.
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "200000").toLong
+    // One warm run per level (JIT), then best of 2 (short local runs are
+    // noisy; min is the standard noise-rejecting estimator).
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toLong
     val inputPath = EncodeBench.ensureInput(spark, nDocs)
     val (orcSnappy, _) = EncodeBench.orcBaseline(spark, inputPath)
-    val stored = EncodeBench.storedBytes(spark, inputPath, buckets = 4 * cpus)
+    val stored = EncodeBench.storedBytes(spark, inputPath, buckets = 16 * cpus)
     val runs = Seq(8, 32).map { c =>
       val s = EncodeBench.session(c)
-      EncodeBench.timedEncode(s, inputPath, buckets = 4 * c, c) // JIT warm
-      EncodeBench.timedEncode(s, inputPath, buckets = 4 * c, c)
+      EncodeBench.timedEncode(s, inputPath, buckets = 16 * c, c) // JIT warm
+      (1 to 2).map(_ => EncodeBench.timedEncode(s, inputPath, buckets = 16 * c, c))
+        .minBy(_.secs)
     }
     val lo = runs.minBy(_.cpus)
     val hi = runs.maxBy(_.cpus)

@@ -17,27 +17,28 @@ import graft.bench.EncodeBench
 object ScalingBench {
 
   def main(args: Array[String]): Unit = {
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "400000").toLong
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "3000000").toLong
     val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "8,32")
       .split(",").map(_.trim.toInt).toSeq
-    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt
+    val timedReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
 
     // Phase 0 at max parallelism: materialize input + size baselines.
     val prep = EncodeBench.session(levels.max)
     val inputPath = EncodeBench.ensureInput(prep, nDocs)
     val (orcSnappy, orcZlib) = EncodeBench.orcBaseline(prep, inputPath)
     val parquetIn = EncodeBench.dirBytes(new java.io.File(inputPath))
-    val stored = EncodeBench.storedBytes(prep, inputPath, buckets = 4 * levels.max)
+    val stored = EncodeBench.storedBytes(prep, inputPath, buckets = 16 * levels.max)
 
+    // Per level: one warm run (JIT + page cache), then best of `timedReps`.
+    // buckets = 16x parallelism: each task ~one bucket, enough tasks that
+    // the scheduler smooths bucket-size variance (same recipe a 1000-
+    // executor cluster would use: tasks >> slots).
     val runs = levels.map { cpus =>
       val s = EncodeBench.session(cpus)
-      var r = EncodeBench.timedEncode(s, inputPath, buckets = 4 * cpus, cpus)
-      var w = 0
-      while (w < warmup) { // warmed run replaces the cold one (JIT, page cache)
-        r = EncodeBench.timedEncode(s, inputPath, buckets = 4 * cpus, cpus)
-        w += 1
-      }
-      r
+      EncodeBench.timedEncode(s, inputPath, buckets = 16 * cpus, cpus)
+      (1 to timedReps)
+        .map(_ => EncodeBench.timedEncode(s, inputPath, buckets = 16 * cpus, cpus))
+        .minBy(_.secs)
     }
 
     val lo = runs.minBy(_.cpus)

@@ -91,12 +91,19 @@ object EncodeBench {
     SparkSession.getActiveSession.foreach(_.stop())
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    // Shuffle spill dir on tmpfs: on a real cluster every executor has its
+    // own local disks; in this single-node sandbox all `local[n]` threads
+    // share one SSD, which would fake a scaling ceiling that a cluster
+    // doesn't have. 125 GiB RAM >> bench shuffle volume.
+    val shm = new java.io.File("/dev/shm/graft-spark-local")
+    if (!shm.exists()) shm.mkdirs()
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      .config("spark.local.dir", shm.getAbsolutePath)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

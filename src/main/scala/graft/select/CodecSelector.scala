@@ -107,8 +107,11 @@ object CodecSelector {
   def encodeIntsAuto(values: Array[Long]): (IntCodec, Array[Byte]) = {
     val codec = chooseInt(values)
     val encoded = IntCodecs.encodeChunk(values, codec)
-    // final guard: never ship a chunk larger than the raw fallback
-    if (codec.id != RawIntCodec.id) {
+    // Final guard: never ship a chunk larger than the raw fallback. Tokens
+    // are < 2^17 so raw zigzag varints are ≤3 B/value: only bother trial-
+    // encoding raw when the winner exceeds that bound (rare) — an eager
+    // raw encode of every chunk would double kernel cost for nothing.
+    if (codec.id != RawIntCodec.id && encoded.length > 3 * values.length + 16) {
       val raw = IntCodecs.encodeChunk(values, RawIntCodec)
       if (raw.length < encoded.length) return (RawIntCodec, raw)
     }
