@@ -271,7 +271,78 @@ object Relational {
         count(lit(1)).as("n_customers"))
   }
 
+  // --- wider TPC-DS-surface operators (SURVEY §2.B rows: stddev, ROLLUP/CUBE/
+  // GROUPING SETS, UNION ALL, date arith, COALESCE, LAG frames, approx) -----
+
+  /** stddev via the exact-sums identity so Spark and DuckDB see identical
+    * doubles (their native stddev_samp accumulates in different orders). */
+  def stddev0(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sqrt(
+          (sum(col("l_quantity").cast("decimal(18,2)") * col("l_quantity").cast("decimal(18,2)")).cast("double") -
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double") *
+              sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))) /
+            (count(lit(1)) - 1)).as("sd_qty"))
+
+  def cube0(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
+  def unionAll0(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_nationkey").as("key"))
+    val s = t(spark, dir, "supplier").select(col("s_nationkey").as("key"))
+    c.unionAll(s).groupBy(col("key")).agg(count(lit(1)).as("n"))
+  }
+
+  def dateAddCoalesce(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(coalesce(col("lang"), lit("unk")).as("lang_filled"))
+      .agg(count(lit(1)).as("n"))
+
+  def dateArith(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), date_add(col("o_orderdate"), 30).as("due_date"))
+      .groupBy(year(col("due_date")).as("due_year"))
+      .agg(count(lit(1)).as("n"), min(col("due_date")).as("first_due"))
+
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 30)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("prev_price"), col("next_key"))
+  }
+
+  /** approx_count_distinct (HLL++) vs the exact count — quality telemetry,
+    * non-deterministic across engines so rows-only (no oracle). */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").agg(
+      approx_count_distinct(col("o_custkey")).as("approx_cust"),
+      countDistinct(col("o_custkey")).as("exact_cust"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stddev" -> (stddev0 _),
+    "q_cube" -> (cube0 _),
+    "q_grouping_sets" -> (groupingSets _),
+    "q_union_all" -> (unionAll0 _),
+    "q_coalesce" -> (dateAddCoalesce _),
+    "q_date_arith" -> (dateArith _),
+    "q_window_lag" -> (windowLag _),
+    "q_approx_count_distinct" -> (approxDistinct _),
     "q_agg_group" -> (aggGroup _),
     "q_agg_minmax" -> (aggMinMax _),
     "q_agg_avg_filtered" -> (aggAvgFiltered _),
@@ -304,6 +375,38 @@ object Relational {
     "q_cte_join_agg" -> (cteJoinAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q_stddev" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        |    / (COUNT(*) - 1)) AS sd_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q_union_all" ->
+      """SELECT key, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS key FROM customer
+        |  UNION ALL SELECT s_nationkey AS key FROM supplier
+        |) GROUP BY key""".stripMargin,
+    "q_coalesce" ->
+      """SELECT COALESCE(lang, 'unk') AS lang_filled, COUNT(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_date_arith" ->
+      """SELECT CAST(YEAR(o_orderdate + INTERVAL 30 DAY) AS INTEGER) AS due_year, COUNT(*) AS n,
+        |  MIN(CAST(o_orderdate + INTERVAL 30 DAY AS DATE)) AS first_due
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_orderkey, 1) OVER w AS next_key
+        |FROM orders WHERE o_custkey < 30
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
