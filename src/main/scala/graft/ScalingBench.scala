@@ -2,42 +2,50 @@ package graft
 
 import graft.bench.EncodeBench
 
-/** The north_rule two-cluster-size evidence, adapted to this sandbox per
-  * the driver instruction: no real cluster exists, so the SAME encode job
-  * runs on the SAME input at two parallelism levels (N = local[8],
-  * 4N = local[32]; 32 hw threads available) and we report throughput at
-  * both plus scaling efficiency = (T_N / T_4N) / 4. Also measures the
-  * compression gate: our stored bytes vs ORC Java (snappy + zlib) on the
-  * same table. Prints one JSON line; results are recorded in BASELINE.md.
+/** The north_rule two-cluster-size evidence: the SAME encode job on the
+  * SAME input at N and 4N **executors** — real separate executor JVMs via
+  * Spark's local-cluster mode (default N=2 vs 4N=8 executors x 4 cores,
+  * i.e. 8 vs 32 cores on the 32-hw-thread sandbox host), reporting GB/s of
+  * token bytes at both plus scaling efficiency = (T_N / T_4N) / 4. Also
+  * measures the compression gate: our stored bytes vs ORC Java
+  * (snappy + zlib) on the same table. Prints one JSON line; results are
+  * recorded in BASELINE.md.
   *
-  * Env knobs: SPARK_GRAFT_BENCH_DOCS (default 400000),
-  *            SPARK_GRAFT_LEVELS (default "8,32"),
-  *            SPARK_GRAFT_WARMUP (default "1").
+  * Env knobs: SPARK_GRAFT_BENCH_DOCS (default 3000000),
+  *            SPARK_GRAFT_EXECUTORS (default "2,8"),
+  *            SPARK_GRAFT_REPS (default 3),
+  *            SPARK_GRAFT_MODE=local to fall back to local[8]/local[32].
   */
 object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "3000000").toLong
-    val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "8,32")
+    val levels = sys.env.getOrElse("SPARK_GRAFT_EXECUTORS", "2,8")
       .split(",").map(_.trim.toInt).toSeq
-    val timedReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val timedReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val localMode = sys.env.get("SPARK_GRAFT_MODE").contains("local")
+    val coresPerExec = 4
 
-    // Phase 0 at max parallelism: materialize input + size baselines.
-    val prep = EncodeBench.session(levels.max)
+    // Phase 0 on a plain local session: materialize input + size baselines
+    // (one-time artifacts, not part of the timed runs).
+    val prep = EncodeBench.session(32)
     val inputPath = EncodeBench.ensureInput(prep, nDocs)
     val (orcSnappy, orcZlib) = EncodeBench.orcBaseline(prep, inputPath)
     val parquetIn = EncodeBench.dirBytes(new java.io.File(inputPath))
-    val stored = EncodeBench.storedBytes(prep, inputPath, buckets = 16 * levels.max)
+    val stored = EncodeBench.storedBytes(prep, inputPath, buckets = 512)
 
-    // Per level: one warm run (JIT + page cache), then best of `timedReps`.
-    // buckets = 16x parallelism: each task ~one bucket, enough tasks that
-    // the scheduler smooths bucket-size variance (same recipe a 1000-
-    // executor cluster would use: tasks >> slots).
-    val runs = levels.map { cpus =>
-      val s = EncodeBench.session(cpus)
-      EncodeBench.timedEncode(s, inputPath, buckets = 16 * cpus, cpus)
+    // Per level: one warm run (JIT + page cache), then best of `timedReps`
+    // (min is the standard noise-rejecting estimator on a shared host).
+    // buckets = 16x total cores: tasks >> slots so the scheduler smooths
+    // bucket-size variance — the same recipe a 1000-executor cluster uses.
+    val runs = levels.map { n =>
+      val cores = n * coresPerExec
+      val s =
+        if (localMode) EncodeBench.session(cores)
+        else EncodeBench.clusterSession(n, coresPerExec)
+      EncodeBench.timedEncode(s, inputPath, buckets = 16 * cores, cores)
       (1 to timedReps)
-        .map(_ => EncodeBench.timedEncode(s, inputPath, buckets = 16 * cpus, cpus))
+        .map(_ => EncodeBench.timedEncode(s, inputPath, buckets = 16 * cores, cores))
         .minBy(_.secs)
     }
 
@@ -45,10 +53,10 @@ object ScalingBench {
     val hi = runs.maxBy(_.cpus)
     val eff = (hi.gbps / lo.gbps) / (hi.cpus.toDouble / lo.cpus)
     val runsJson = runs.map { r =>
-      f"""{"cpus":${r.cpus},"secs":${r.secs}%.3f,"gbps":${r.gbps}%.4f,"token_gb":${r.tokenBytes / 1e9}%.3f}"""
+      f"""{"executors":${r.cpus / coresPerExec},"cores":${r.cpus},"secs":${r.secs}%.3f,"gbps":${r.gbps}%.4f,"token_gb":${r.tokenBytes / 1e9}%.3f}"""
     }.mkString("[", ",", "]")
     println(
-      f"""{"metric":"encode_scaling","n_docs":$nDocs,"n_tokens":${hi.nTokens},"runs":$runsJson,""" +
+      f"""{"metric":"encode_scaling","mode":"${if (localMode) "local" else "local-cluster"}","n_docs":$nDocs,"n_tokens":${hi.nTokens},"runs":$runsJson,""" +
         f""""scaling_efficiency":$eff%.3f,"lightweight_ratio":${hi.ratio}%.3f,""" +
         f""""stored_bytes":$stored,"orc_snappy_bytes":$orcSnappy,"orc_zlib_bytes":$orcZlib,""" +
         f""""parquet_input_bytes":$parquetIn,""" +

@@ -35,6 +35,31 @@ object EncodeBench {
     path
   }
 
+  /** Per-stage telemetry of the last timed job (populated when
+    * SPARK_GRAFT_STAGES=1): stage name -> (wall ms, task-time ms, gc ms,
+    * shuffle-fetch-wait ms, shuffle-write ms). */
+  def stageReport(spark: SparkSession)(body: => Unit): Unit = {
+    if (!sys.env.get("SPARK_GRAFT_STAGES").contains("1")) { body; return }
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val m = i.taskMetrics
+        println(f"[stage] id=${i.stageId}%3d tasks=${i.numTasks}%4d " +
+          f"wall=${i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)}%6dms " +
+          f"task=${m.executorRunTime}%7dms gc=${m.jvmGCTime}%6dms " +
+          f"fetchWait=${m.shuffleReadMetrics.fetchWaitTime}%5dms " +
+          f"shufWrite=${m.shuffleWriteMetrics.writeTime / 1000000}%5dms " +
+          f"deserialize=${m.executorDeserializeTime}%5dms ${i.name.take(60)}")
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try body finally {
+      Thread.sleep(300) // let the listener bus drain stage-completed events
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   /** One timed encode job: read parquet -> salt/repartition -> encode ->
     * aggregate byte totals (forces every payload). No disk on the output
     * side so both parallelism levels hit compute+shuffle, not the single
@@ -42,15 +67,22 @@ object EncodeBench {
   def timedEncode(spark: SparkSession, inputPath: String, buckets: Int,
                   cpus: Int): EncodeRun = {
     import spark.implicits._
+    // A-B hook: override the deflate-skip threshold (same-JVM executors
+    // in local mode see this directly)
+    sys.env.get("SPARK_GRAFT_MINGAIN")
+      .foreach(g => graft.codec.BlockCompression.minSampledGain = g.toDouble)
     val input = spark.read.parquet(inputPath).as[graft.engine.TokenRow]
     val t0 = System.nanoTime()
-    val agg = GraftEncoder.encode(input, buckets)
-      .agg(
-        sum($"nRows").as("rows"),
-        sum($"nTokens").as("toks"),
-        sum($"bytesIn").as("bi"),
-        sum($"bytesOut").as("bo"))
-      .collect()(0)
+    var agg: org.apache.spark.sql.Row = null
+    stageReport(spark) {
+      agg = GraftEncoder.encode(input, buckets)
+        .agg(
+          sum($"nRows").as("rows"),
+          sum($"nTokens").as("toks"),
+          sum($"bytesIn").as("bi"),
+          sum($"bytesOut").as("bo"))
+        .collect()(0)
+    }
     val secs = (System.nanoTime() - t0) / 1e9
     val nTokens = agg.getLong(1)
     EncodeRun(cpus, secs, agg.getLong(0), nTokens, nTokens * 4L,
@@ -87,6 +119,34 @@ object EncodeBench {
     dirBytes(new java.io.File(out))
   }
 
+  /** Real multi-executor session: `local-cluster[n, coresPerExec, mem]`
+    * spawns n separate executor JVMs (own heap, own GC, netty shuffle) —
+    * the honest in-sandbox rendering of "N executors" for the north_rule's
+    * N-vs-4N scaling criterion. Requires SPARK_HOME/SPARK_SCALA_VERSION
+    * (set by build.sbt for forked runs). */
+  def clusterSession(executors: Int, coresPerExec: Int = 4, memMb: Int = 6144): SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val shm = new java.io.File("/dev/shm/graft-spark-local")
+    if (!shm.exists()) shm.mkdirs()
+    val cores = executors * coresPerExec
+    val s = SparkSession.builder()
+      .master(s"local-cluster[$executors,$coresPerExec,$memMb]")
+      .config("spark.executor.memory", s"${memMb}m")
+      .config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
+      .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .config("spark.local.dir", shm.getAbsolutePath)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   def session(cpus: Int): SparkSession = {
     SparkSession.getActiveSession.foreach(_.stop())
     SparkSession.clearActiveSession()
@@ -104,6 +164,11 @@ object EncodeBench {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
       .config("spark.local.dir", shm.getAbsolutePath)
+      // Scan-side parallelism: at 128m default the bench input yields ~14
+      // map tasks — a 32-core run leaves half the machine idle and scaling
+      // flattens artificially. 16m -> ~8x more scan tasks (the same knob a
+      // real cluster tunes so scan tasks >> executor slots).
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,67 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Typed engine options parsed from `spark.conf` string keys — the analog
+  * of the reference's options plumbing (`OrcReadOptions` string parsing
+  * with typed errors, /root/reference/src/options.rs:49-98; its factory
+  * accepts `orc.batch_size`-style keys, src/file_format.rs:42-86). Unknown
+  * `graft.*` keys are tolerated like the reference tolerates unknown
+  * option keys (options.rs behavior pinned by its unit tests :116-225);
+  * malformed values fail fast with the offending key in the message.
+  *
+  * @param tokensPerChunk chunk budget in tokens (the encode work unit)
+  * @param buckets        salt/shuffle bucket count (tasks of the encode job)
+  * @param zlibLevel      block-compression zlib level 0-9
+  * @param deflateMinGain sampled-gain threshold below which the block
+  *                       compressor skips the full deflate pass
+  * @param dictThreshold  distinct/total ratio bound for dictionary encoding
+  *                       (ORC `orc.dictionary.key.threshold` analog)
+  */
+final case class GraftConf(
+    tokensPerChunk: Int = GraftEncoder.DefaultTokensPerChunk,
+    buckets: Int = 256,
+    zlibLevel: Int = 6,
+    deflateMinGain: Double = graft.codec.BlockCompression.MinSampledGain,
+    dictThreshold: Double = graft.select.CodecSelector.DictThreshold) {
+  require(tokensPerChunk > 0, s"${GraftConf.TokensPerChunk} must be > 0, got $tokensPerChunk")
+  require(buckets > 0, s"${GraftConf.Buckets} must be > 0, got $buckets")
+  require(zlibLevel >= 0 && zlibLevel <= 9, s"${GraftConf.ZlibLevel} must be in [0,9], got $zlibLevel")
+  require(deflateMinGain >= 0 && deflateMinGain <= 1,
+    s"${GraftConf.DeflateMinGain} must be in [0,1], got $deflateMinGain")
+  require(dictThreshold >= 0 && dictThreshold <= 1,
+    s"${GraftConf.DictThreshold} must be in [0,1], got $dictThreshold")
+}
+
+object GraftConf {
+  final val TokensPerChunk = "graft.codec.tokensPerChunk"
+  final val Buckets = "graft.encode.buckets"
+  final val ZlibLevel = "graft.codec.zlibLevel"
+  final val DeflateMinGain = "graft.codec.deflateMinGain"
+  final val DictThreshold = "graft.codec.dictThreshold"
+
+  private def parseInt(key: String, v: String): Int =
+    try v.trim.toInt
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(s"invalid integer for $key: '$v'") }
+
+  private def parseDouble(key: String, v: String): Double =
+    try v.trim.toDouble
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(s"invalid number for $key: '$v'") }
+
+  /** Parse from raw key/value pairs (unit-testable without Spark). */
+  def fromMap(m: Map[String, String]): GraftConf = {
+    val d = GraftConf()
+    GraftConf(
+      tokensPerChunk = m.get(TokensPerChunk).map(parseInt(TokensPerChunk, _)).getOrElse(d.tokensPerChunk),
+      buckets = m.get(Buckets).map(parseInt(Buckets, _)).getOrElse(d.buckets),
+      zlibLevel = m.get(ZlibLevel).map(parseInt(ZlibLevel, _)).getOrElse(d.zlibLevel),
+      deflateMinGain = m.get(DeflateMinGain).map(parseDouble(DeflateMinGain, _)).getOrElse(d.deflateMinGain),
+      dictThreshold = m.get(DictThreshold).map(parseDouble(DictThreshold, _)).getOrElse(d.dictThreshold))
+  }
+
+  /** Read every `graft.*` key from the session conf. */
+  def fromSession(spark: SparkSession): GraftConf =
+    fromMap(spark.conf.getAll.filter(_._1.startsWith("graft.")))
+}

@@ -79,19 +79,39 @@ object GraftEncoder {
       .as[BucketedRow]
   }
 
-  /** Shuffle each bucket to one task, sort so chunk content is a pure
-    * function of the data (determinism contract on [[Segment]]). */
+  /** Shuffle each bucket to one task. Rows are NOT sorted by Spark here:
+    * a bucket is small by construction (totalTokens/buckets — size buckets
+    * so one fits in task memory, same rule as any hash aggregation), so
+    * the encode task sorts it in-memory itself ([[encodePartition]]),
+    * which skips Spark's external-sorter serialize/spill layer entirely —
+    * stage telemetry showed that layer dominating map-side GC. Chunk
+    * content stays a pure function of the data (determinism contract on
+    * [[Segment]]). */
   def partitionForEncode(ds: Dataset[BucketedRow], buckets: Int): Dataset[BucketedRow] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.repartition(buckets, $"bucket")
-      .sortWithinPartitions($"bucket", $"source", $"doc_id")
   }
 
   def encode(ds: Dataset[TokenRow],
              buckets: Int,
              tokensPerChunk: Int = DefaultTokensPerChunk): Dataset[Segment] =
     encodeBucketed(bucketed(ds, buckets), buckets, tokensPerChunk)
+
+  /** Conf-driven entry: all knobs from `graft.*` spark-conf keys (the
+    * reference's options-plumbing surface, src/options.rs:79-98). The conf
+    * rides the task closure, so codec knobs reach real-cluster executors,
+    * not just this JVM. */
+  def encodeWithConf(ds: Dataset[TokenRow], conf: GraftConf): Dataset[Segment] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    partitionForEncode(bucketed(ds, conf.buckets), conf.buckets).mapPartitions { rows =>
+      graft.codec.BlockCompression.level = conf.zlibLevel
+      graft.codec.BlockCompression.minSampledGain = conf.deflateMinGain
+      graft.select.CodecSelector.dictThreshold = conf.dictThreshold
+      encodePartition(rows, conf.tokensPerChunk)
+    }
+  }
 
   def encodeBucketed(ds: Dataset[BucketedRow],
                      buckets: Int,
@@ -103,13 +123,23 @@ object GraftEncoder {
     }
   }
 
-  /** Pure per-partition encode: greedy chunking by token budget, cutting at
+  /** Pure per-partition encode: buffer the partition (≈ one bucket by
+    * construction), sort it in-memory by (bucket, source, doc_id) for the
+    * determinism contract, then greedily chunk by token budget, cutting at
     * bucket boundaries (a partition may hold several buckets — bucket
     * values hash onto partitions). chunkIdx counts within a bucket. */
   def encodePartition(rows: Iterator[BucketedRow],
                       tokensPerChunk: Int): Iterator[Segment] = {
     val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
-    val in = rows.buffered
+    val buf = rows.toArray
+    java.util.Arrays.sort(buf, new java.util.Comparator[BucketedRow] {
+      def compare(a: BucketedRow, b: BucketedRow): Int = {
+        if (a.bucket != b.bucket) return Integer.compare(a.bucket, b.bucket)
+        val s = a.source.compareTo(b.source)
+        if (s != 0) s else a.doc_id.compareTo(b.doc_id)
+      }
+    })
+    val in = buf.iterator.buffered
     new Iterator[Segment] {
       private var curBucket = Int.MinValue
       private var chunkIdx = 0

@@ -19,6 +19,9 @@ object CodecSelector {
 
   final val DictThreshold = 0.8 // ORC orc.dictionary.key.threshold default
 
+  /** JVM-local override, set per executor task from GraftConf. */
+  @volatile var dictThreshold: Double = DictThreshold
+
   final case class IntStats(
       n: Int,
       sampleSize: Int,
@@ -136,7 +139,7 @@ object CodecSelector {
     while (i < s.length) { distinct.add(s(i)); i += 1 }
     val ratio = distinct.size.toDouble / s.length
     val candidates: List[StringCodec] =
-      if (ratio <= DictThreshold) List(DictStringCodec, DictFsstStringCodec)
+      if (ratio <= dictThreshold) List(DictStringCodec, DictFsstStringCodec)
       else List(RawStringCodec, FsstStringCodec)
     var best: StringCodec = candidates.head
     var bestSize = Long.MaxValue

@@ -90,7 +90,10 @@ class EnginePipelineSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
     val (tbi, tbo) = stats("tokens")
-    assert(tbo.toDouble / tbi < 0.5, s"tokens must compress >2x: $tbo/$tbi")
+    // adaptive deflate-skip trades ~7% size on entropy-dense token chunks
+    // for ~3x kernel speed (BlockCompression.MinSampledGain), so the bound
+    // is 1.85x rather than the pre-skip 2x
+    assert(tbo.toDouble / tbi < 0.54, s"tokens must compress >1.85x: $tbo/$tbi")
     segments.unpersist()
   }
 
