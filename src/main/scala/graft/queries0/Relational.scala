@@ -327,6 +327,25 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), col("prev_price"), col("next_key"))
   }
 
+  /** Multi-statement script, result from the LAST statement — the
+    * reference's q15 handling (bin/tpcds_bench.rs:496-502 splits on ';'
+    * and keeps the final result). Sequential spark.sql calls over temp
+    * views play the role of the statement list. */
+  def multiStatement(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("ms_orders")
+    t(spark, dir, "customer").createOrReplaceTempView("ms_customer")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW ms_big AS
+        |SELECT o_custkey, o_totalprice FROM ms_orders WHERE o_totalprice > 200000.0""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW ms_joined AS
+        |SELECT c_mktsegment, o_totalprice FROM ms_big JOIN ms_customer ON o_custkey = c_custkey""".stripMargin)
+    spark.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM ms_joined GROUP BY c_mktsegment""".stripMargin)
+  }
+
   /** approx_count_distinct (HLL++) vs the exact count — quality telemetry,
     * non-deterministic across engines so rows-only (no oracle). */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
@@ -342,6 +361,7 @@ object Relational {
     "q_coalesce" -> (dateAddCoalesce _),
     "q_date_arith" -> (dateArith _),
     "q_window_lag" -> (windowLag _),
+    "q_multi_statement" -> (multiStatement _),
     "q_approx_count_distinct" -> (approxDistinct _),
     "q_agg_group" -> (aggGroup _),
     "q_agg_minmax" -> (aggMinMax _),
@@ -407,6 +427,12 @@ object Relational {
         |  LEAD(o_orderkey, 1) OVER w AS next_key
         |FROM orders WHERE o_custkey < 30
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+    "q_multi_statement" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 200000.0)
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
