@@ -12,18 +12,21 @@ import graft.bench.EncodeBench
   * recorded in BASELINE.md.
   *
   * Env knobs: SPARK_GRAFT_BENCH_DOCS (default 3000000),
-  *            SPARK_GRAFT_EXECUTORS (default "2,8"),
-  *            SPARK_GRAFT_REPS (default 3),
-  *            SPARK_GRAFT_MODE=local to fall back to local[8]/local[32].
+  *            SPARK_GRAFT_EXECUTORS (default "1,4" -> local[4]/local[16],
+  *              the headline pair in BASELINE.md),
+  *            SPARK_GRAFT_REPS (default 4),
+  *            SPARK_GRAFT_MODE=cluster for local-cluster[N,4,6g] (real
+  *              executor JVMs; slower absolute numbers on one box, see
+  *              BASELINE.md).
   */
 object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "3000000").toLong
-    val levels = sys.env.getOrElse("SPARK_GRAFT_EXECUTORS", "2,8")
+    val levels = sys.env.getOrElse("SPARK_GRAFT_EXECUTORS", "1,4")
       .split(",").map(_.trim.toInt).toSeq
-    val timedReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val localMode = sys.env.get("SPARK_GRAFT_MODE").contains("local")
+    val timedReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "4").toInt
+    val localMode = !sys.env.get("SPARK_GRAFT_MODE").contains("cluster")
     val coresPerExec = 4
 
     // Phase 0 on a plain local session: materialize input + size baselines
