@@ -10,6 +10,12 @@ import graft.select.CodecSelector
   * empty and single-element arrays. */
 object CodecPropertySpec extends Properties("codecs") {
 
+  // pinned seed: the gate must be deterministic run-to-run (the reference
+  // keeps its fixtures frozen for the same reason, AGENTS.md:47); bump the
+  // seed deliberately when hunting for new edge cases
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withInitialSeed(org.scalacheck.rng.Seed(42L)).withMinSuccessfulTests(200)
+
   private val genConstant: Gen[Array[Long]] = for {
     n <- Gen.chooseNum(0, 3000)
     v <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
