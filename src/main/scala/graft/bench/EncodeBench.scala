@@ -67,15 +67,15 @@ object EncodeBench {
   def timedEncode(spark: SparkSession, inputPath: String, buckets: Int,
                   cpus: Int): EncodeRun = {
     import spark.implicits._
-    // A-B hook: override the deflate-skip threshold (same-JVM executors
-    // in local mode see this directly)
-    sys.env.get("SPARK_GRAFT_MINGAIN")
-      .foreach(g => graft.codec.BlockCompression.minSampledGain = g.toDouble)
+    // A-B hook: override the deflate-skip threshold; rides the task closure
+    val codecConf = sys.env.get("SPARK_GRAFT_MINGAIN")
+      .map(g => graft.codec.CodecConf(deflateMinGain = g.toDouble))
+      .getOrElse(graft.codec.CodecConf.Default)
     val input = spark.read.parquet(inputPath).as[graft.engine.TokenRow]
     val t0 = System.nanoTime()
     var agg: org.apache.spark.sql.Row = null
     stageReport(spark) {
-      agg = GraftEncoder.encode(input, buckets)
+      agg = GraftEncoder.encode(input, buckets, codecConf = codecConf)
         .agg(
           sum($"nRows").as("rows"),
           sum($"nTokens").as("toks"),

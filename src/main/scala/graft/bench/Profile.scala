@@ -59,19 +59,17 @@ object Profile {
       while (i < reps) { acc += CodecSelectorRef.auto(chunk).length; i += 1 }
       acc
     }
-    val old = BlockCompression.level
-    BlockCompression.level = 1
     time(s"kernel auto-select lvl1 x$reps") {
+      val lvl1 = CodecConf(zlibLevel = 1)
       var i = 0; var acc = 0L
-      while (i < reps) { acc += CodecSelectorRef.auto(chunk).length; i += 1 }
+      while (i < reps) { acc += CodecSelectorRef.auto(chunk, lvl1).length; i += 1 }
       acc
     }
-    BlockCompression.level = old
     spark.stop()
   }
 
   private object CodecSelectorRef {
-    def auto(values: Array[Long]): Array[Byte] =
-      graft.select.CodecSelector.encodeIntsAuto(values)._2
+    def auto(values: Array[Long], conf: CodecConf = CodecConf.Default): Array[Byte] =
+      graft.select.CodecSelector.encodeIntsAuto(values, conf)._2
   }
 }

@@ -17,24 +17,16 @@ object BlockCompression {
   final val FlagRaw = 0
   final val FlagDeflate = 1
 
-  /** zlib level: 6 = ORC's default zlib stance (size over speed); the
-    * encode benchmark exercises levels explicitly. */
-  @volatile var level: Int = 6
-
-  /** Adaptive skip knob: deflating an already-entropy-dense payload
-    * (bit-packed random tokens) costs ~5x the whole kernel for <8% gain.
-    * When minSampledGain > 0, the head of each large payload is
-    * sample-deflated and the full pass is skipped if the sampled gain is
-    * below the threshold. DEFAULT 0 = always deflate — ORC's own stance
-    * (zlib over every stream) and the best-compression point; set
-    * `graft.codec.deflateMinGain=0.125` for ~60% faster encode at ~+8%
-    * token-column size. */
+  /** Adaptive skip knob (CodecConf.deflateMinGain): deflating an
+    * already-entropy-dense payload (bit-packed random tokens) costs ~5x the
+    * whole kernel for <8% gain. When deflateMinGain > 0, the head of each
+    * large payload is sample-deflated and the full pass is skipped if the
+    * sampled gain is below the threshold. DEFAULT 0 = always deflate —
+    * ORC's own stance (zlib over every stream) and the best-compression
+    * point; set `graft.codec.deflateMinGain=0.125` for ~60% faster encode
+    * at ~+8% token-column size. */
   final val SampleLen = 8 * 1024
   final val MinSampledGain = 0.0
-
-  /** JVM-local override (set per executor task by GraftEncoder from
-    * GraftConf so it reaches real-cluster executors via the closure). */
-  @volatile var minSampledGain: Double = MinSampledGain
 
   def deflate(data: Array[Byte], lvl: Int): Array[Byte] = {
     val d = new Deflater(lvl, true)
@@ -68,18 +60,18 @@ object BlockCompression {
   /** Wrap a payload, deflating only when it wins. Payloads well beyond the
     * sample window are first probed: if the head compresses poorly, the
     * whole payload is shipped raw without paying the full deflate. */
-  def wrap(payload: Array[Byte]): Array[Byte] = {
+  def wrap(payload: Array[Byte], conf: CodecConf = CodecConf.Default): Array[Byte] = {
     val out = new ByteWriter(payload.length + 8)
     val tryDeflate =
       payload.length >= 64 && {
-        minSampledGain <= 0 || payload.length <= 2 * SampleLen || {
+        conf.deflateMinGain <= 0 || payload.length <= 2 * SampleLen || {
           val sample = java.util.Arrays.copyOf(payload, SampleLen)
-          val packed = deflate(sample, level)
-          packed.length.toDouble <= SampleLen * (1.0 - minSampledGain)
+          val packed = deflate(sample, conf.zlibLevel)
+          packed.length.toDouble <= SampleLen * (1.0 - conf.deflateMinGain)
         }
       }
     val compressed =
-      if (tryDeflate) deflate(payload, level) else payload
+      if (tryDeflate) deflate(payload, conf.zlibLevel) else payload
     if (compressed.length < payload.length) {
       out.writeByte(FlagDeflate)
       out.writeVarLong(payload.length.toLong)

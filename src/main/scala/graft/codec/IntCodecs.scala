@@ -172,8 +172,9 @@ object IntCodecs {
 
   /** Self-describing chunk: [codecId][block wrapper(codec payload)] — the
     * block wrapper adds optional zlib on top, ORC-style (§1.4 item 7). */
-  def encodeChunk(values: Array[Long], codec: IntCodec): Array[Byte] = {
-    val payload = BlockCompression.wrap(codec.encode(values))
+  def encodeChunk(values: Array[Long], codec: IntCodec,
+                  conf: CodecConf = CodecConf.Default): Array[Byte] = {
+    val payload = BlockCompression.wrap(codec.encode(values), conf)
     val out = new Array[Byte](payload.length + 1)
     out(0) = codec.id.toByte
     System.arraycopy(payload, 0, out, 1, payload.length)

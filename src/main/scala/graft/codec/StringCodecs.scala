@@ -196,8 +196,9 @@ object StringCodecs {
   def forId(id: Int): StringCodec =
     byId.getOrElse(id, throw new IllegalArgumentException(s"unknown string codec id $id"))
 
-  def encodeChunk(values: Array[String], codec: StringCodec): Array[Byte] = {
-    val payload = BlockCompression.wrap(codec.encode(values))
+  def encodeChunk(values: Array[String], codec: StringCodec,
+                  conf: CodecConf = CodecConf.Default): Array[Byte] = {
+    val payload = BlockCompression.wrap(codec.encode(values), conf)
     val out = new Array[Byte](payload.length + 1)
     out(0) = codec.id.toByte
     System.arraycopy(payload, 0, out, 1, payload.length)

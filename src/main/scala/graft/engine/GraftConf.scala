@@ -31,6 +31,11 @@ final case class GraftConf(
     s"${GraftConf.DeflateMinGain} must be in [0,1], got $deflateMinGain")
   require(dictThreshold >= 0 && dictThreshold <= 1,
     s"${GraftConf.DictThreshold} must be in [0,1], got $dictThreshold")
+
+  /** The kernel-facing slice, threaded through every codec call as an
+    * immutable value (never global state — see [[graft.codec.CodecConf]]). */
+  def codec: graft.codec.CodecConf =
+    graft.codec.CodecConf(zlibLevel, deflateMinGain, dictThreshold)
 }
 
 object GraftConf {

@@ -22,6 +22,8 @@ final case class ColChunk(
     bytesOut: Long,
     minV: Long,
     maxV: Long,
+    minS: String,
+    maxS: String,
     payload: Array[Byte])
 
 /** A segment = one horizontal chunk of rows, all columns encoded. The unit
@@ -95,31 +97,26 @@ object GraftEncoder {
 
   def encode(ds: Dataset[TokenRow],
              buckets: Int,
-             tokensPerChunk: Int = DefaultTokensPerChunk): Dataset[Segment] =
-    encodeBucketed(bucketed(ds, buckets), buckets, tokensPerChunk)
+             tokensPerChunk: Int = DefaultTokensPerChunk,
+             codecConf: CodecConf = CodecConf.Default): Dataset[Segment] =
+    encodeBucketed(bucketed(ds, buckets), buckets, tokensPerChunk, codecConf)
 
   /** Conf-driven entry: all knobs from `graft.*` spark-conf keys (the
-    * reference's options-plumbing surface, src/options.rs:79-98). The conf
-    * rides the task closure, so codec knobs reach real-cluster executors,
-    * not just this JVM. */
-  def encodeWithConf(ds: Dataset[TokenRow], conf: GraftConf): Dataset[Segment] = {
-    val spark = ds.sparkSession
-    import spark.implicits._
-    partitionForEncode(bucketed(ds, conf.buckets), conf.buckets).mapPartitions { rows =>
-      graft.codec.BlockCompression.level = conf.zlibLevel
-      graft.codec.BlockCompression.minSampledGain = conf.deflateMinGain
-      graft.select.CodecSelector.dictThreshold = conf.dictThreshold
-      encodePartition(rows, conf.tokensPerChunk)
-    }
-  }
+    * reference's options-plumbing surface, src/options.rs:79-98). The codec
+    * conf is an immutable value captured by the task closure — it reaches
+    * real-cluster executors AND never races with a concurrent encode using
+    * a different conf in the same JVM (no global state anywhere below). */
+  def encodeWithConf(ds: Dataset[TokenRow], conf: GraftConf): Dataset[Segment] =
+    encode(ds, conf.buckets, conf.tokensPerChunk, conf.codec)
 
   def encodeBucketed(ds: Dataset[BucketedRow],
                      buckets: Int,
-                     tokensPerChunk: Int = DefaultTokensPerChunk): Dataset[Segment] = {
+                     tokensPerChunk: Int = DefaultTokensPerChunk,
+                     codecConf: CodecConf = CodecConf.Default): Dataset[Segment] = {
     val spark = ds.sparkSession
     import spark.implicits._
     partitionForEncode(ds, buckets).mapPartitions { rows =>
-      encodePartition(rows, tokensPerChunk)
+      encodePartition(rows, tokensPerChunk, codecConf)
     }
   }
 
@@ -129,7 +126,8 @@ object GraftEncoder {
     * bucket boundaries (a partition may hold several buckets — bucket
     * values hash onto partitions). chunkIdx counts within a bucket. */
   def encodePartition(rows: Iterator[BucketedRow],
-                      tokensPerChunk: Int): Iterator[Segment] = {
+                      tokensPerChunk: Int,
+                      codecConf: CodecConf = CodecConf.Default): Iterator[Segment] = {
     val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
     val buf = rows.toArray
     java.util.Arrays.sort(buf, new java.util.Comparator[BucketedRow] {
@@ -155,17 +153,29 @@ object GraftEncoder {
           buf += TokenRow(r.doc_id, r.tokens, r.n_tok, r.source)
           tokenCount += r.tokens.length
         }
-        val seg = encodeChunk(buf.toArray, pid, chunkIdx, bucket)
+        val seg = encodeChunk(buf.toArray, pid, chunkIdx, bucket, codecConf)
         chunkIdx += 1
         seg
       }
     }
   }
 
+  /** UTF-8 byte-order string comparison — MUST match Spark SQL's
+    * UTF8String binary comparison, because the decode-side skip filter
+    * compares the stored minS/maxS with SQL `<=`/`>=`. Scala's natural
+    * String ordering is UTF-16 code-unit order, which disagrees for
+    * supplementary-plane characters; this one never does. */
+  def compareUtf8(a: String, b: String): Int = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    java.util.Arrays.compareUnsigned(ab, bb)
+  }
+
   /** Encode one chunk of rows into a Segment (pure function — unit-tested
     * without Spark). */
   def encodeChunk(rows: Array[TokenRow], pid: Int, chunkIdx: Int,
-                  bucket: Int = -1): Segment = {
+                  bucket: Int = -1,
+                  codecConf: CodecConf = CodecConf.Default): Segment = {
     val n = rows.length
     val docIds = new Array[String](n)
     val sources = new Array[String](n)
@@ -192,7 +202,7 @@ object GraftEncoder {
     }
 
     def intChunk(col: String, values: Array[Long], bytesInPerValue: Int): ColChunk = {
-      val (codec, payload) = CodecSelector.encodeIntsAuto(values)
+      val (codec, payload) = CodecSelector.encodeIntsAuto(values, codecConf)
       var minV = Long.MaxValue
       var maxV = Long.MinValue
       var k = 0
@@ -204,15 +214,27 @@ object GraftEncoder {
       if (values.isEmpty) { minV = 0; maxV = 0 }
       ColChunk(col, codec.id, codec.name, values.length.toLong,
         values.length.toLong * bytesInPerValue, payload.length.toLong,
-        minV, maxV, payload)
+        minV, maxV, "", "", payload)
     }
+    // String chunks carry real min/max STRING stats (ORC keeps string
+    // column min/max in its statistics; the reference converts utf8
+    // predicates into that pruning, /root/reference/src/predicate.rs:218-221).
+    // Keys here are short (doc ids, source names), so the stat cost is a
+    // few bytes per chunk.
     def strChunk(col: String, values: Array[String]): ColChunk = {
-      val (codec, payload) = CodecSelector.encodeStringsAuto(values)
+      val (codec, payload) = CodecSelector.encodeStringsAuto(values, codecConf)
       var bytesIn = 0L
+      var minS: String = if (values.isEmpty) "" else values(0)
+      var maxS: String = if (values.isEmpty) "" else values(0)
       var k = 0
-      while (k < values.length) { bytesIn += values(k).length; k += 1 }
+      while (k < values.length) {
+        bytesIn += values(k).length
+        if (compareUtf8(values(k), minS) < 0) minS = values(k)
+        if (compareUtf8(values(k), maxS) > 0) maxS = values(k)
+        k += 1
+      }
       ColChunk(col, codec.id, codec.name, values.length.toLong, bytesIn,
-        payload.length.toLong, 0L, 0L, payload)
+        payload.length.toLong, 0L, 0L, minS, maxS, payload)
     }
 
     val cols = Seq(
@@ -257,6 +279,22 @@ object GraftEncoder {
       .filter(exists($"cols", c =>
         c.getField("col") === lit("tokens") &&
           c.getField("minV") <= lit(hi) && c.getField("maxV") >= lit(lo)))
+      .flatMap(decodeSegment _)
+  }
+
+  /** String-predicate chunk skipping: decode only segments whose `doc_id`
+    * chunk prefix range intersects [lo, hi] — the string analog of
+    * [[decodeWhereTokenRange]] (the reference converts utf8 predicates into
+    * its stripe pruning the same way, /root/reference/src/predicate.rs:218-221).
+    * INEXACT by contract: [min,max] overlap does not imply a matching row
+    * exists in the chunk; callers re-filter exactly. */
+  def decodeWhereDocIdRange(segments: Dataset[Segment], lo: String, hi: String): Dataset[TokenRow] = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    segments
+      .filter(exists($"cols", c =>
+        c.getField("col") === lit("doc_id") &&
+          c.getField("minS") <= lit(hi) && c.getField("maxS") >= lit(lo)))
       .flatMap(decodeSegment _)
   }
 

@@ -109,7 +109,20 @@ object SegmentStore {
 
     // Lineage from what was actually written (read-back, payload column
     // pruned away by nested-schema pruning — cheap at any scale).
-    val ledger = lineageFromData(spark, tableDir, snapshotId, pendingSet)
+    val fromData = lineageFromData(spark, tableDir, snapshotId, pendingSet)
+    // A pending bucket with ZERO rows writes no files and yields no
+    // data-derived ledger row — it must still commit (status=committed,
+    // all-zero stats), or every later run re-lists it as pending and the
+    // "empty result = restart-complete" protocol livelocks. The bucket id
+    // set is metadata-scale (== task count), so materializing it on the
+    // driver is bounded by design, not by data volume.
+    val withData = fromData.select($"bucket").as[Int].collect().toSet
+    val emptyRows = (pendingSet -- withData).toSeq.sorted.map { b =>
+      LineageRow(snapshotId, b, 0L, 0L, 0L, 0L, 0L, "", "", "", Committed)
+    }
+    val ledger =
+      if (emptyRows.isEmpty) fromData
+      else fromData.unionByName(spark.createDataset(emptyRows))
     ledger.write.mode(SaveMode.Append).parquet(lineageDir(tableDir))
     pendingSet
   }
@@ -117,7 +130,14 @@ object SegmentStore {
   private def lineageFromData(spark: SparkSession, tableDir: String,
                               snapshotId: Long, only: Set[Int]): Dataset[LineageRow] = {
     import spark.implicits._
-    val segs = spark.read.parquet(dataDir(tableDir))
+    // Explicit schema: a run whose pending buckets were ALL empty leaves a
+    // part-file-less data dir, where schema inference would throw. `bucket`
+    // is a partition column on disk, so it moves to the end of the schema.
+    val segSchema = org.apache.spark.sql.types.StructType(
+      implicitly[org.apache.spark.sql.Encoder[Segment]].schema
+        .filterNot(_.name == "bucket"))
+      .add("snapshotId", "long").add("bucket", "int")
+    val segs = spark.read.schema(segSchema).parquet(dataDir(tableDir))
       .filter($"snapshotId" === snapshotId && $"bucket".isin(only.toSeq.map(Int.box): _*))
     val codecAgg = segs
       .select($"bucket", explode($"cols").as("c"))

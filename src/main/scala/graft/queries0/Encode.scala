@@ -78,16 +78,26 @@ object Encode {
     import spark.implicits._
     val input = TokenTables.fromDocuments(spark, dir)
     val tableDir = java.nio.file.Files.createTempDirectory("graft-lineage-q").toString
-    val snap = 1L
-    val first = SegmentStore.encodeCommit(input, tableDir, snap, buckets = 8, maxBucketsPerRun = 3)
-    val resumed = SegmentStore.encodeCommit(input, tableDir, snap, buckets = 8)
-    val rerun = SegmentStore.encodeCommit(input, tableDir, snap, buckets = 8)
-    require(first.size == 3 && resumed.size == 5 && rerun.isEmpty,
-      s"restart protocol violated: $first / $resumed / $rerun")
-    SegmentStore.readLineage(spark, tableDir)
-      .select($"bucket", $"nSegments", $"nRows", $"nTokens", $"bytesIn", $"bytesOut",
-        $"firstChunk", $"lastChunk", $"status")
-      .orderBy($"bucket")
+    try {
+      val snap = 1L
+      val first = SegmentStore.encodeCommit(input, tableDir, snap, buckets = 8, maxBucketsPerRun = 3)
+      val resumed = SegmentStore.encodeCommit(input, tableDir, snap, buckets = 8)
+      val rerun = SegmentStore.encodeCommit(input, tableDir, snap, buckets = 8)
+      require(first.size == 3 && resumed.size == 5 && rerun.isEmpty,
+        s"restart protocol violated: $first / $resumed / $rerun")
+      // Materialize the (8-row) ledger so the temp table dir can be deleted
+      // now instead of leaking across long-lived bench sessions.
+      val rows = SegmentStore.readLineage(spark, tableDir).collect().toSeq
+        .sortBy(_.bucket)
+      spark.createDataset(rows)
+        .select($"bucket", $"nSegments", $"nRows", $"nTokens", $"bytesIn", $"bytesOut",
+          $"firstChunk", $"lastChunk", $"status")
+    } finally deleteRecursively(new java.io.File(tableDir))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
   }
 
   /** Chunk skipping by min/max (the reference's stripe-pruning contract,
@@ -100,18 +110,48 @@ object Encode {
     val hi = 50256L
     val input = TokenTables.fromDocuments(spark, dir)
     val segs = GraftEncoder.encode(input, buckets = 16, tokensPerChunk = 4096).persist()
-    val segStats = segs.agg(
-      count(lit(1)).as("n_segments_total"),
-      sum(when(exists($"cols", c =>
-        c.getField("col") === lit("tokens") &&
-          c.getField("minV") <= lit(hi) && c.getField("maxV") >= lit(lo)),
-        1L).otherwise(0L)).as("n_segments_scanned"))
-    val docStats = GraftEncoder.decodeWhereTokenRange(segs, lo, hi)
-      .agg(
-        count(lit(1)).as("n_docs_scanned"),
-        sum(when(exists(col("tokens"), t => t >= lit(lo.toInt) && t <= lit(hi.toInt)),
-          1L).otherwise(0L)).as("n_docs_matched"))
-    segStats.crossJoin(docStats)
+    try {
+      val seg = segs.agg(
+        count(lit(1)).as("n_segments_total"),
+        coalesce(sum(when(exists($"cols", c =>
+          c.getField("col") === lit("tokens") &&
+            c.getField("minV") <= lit(hi) && c.getField("maxV") >= lit(lo)),
+          1L).otherwise(0L)), lit(0L)).as("n_segments_scanned")).collect()(0)
+      val doc = GraftEncoder.decodeWhereTokenRange(segs, lo, hi)
+        .agg(
+          count(lit(1)).as("n_docs_scanned"),
+          coalesce(sum(when(exists(col("tokens"), t => t >= lit(lo.toInt) && t <= lit(hi.toInt)),
+            1L).otherwise(0L)), lit(0L)).as("n_docs_matched")).collect()(0)
+      Seq((seg.getLong(0), seg.getLong(1), doc.getLong(0), doc.getLong(1)))
+        .toDF("n_segments_total", "n_segments_scanned", "n_docs_scanned", "n_docs_matched")
+    } finally segs.unpersist()
+  }
+
+  /** String-predicate chunk skipping via the doc_id min/max string stats —
+    * the utf8 half of the reference's predicate conversion
+    * (/root/reference/src/predicate.rs:218-221). Point lookup of one
+    * doc_id: chunks whose [minS, maxS] range misses the key are never
+    * inflated or decoded; the survivors are re-filtered exactly. */
+  def prunedScanStr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val input = TokenTables.fromDocuments(spark, dir)
+    val target = "doc_000000042"
+    val segs = GraftEncoder.encode(input, buckets = 16, tokensPerChunk = 4096).persist()
+    try {
+      val seg = segs.agg(
+        count(lit(1)).as("n_segments_total"),
+        coalesce(sum(when(exists($"cols", c =>
+          c.getField("col") === lit("doc_id") &&
+            c.getField("minS") <= lit(target) && c.getField("maxS") >= lit(target)),
+          1L).otherwise(0L)), lit(0L)).as("n_segments_scanned")).collect()(0)
+      val doc = GraftEncoder.decodeWhereDocIdRange(segs, target, target)
+        .agg(
+          count(lit(1)).as("n_docs_scanned"),
+          coalesce(sum(when(col("doc_id") === lit(target), 1L).otherwise(0L)), lit(0L)).as("n_docs_matched"))
+        .collect()(0)
+      Seq((seg.getLong(0), seg.getLong(1), doc.getLong(0), doc.getLong(1)))
+        .toDF("n_segments_total", "n_segments_scanned", "n_docs_scanned", "n_docs_matched")
+    } finally segs.unpersist()
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -120,5 +160,6 @@ object Encode {
     "encode_codec_mix" -> (codecMix _),
     "encode_compression_stats" -> (compressionStats _),
     "encode_lineage_restart" -> (lineageRestart _),
-    "encode_pruned_scan" -> (prunedScan _))
+    "encode_pruned_scan" -> (prunedScan _),
+    "encode_pruned_scan_str" -> (prunedScanStr _))
 }

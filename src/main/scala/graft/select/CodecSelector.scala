@@ -19,9 +19,6 @@ object CodecSelector {
 
   final val DictThreshold = 0.8 // ORC orc.dictionary.key.threshold default
 
-  /** JVM-local override, set per executor task from GraftConf. */
-  @volatile var dictThreshold: Double = DictThreshold
-
   final case class IntStats(
       n: Int,
       sampleSize: Int,
@@ -84,7 +81,7 @@ object CodecSelector {
   }
 
   /** Pick the int codec for one column chunk. */
-  def chooseInt(values: Array[Long]): IntCodec = {
+  def chooseInt(values: Array[Long], conf: CodecConf = CodecConf.Default): IntCodec = {
     if (values.length < 32) return BitPackCodec
     val stats = intStats(values)
     var candidates: List[IntCodec] = RawIntCodec :: ForCodec :: Nil
@@ -99,23 +96,40 @@ object CodecSelector {
       // compare POST-block-compression sizes: byte-aligned codecs often
       // deflate better than bit-packed ones, and the shipped chunk is the
       // wrapped form
-      val sz = IntCodecs.encodeChunk(sample, c).length.toLong
+      val sz = IntCodecs.encodeChunk(sample, c, conf).length.toLong
       if (sz < bestSize || (sz == bestSize && c.id < best.id)) { best = c; bestSize = sz }
     }
     best
   }
 
+  /** Zigzag-varint bytes per value for the widest value in the chunk — an
+    * exact upper bound on raw's per-value cost (raw = zigzag varints). */
+  private def maxVarintBytes(values: Array[Long]): Int = {
+    var zzMax = 0L
+    var i = 0
+    while (i < values.length) {
+      val zz = ZigZag.encode(values(i))
+      if (java.lang.Long.compareUnsigned(zz, zzMax) > 0) zzMax = zz
+      i += 1
+    }
+    math.max(1, (BitPack.bitWidth(zzMax) + 6) / 7)
+  }
+
   /** Encode one int chunk with the auto-selected codec.
     * Returns (codec, self-describing chunk bytes). */
-  def encodeIntsAuto(values: Array[Long]): (IntCodec, Array[Byte]) = {
-    val codec = chooseInt(values)
-    val encoded = IntCodecs.encodeChunk(values, codec)
-    // Final guard: never ship a chunk larger than the raw fallback. Tokens
-    // are < 2^17 so raw zigzag varints are ≤3 B/value: only bother trial-
-    // encoding raw when the winner exceeds that bound (rare) — an eager
-    // raw encode of every chunk would double kernel cost for nothing.
-    if (codec.id != RawIntCodec.id && encoded.length > 3 * values.length + 16) {
-      val raw = IntCodecs.encodeChunk(values, RawIntCodec)
+  def encodeIntsAuto(values: Array[Long],
+                     conf: CodecConf = CodecConf.Default): (IntCodec, Array[Byte]) = {
+    val codec = chooseInt(values, conf)
+    val encoded = IntCodecs.encodeChunk(values, codec, conf)
+    // Final guard: never ship a chunk materially larger than the raw
+    // fallback. The raw bound comes from the chunk's own widest zigzag
+    // varint (exact for this data, not a tokens-only assumption), so a
+    // mischosen codec can never ship more than raw + framing; the raw
+    // trial itself stays rare — an eager raw encode of every chunk would
+    // double kernel cost for nothing.
+    if (codec.id != RawIntCodec.id &&
+      encoded.length > maxVarintBytes(values).toLong * values.length + 16) {
+      val raw = IntCodecs.encodeChunk(values, RawIntCodec, conf)
       if (raw.length < encoded.length) return (RawIntCodec, raw)
     }
     (codec, encoded)
@@ -131,7 +145,7 @@ object CodecSelector {
   }
 
   /** Pick the string codec for one column chunk (ORC's 0.8 dict threshold). */
-  def chooseString(values: Array[String]): StringCodec = {
+  def chooseString(values: Array[String], conf: CodecConf = CodecConf.Default): StringCodec = {
     if (values.isEmpty) return RawStringCodec
     val s = sampleStrings(values)
     val distinct = new java.util.HashSet[String]()
@@ -139,22 +153,23 @@ object CodecSelector {
     while (i < s.length) { distinct.add(s(i)); i += 1 }
     val ratio = distinct.size.toDouble / s.length
     val candidates: List[StringCodec] =
-      if (ratio <= dictThreshold) List(DictStringCodec, DictFsstStringCodec)
+      if (ratio <= conf.dictThreshold) List(DictStringCodec, DictFsstStringCodec)
       else List(RawStringCodec, FsstStringCodec)
     var best: StringCodec = candidates.head
     var bestSize = Long.MaxValue
     candidates.foreach { c =>
-      val sz = StringCodecs.encodeChunk(s, c).length.toLong
+      val sz = StringCodecs.encodeChunk(s, c, conf).length.toLong
       if (sz < bestSize) { best = c; bestSize = sz }
     }
     best
   }
 
-  def encodeStringsAuto(values: Array[String]): (StringCodec, Array[Byte]) = {
-    val codec = chooseString(values)
-    val encoded = StringCodecs.encodeChunk(values, codec)
+  def encodeStringsAuto(values: Array[String],
+                        conf: CodecConf = CodecConf.Default): (StringCodec, Array[Byte]) = {
+    val codec = chooseString(values, conf)
+    val encoded = StringCodecs.encodeChunk(values, codec, conf)
     if (codec.id != RawStringCodec.id) {
-      val raw = StringCodecs.encodeChunk(values, RawStringCodec)
+      val raw = StringCodecs.encodeChunk(values, RawStringCodec, conf)
       if (raw.length < encoded.length) return (RawStringCodec, raw)
     }
     (codec, encoded)

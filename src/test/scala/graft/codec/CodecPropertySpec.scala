@@ -66,11 +66,14 @@ object CodecPropertySpec extends Properties("codecs") {
     forAll(genAnyInts) { values =>
       val (_, encoded) = CodecSelector.encodeIntsAuto(values)
       val rawSize = IntCodecs.encodeChunk(values, RawIntCodec).length
-      // Selector contract: the eager raw fallback only runs when the winner
-      // exceeds the 3 B/value token bound (avoids double-encoding every
-      // chunk), so the shipped size is ≤ max(raw, 3n+16) — see
-      // CodecSelector.encodeIntsAuto.
-      val bound = math.max(rawSize, 3 * values.length + 16)
+      // Selector contract: the raw-fallback guard bounds the shipped chunk
+      // by the chunk's OWN widest zigzag varint (exact, data-derived — not
+      // a tokens-only 3 B assumption), so a mischosen codec can never ship
+      // more than raw + framing slack.
+      val widest = values.foldLeft(1) { (w, v) =>
+        math.max(w, (64 - java.lang.Long.numberOfLeadingZeros(ZigZag.encode(v)) + 6) / 7)
+      }
+      val bound = math.max(rawSize, widest * values.length + 16)
       Prop(IntCodecs.decodeChunk(encoded).toSeq == values.toSeq) :| "round-trip" &&
         Prop(encoded.length <= bound) :| s"size ${encoded.length} <= bound $bound (raw $rawSize)"
     }

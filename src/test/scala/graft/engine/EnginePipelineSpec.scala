@@ -97,6 +97,36 @@ class EnginePipelineSpec extends AnyFunSuite {
     segments.unpersist()
   }
 
+  test("string chunks carry real min/max stats in UTF-8 byte order") {
+    val rows = Array(
+      TokenRow("doc_b", Array(1), 1, "web"),
+      TokenRow("doc_a", Array(2), 1, "books"),
+      TokenRow("doc_z", Array(3), 1, "code"))
+    val seg = GraftEncoder.encodeChunk(rows, 0, 0)
+    val docCol = seg.cols.find(_.col == "doc_id").get
+    assert(docCol.minS === "doc_a" && docCol.maxS === "doc_z")
+    val srcCol = seg.cols.find(_.col == "source").get
+    assert(srcCol.minS === "books" && srcCol.maxS === "web")
+  }
+
+  test("doc_id range pruning: skips segments, never loses a matching row") {
+    import spark.implicits._
+    val input = TokenTables.synthetic(spark, nDocs = 600, seed = 5L)
+    val segs = GraftEncoder.encode(input, buckets = 8, tokensPerChunk = 4096).cache()
+    val target = "doc_000000000123"
+    val expected = input.filter($"doc_id" === target).collect()
+    assert(expected.length === 1)
+    val survivors = GraftEncoder.decodeWhereDocIdRange(segs, target, target)
+    val got = survivors.filter(_.doc_id == target).collect()
+    assert(got.length === 1 && got(0).tokens.toSeq === expected(0).tokens.toSeq)
+    // the stat index must actually prune (inexact is fine, useless is not)
+    val total = segs.count()
+    val scanned = survivors.count()
+    val fullDecode = GraftEncoder.decode(segs).count()
+    assert(scanned < fullDecode, s"pruning must skip rows: $scanned of $fullDecode (from $total segments)")
+    segs.unpersist()
+  }
+
   test("chunking is by token count: no chunk greatly exceeds the budget") {
     import spark.implicits._
     val segments = GraftEncoder.encode(

@@ -51,6 +51,38 @@ class GraftConfSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](GraftConf.fromMap(Map(GraftConf.DeflateMinGain -> "1.5")))
   }
 
+  test("two concurrent encodes with different confs do not interact (no global codec state)") {
+    // Same chunk encoded under two codec confs, interleaved across threads:
+    // each thread's bytes must equal its own sequential baseline. With
+    // JVM-global knobs this races (the old @volatile design); with
+    // explicitly threaded CodecConf it cannot.
+    val rnd = new scala.util.Random(3)
+    val rows = Array.tabulate(400) { i =>
+      val n = 50 + rnd.nextInt(400)
+      TokenRow(f"doc_$i%09d", Array.fill(n)(rnd.nextInt(50257)), n, "web")
+    }
+    val confA = graft.codec.CodecConf(zlibLevel = 1, deflateMinGain = 0.0)
+    val confB = graft.codec.CodecConf(zlibLevel = 9, deflateMinGain = 0.5)
+    def bytes(conf: graft.codec.CodecConf): Seq[Byte] =
+      GraftEncoder.encodeChunk(rows, 0, 0, 0, conf).cols
+        .flatMap(_.payload.toSeq)
+    val baseA = bytes(confA)
+    val baseB = bytes(confB)
+    assert(baseA !== baseB, "confs must actually produce different bytes")
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 32).map { i =>
+        val conf = if (i % 2 == 0) confA else confB
+        val base = if (i % 2 == 0) baseA else baseB
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = bytes(conf) == base
+        })
+      }
+      assert(futures.forall(_.get()), "concurrent encodes must match their sequential baselines")
+    } finally pool.shutdown()
+  }
+
   test("conf-driven encode honors tokensPerChunk and round-trips") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")

@@ -87,6 +87,27 @@ class LineageSpec extends AnyFunSuite {
     assert(SegmentStore.readDecoded(spark, dir, 11L).count() === 120L)
   }
 
+  test("empty buckets commit too: restart converges when buckets outnumber docs") {
+    // 5 docs into 64 buckets: most buckets are empty. Every bucket must
+    // still get a committed ledger row, or the restart protocol livelocks
+    // (every later run re-lists the empty buckets as pending forever).
+    val input = TokenTables.synthetic(spark, nDocs = 5, seed = 8L)
+    val dir = tmp()
+    val run1 = SegmentStore.encodeCommit(input, dir, 1L, buckets = 64, maxBucketsPerRun = 10)
+    assert(run1.size === 10)
+    val run2 = SegmentStore.encodeCommit(input, dir, 1L, buckets = 64)
+    assert(run2.size === 54)
+    // converged: nothing pending
+    assert(SegmentStore.encodeCommit(input, dir, 1L, buckets = 64).isEmpty)
+    val ledger = SegmentStore.readLineage(spark, dir).collect()
+    assert(ledger.length === 64)
+    assert(ledger.forall(_.status === SegmentStore.Committed))
+    assert(ledger.map(_.nRows).sum === 5L)
+    assert(ledger.count(_.nSegments == 0L) === 64 - ledger.count(_.nSegments > 0L))
+    // decode still exact
+    assert(SegmentStore.readDecoded(spark, dir, 1L).count() === 5L)
+  }
+
   test("min/max chunk skipping prunes segments and never loses a match") {
     import spark.implicits._
     val input = TokenTables.synthetic(spark, nDocs = 400, seed = 5L)
