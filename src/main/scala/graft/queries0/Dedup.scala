@@ -6,25 +6,39 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for the training-data pipeline: exact
   * (hash-groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket-join),
   * SimHash (banded hamming), n-gram Jaccard verification, and
-  * embedding-cosine near-dup.
+  * embedding-cosine near-dup (random-hyperplane LSH bucketing).
   *
   * Scale design: signatures are computed in ONE narrow map pass per
   * document (no shingle explosion shuffle — a doc's shingle set never
   * leaves the task), the only wide ops are the band-bucket self-join
-  * (standard LSH join, key space 2^64 so buckets stay small) and the final
-  * pair dedup. At 100 TB the band join is the bottleneck by design; salting
-  * hot bands would bolt on here if a corpus had giant near-dup cliques.
+  * (standard LSH join, carrying only ids+band keys — array payloads are
+  * joined back once per UNIQUE candidate pair, never shuffled through the
+  * band join or the distinct) and the final pair dedup. At 100 TB the band
+  * join is the bottleneck by design; salting hot bands would bolt on here
+  * if a corpus had giant near-dup cliques.
   *
-  * The test corpus is `documents` plus DETERMINISTIC perturbed/duplicate
-  * copies, so near-dup structure exists at every sf (the raw synthetic
-  * docs are all unique).
+  * The test corpora are `documents`/`embeddings` plus DETERMINISTIC
+  * perturbed/duplicate copies, so near-dup structure exists at every sf
+  * (the raw synthetic rows are all unique — without planting, every
+  * near-dup operator would return 0 rows and prove nothing).
   */
 object Dedup {
 
-  final val MinhashK = 16 // signature length
-  final val Bands = 4     // 4 bands x 4 rows
+  // 24 bands x 2 rows: recall-tuned banding. The operator's verify
+  // threshold is J >= 0.5, and with 2-row bands P(candidate | J) = 1 -
+  // (1 - J^2)^24 — miss 1e-3 at J = 0.5, 2e-5 at 0.6, 1e-7 at 0.7 — so the
+  // LSH output equals the brute-force ground truth on any corpus without a
+  // dense mass exactly at the threshold (the synthetic corpora have a hard
+  // gap below 0.6; verified empirically at every sf). The cost is more
+  // mid-J candidate pairs than 4-row bands — the standard LSH recall/cost
+  // knob, spent on recall here because the exact verify stage is cheap.
+  final val MinhashK = 48 // signature length
+  final val Bands = 24    // 24 bands x 2 rows
   final val SimhashBits = 64
   final val SimhashBands = 4
+  final val EmbPlanes = 32    // random hyperplanes for embedding LSH
+  final val EmbBands = 8      // 8 bands x 4 bits
+  final val CosineThreshold = 0.95
 
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -109,26 +123,31 @@ object Dedup {
     }
   }
 
-  /** LSH candidate pairs + exact shingle-Jaccard verification. */
+  /** LSH candidate pairs + exact shingle-Jaccard verification. The band
+    * self-join and the pair-dedup carry ONLY (doc_id, band, hash) — the
+    * shingle arrays join back once per unique candidate pair. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sigs = signatures(spark, dir).toDF("doc_id", "shingles", "sig")
     val rowsPerBand = MinhashK / Bands
     val banded = sigs.select(
-      col("doc_id"), col("shingles"),
+      col("doc_id"),
       explode(expr(
         (0 until Bands).map { b =>
           val slice = s"slice(sig, ${b * rowsPerBand + 1}, $rowsPerBand)"
           s"named_struct('band', $b, 'bh', xxhash64(cast($slice as string)))"
         }.mkString("array(", ", ", ")"))).as("bb"))
-      .select(col("doc_id"), col("shingles"), col("bb.band"), col("bb.bh"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+    val pairs = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.shingles").as("sh1"), col("b.shingles").as("sh2"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
+    val shing = sigs.select(col("doc_id"), col("shingles"))
+    pairs
+      .join(shing.select(col("doc_id").as("id1"), col("shingles").as("sh1")), Seq("id1"))
+      .join(shing.select(col("doc_id").as("id2"), col("shingles").as("sh2")), Seq("id2"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("uni", size(array_union(col("sh1"), col("sh2"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
@@ -137,12 +156,34 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** Exact n-gram Jaccard over LSH candidates (the verify stage). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    minhashLsh(spark, dir)
+  /** EXACT n-gram Jaccard dedup via the inverted-index join: explode
+    * (doc_id, shingle), self-join on shingle (only pairs sharing >= 1
+    * shingle ever meet — the exact-candidate analog of LSH banding), count
+    * intersections, Jaccard = i / (n1 + n2 - i). Fully distributed; at
+    * 100 TB the one knob is a document-frequency cap on hot shingles
+    * (drop shingles appearing in > F docs — boilerplate/template text),
+    * which bounds the join fan-out; uncapped here because the corpora are
+    * template-light and the oracle must see identical semantics. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = corpus(spark, dir).as[(Long, String)]
+      .map { case (id, text) => (id, shingles(text)) }
+      .toDF("doc_id", "sh")
+    val flat = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val inter = flat.as("a")
+      .join(flat.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .withColumn("jaccard", col("i").cast("double") / (col("n1") + col("n2") - col("i")))
+      .filter(col("jaccard") >= 0.5)
       .agg(
         count(lit(1)).as("n_pairs"),
         sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("n_strong"))
+  }
 
   // ---- SimHash ------------------------------------------------------------
 
@@ -169,7 +210,8 @@ object Dedup {
   }
 
   /** Banded SimHash near-dup pairs (hamming <= 4, candidate via one equal
-    * 16-bit band — standard banding guarantee). */
+    * 16-bit band — standard banding guarantee). The 8-byte simhash rides
+    * the band join (it IS the payload here; nothing bigger moves). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val hashed = corpus(spark, dir).as[(Long, String)]
@@ -196,45 +238,65 @@ object Dedup {
 
   // ---- embedding cosine -----------------------------------------------------
 
-  /** Embedding-cosine near-dup: broadcast nested-loop over normalized
-    * vectors with primitive inner loops — the small-side-broadcast x
-    * streamed-corpus pattern (a `zip_with` cross join allocates an array
-    * per pair and was ~30x slower). Correctness baseline; the LSH-bucketed
-    * scale path is Similarity.annLsh. At 100 TB the broadcast side is
-    * blocked: iterate this with one broadcast block at a time. */
+  /** embeddings (widened to double) + DETERMINISTIC near-duplicate copies:
+    * every 10th vector gets a +100000-id copy perturbed per-component by
+    * 0.003 * k, k = (vec_id*7 + i) mod 11 - 5 — cosine vs the original
+    * lands ~0.997, safely above [[CosineThreshold]] while the max natural
+    * pair cosine in the synthetic table is ~0.54. Exact double arithmetic,
+    * reproducible bit-for-bit by the DuckDB oracle. */
+  def embCorpus(spark: SparkSession, dir: String): Dataset[(Long, Array[Double])] = {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // two-step select: Spark 4 lateral column aliases would otherwise
+    // resolve the `vec_id` INSIDE the lambda to the +100000 output alias
+    val planted = base.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id").as("orig_id"), col("emb"))
+      .select(
+        (col("orig_id") + 100000L).as("vec_id"),
+        transform(col("emb"), (x, i) =>
+          x + lit(0.003) * (pmod(col("orig_id") * 7 + i, lit(11)) - 5).cast("double"))
+          .as("emb"))
+    base.unionByName(planted).as[(Long, Array[Double])]
+  }
+
+  /** Embedding-cosine near-dup at scale: random-hyperplane LSH banding
+    * (8 bands x 4 sign bits from 32 fixed hyperplanes) generates candidate
+    * pairs inside one narrow map pass + an id-only band join; only unique
+    * candidate pairs get their vectors joined back for the exact cosine
+    * verify. No driver-side collect, no all-pairs loop — the same shape as
+    * [[minhashLsh]]. Miss probability for a planted pair (cos ~0.997) is
+    * (1 - 0.9757^4)^8 ~ 6e-9 per pair, and everything is deterministic, so
+    * the DuckDB all-pairs oracle matches exactly. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-    val side = e.collect().sortBy(_._1)
-    val norms = side.map { case (_, v) =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
-      math.sqrt(s)
-    }
-    val bc = spark.sparkContext.broadcast((side, norms))
-    e.flatMap { case (id, emb) =>
-      val (rows, ns) = bc.value
-      var n1 = 0.0
-      var i = 0
-      while (i < emb.length) { n1 += emb(i).toDouble * emb(i); i += 1 }
-      n1 = math.sqrt(n1)
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      var j = 0
-      while (j < rows.length) {
-        val (id2, emb2) = rows(j)
-        if (id2 > id) {
-          var dot = 0.0
-          var d = 0
-          while (d < emb.length) { dot += emb(d).toDouble * emb2(d); d += 1 }
-          val cos = dot / (n1 * ns(j))
-          if (cos >= 0.95) out += ((id, id2, cos))
-        }
-        j += 1
+    val planes = spark.sparkContext.broadcast(
+      Similarity.hyperplanes(seed = 13L, nPlanes = EmbPlanes))
+    val corpus = embCorpus(spark, dir)
+      .map { case (id, emb) => (id, emb, Similarity.norm(emb)) }
+    val bandRows = corpus.flatMap { case (id, emb, _) =>
+      val bucket = Similarity.lshBucket(emb, planes.value)
+      (0 until EmbBands).iterator.map(b => (id, b, (bucket >>> (4 * b)) & 15))
+    }.toDF("id", "band", "key")
+    val a = bandRows.as("a")
+    val b = bandRows.as("b")
+    val cand = a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val embs = corpus.toDF("vid", "emb", "nrm")
+    cand
+      .join(embs.select(col("vid").as("id1"), col("emb").as("e1"), col("nrm").as("n1")), Seq("id1"))
+      .join(embs.select(col("vid").as("id2"), col("emb").as("e2"), col("nrm").as("n2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("e1"), col("n1"), col("e2"), col("n2"))
+      .as[(Long, Long, Array[Double], Double, Array[Double], Double)]
+      .map { case (id1, id2, e1, n1, e2, n2) =>
+        (id1, id2, Similarity.dot(e1, e2) / (n1 * n2))
       }
-      out
-    }.toDF("id1", "id2", "cosine").orderBy(col("id1"), col("id2"))
+      .toDF("id1", "id2", "cosine_raw")
+      .filter(col("cosine_raw") >= CosineThreshold)
+      .select(col("id1"), col("id2"), round(col("cosine_raw"), 6).as("cosine"))
+      .orderBy(col("id1"), col("id2"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -244,17 +306,90 @@ object Dedup {
     "dedup_simhash" -> (simhashPairs _),
     "dedup_embedding_cosine" -> (embeddingNearDup _))
 
+  // ---- DuckDB oracles --------------------------------------------------------
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL SELECT doc_id + 100000, text || ' appended tail token' FROM documents WHERE doc_id % 10 = 0
+      |)""".stripMargin
+
+  /** Brute-force word-3-shingle Jaccard over ALL pairs — the independent
+    * ground truth BOTH dedup pipelines must reproduce: the exact
+    * inverted-index join trivially, the banded LSH because its 24x2
+    * banding miss rate is <=1e-3/pair at the 0.5 threshold and the corpora
+    * have no pair mass below 0.6 (see [[MinhashK]] doc). Shingles are
+    * built from the raw strings here vs 64-bit hashes in Spark; set sizes
+    * agree unless FNV-64 collides (~1e-10 at this corpus size). */
+  private val jaccardCtes =
+    s"""WITH $corpusSql,
+       |words AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws
+       |  FROM corpus
+       |),
+       |shing AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) = 0 THEN []
+       |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       |         ELSE list_transform(range(len(ws) - 2), k -> ws[k+1] || ' ' || ws[k+2] || ' ' || ws[k+3])
+       |    END AS sh
+       |  FROM words
+       |),
+       |flat AS (SELECT DISTINCT * FROM (SELECT doc_id, unnest(sh) AS s FROM shing)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM flat GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+       |  FROM flat a JOIN flat b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |jpairs AS (
+       |  SELECT id1, id2, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+       |  FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+       |)""".stripMargin
+
+  /** All-pairs cosine ground truth over the planted-near-dup corpus. */
+  private val embCtes =
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+       |),
+       |ecorpus AS (
+       |  SELECT vec_id, emb FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 100000,
+       |    -- 0.003e0: force a DOUBLE literal (a bare 0.003 is DECIMAL in
+       |    -- DuckDB and its exact arithmetic diverges from Spark's double)
+       |    list_transform(emb, (x, i) -> x + 0.003e0 * CAST((vec_id * 7 + (i - 1)) % 11 - 5 AS DOUBLE))
+       |  FROM base WHERE vec_id % 10 = 0
+       |),
+       |en AS (
+       |  SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x * x))) AS norm FROM ecorpus
+       |),
+       |epairs AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |    list_sum(list_transform(a.emb, (x, i) -> x * b.emb[i])) / (a.norm * b.norm) AS cosine_raw
+       |  FROM en a JOIN en b ON a.vec_id < b.vec_id
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0
-        |  UNION ALL SELECT doc_id + 100000, text || ' appended tail token' FROM documents WHERE doc_id % 10 = 0
-        |), groups AS (
-        |  SELECT md5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
-        |  FROM corpus GROUP BY md5(text)
-        |)
-        |SELECT COUNT(*) AS n_unique, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
-        |  CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_removed
-        |FROM groups""".stripMargin)
+      s"""WITH $corpusSql, groups AS (
+         |  SELECT md5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+         |  FROM corpus GROUP BY md5(text)
+         |)
+         |SELECT COUNT(*) AS n_unique, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_removed
+         |FROM groups""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""$jaccardCtes
+         |SELECT id1, id2, jaccard FROM jpairs WHERE jaccard >= 0.5""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""$jaccardCtes
+         |SELECT COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_strong
+         |FROM jpairs WHERE jaccard >= 0.5""".stripMargin,
+    "dedup_embedding_cosine" ->
+      s"""$embCtes
+         |SELECT id1, id2, ROUND(cosine_raw, 6) AS cosine
+         |FROM epairs WHERE cosine_raw >= $CosineThreshold""".stripMargin)
 }

