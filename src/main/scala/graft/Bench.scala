@@ -5,13 +5,26 @@ import graft.bench.EncodeBench
 /** Per-round driver benchmark: times every SparkEntry query at
   * SPARK_GRAFT_SF_DIR, then measures the north metrics (encode GB/s at two
   * parallelism levels + scaling efficiency + compression vs ORC Java) on
-  * the deterministic synthetic token table. ONE JSON line to stdout. */
+  * the deterministic synthetic token table. ONE JSON line to stdout.
+  *
+  * The north metrics come from graft.ScalingBench executed in a FRESH
+  * forked JVM (EncodeBench.forkScalingJson): one measurement methodology
+  * for both this per-round JSON and BASELINE.md. Measuring encode inside
+  * this JVM right after 50+ queries gave invalid samples (r1:
+  * scaling_efficiency 3.39 — the N=4 run was 4x slower than the dedicated
+  * harness measured for the identical config).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
     val spark = EncodeBench.session(cpus)
+    // Session warm-up OUTSIDE the timed loop: the alphabetically-first
+    // query otherwise absorbs all one-time costs (whole-stage codegen
+    // compile, first parquet footer reads, shuffle service spin-up) — r1
+    // charged ~5s of warm-up to ann_bruteforce_topk.
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -20,35 +33,40 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    spark.stop()
 
-    // North metrics: same encode job at N and 4N parallelism on one input.
-    // One warm run per level (JIT), then best of 2 (short local runs are
-    // noisy; min is the standard noise-rejecting estimator).
-    // N=4 vs 4N=16 cores: leaves headroom for GC/OS threads at both levels
-    // on the 32-hw-thread host, the closest single-box rendering of two
-    // disjoint cluster sizes (full analysis: BASELINE.md).
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toLong
-    val inputPath = EncodeBench.ensureInput(spark, nDocs)
-    val (orcSnappy, _) = EncodeBench.orcBaseline(spark, inputPath)
-    val stored = EncodeBench.storedBytes(spark, inputPath, buckets = 16 * cpus)
-    val runs = Seq(4, 16).map { c =>
-      val s = EncodeBench.session(c)
-      EncodeBench.timedEncode(s, inputPath, buckets = 16 * c, c) // JIT warm
-      (1 to 2).map(_ => EncodeBench.timedEncode(s, inputPath, buckets = 16 * c, c))
-        .minBy(_.secs)
-    }
-    val lo = runs.minBy(_.cpus)
-    val hi = runs.maxBy(_.cpus)
-    val eff = (hi.gbps / lo.gbps) / (hi.cpus.toDouble / lo.cpus)
+    // North metrics: same encode job at N and 4N parallelism on one input,
+    // measured by ScalingBench in a clean child JVM. Levels "1,4" =
+    // local[4] vs local[16] executor-equivalents — the headline pair in
+    // BASELINE.md (leaves headroom for GC/OS threads at both levels on the
+    // 32-hw-thread host).
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "3000000").toLong
     val encodeJson =
-      f"""{"gbps_${lo.cpus}":${lo.gbps}%.4f,"gbps_${hi.cpus}":${hi.gbps}%.4f,""" +
-        f""""scaling_efficiency":$eff%.3f,"lightweight_ratio":${hi.ratio}%.3f,""" +
-        f""""stored_bytes":$stored,"orc_snappy_bytes":$orcSnappy,""" +
-        f""""stored_vs_orc_snappy":${stored.toDouble / orcSnappy}%.3f,"n_docs":$nDocs}"""
+      EncodeBench.forkScalingJson(nDocs, levels = "1,4", reps = 3) match {
+        case Some(json) => rekey(json)
+        case None => """{"error":"forked ScalingBench produced no result"}"""
+      }
 
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
         f""""encode":$encodeJson,"sf":"$sfDir"}""")
-    EncodeBench.session(1).stop()
+  }
+
+  /** Reshape ScalingBench's JSON line into the per-round encode block
+    * (gbps_<cores> keys + the shared scalars). Format is ours, so a
+    * regex pull is safe. */
+  private def rekey(json: String): String = {
+    val run = """\{"executors":\d+,"cores":(\d+),"secs":[\d.eE+-]+,"gbps":([\d.eE+-]+)""".r
+    val gbps = run.findAllMatchIn(json).map(m => m.group(1).toInt -> m.group(2)).toSeq
+    def scalar(key: String): Option[String] =
+      s""""$key":(-?[\\d.eE+-]+)""".r.findFirstMatchIn(json).map(_.group(1))
+    val parts =
+      gbps.sortBy(_._1).map { case (c, g) => s""""gbps_$c":$g""" } ++
+        Seq("scaling_efficiency", "lightweight_ratio", "stored_bytes",
+          "orc_snappy_bytes", "orc_zlib_bytes", "stored_vs_orc_snappy",
+          "stored_vs_orc_zlib", "n_docs", "n_tokens")
+          .flatMap(k => scalar(k).map(v => s""""$k":$v""")) ++
+        Seq(""""methodology":"forked ScalingBench (fresh JVM, min of 3 reps, warm excluded)"""")
+    parts.mkString("{", ",", "}")
   }
 }

@@ -119,6 +119,49 @@ object EncodeBench {
     dirBytes(new java.io.File(out))
   }
 
+  /** Run [[graft.ScalingBench]] in a FRESH forked JVM and return its JSON
+    * line. The per-round driver bench (graft.Bench) measures 50+ queries in
+    * one long-lived JVM first — heap/JIT/GC state after that polluted the
+    * in-process encode sample (r1: a physically impossible 3.39 scaling
+    * efficiency). A clean child process is the same methodology as the
+    * dedicated ScalingBench runs recorded in BASELINE.md, so the driver
+    * JSON and BASELINE.md now come from ONE measurement path. */
+  def forkScalingJson(nDocs: Long, levels: String, reps: Int): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val jvmArgs = {
+      val a = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toIndexedSeq
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < a.length) {
+        if (a(i) == "--add-opens" && i + 1 < a.length) { buf += a(i); buf += a(i + 1); i += 2 }
+        else { if (a(i).startsWith("--add-opens=")) buf += a(i); i += 1 }
+      }
+      buf.toSeq
+    }
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+      "-Xmx12g", "-XX:+UseParallelGC",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", cp, "graft.ScalingBench")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_BENCH_DOCS", nDocs.toString)
+    pb.environment().put("SPARK_GRAFT_EXECUTORS", levels)
+    pb.environment().put("SPARK_GRAFT_REPS", reps.toString)
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    proc.getErrorStream.readAllBytes() // drain
+    val code = proc.waitFor()
+    val line = out.linesIterator.find(_.startsWith("""{"metric":"encode_scaling""""))
+    if (code != 0 && line.isEmpty) {
+      System.err.println(s"[bench] forked ScalingBench failed (exit $code)")
+      None
+    } else line
+  }
+
   /** Real multi-executor session: `local-cluster[n, coresPerExec, mem]`
     * spawns n separate executor JVMs (own heap, own GC, netty shuffle) —
     * the honest in-sandbox rendering of "N executors" for the north_rule's
