@@ -1,0 +1,138 @@
+package graft.codec
+
+/** PRESENT-bitmap framing for nullable columns — the ORC PRESENT stream
+  * analog (SURVEY §1.4 item 6: nullability is a bit-RLE stream per column,
+  * OMITTED when the column has no nulls; the reference's fixtures show
+  * PRESENT streams appearing exactly on columns with NULL rows,
+  * tests/basic_reading.rs:259-277).
+  *
+  * Framing: `[flag:1B]` then
+  *  - flag 0 (dense, no nulls): `[chunk(values)]` — zero overhead, the
+  *    same bytes a non-nullable chunk would ship;
+  *  - flag 1 (sparse): `[n varint][bitpacked present bits][chunk(non-null
+  *    values, compacted)]`.
+  *
+  * The engine's Segment layout doesn't carry PRESENT streams today because
+  * input_hint pins a non-null schema; these kernels are the tested seam a
+  * nullable schema widening plugs into (instead of failing silently).
+  */
+object Nullable {
+
+  final val FlagDense = 0
+  final val FlagSparse = 1
+
+  private def compact(values: Array[Long], present: Array[Boolean], nPresent: Int): Array[Long] = {
+    val out = new Array[Long](nPresent)
+    var i = 0
+    var j = 0
+    while (i < values.length) {
+      if (present(i)) { out(j) = values(i); j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  def encodeInts(values: Array[Long], present: Array[Boolean], codec: IntCodec,
+                 conf: CodecConf = CodecConf.Default): Array[Byte] = {
+    require(values.length == present.length,
+      s"values/present length mismatch: ${values.length} vs ${present.length}")
+    var nPresent = 0
+    var i = 0
+    while (i < present.length) { if (present(i)) nPresent += 1; i += 1 }
+    if (nPresent == present.length) {
+      val chunk = IntCodecs.encodeChunk(values, codec, conf)
+      val out = new Array[Byte](chunk.length + 1)
+      out(0) = FlagDense.toByte
+      System.arraycopy(chunk, 0, out, 1, chunk.length)
+      out
+    } else {
+      val bits = new Array[Long](present.length)
+      i = 0
+      while (i < present.length) { bits(i) = if (present(i)) 1L else 0L; i += 1 }
+      val chunk = IntCodecs.encodeChunk(compact(values, present, nPresent), codec, conf)
+      val w = new ByteWriter(chunk.length + present.length / 8 + 16)
+      w.writeByte(FlagSparse)
+      w.writeVarLong(present.length.toLong)
+      BitPack.pack(bits, 0, present.length, 1, w)
+      w.writeBytes(chunk)
+      w.toArray
+    }
+  }
+
+  /** Returns (values, present); absent slots hold 0L. */
+  def decodeInts(bytes: Array[Byte]): (Array[Long], Array[Boolean]) = {
+    val in = new ByteReader(bytes)
+    in.readByte() match {
+      case FlagDense =>
+        val values = IntCodecs.decodeChunk(in.readBytes(in.remaining))
+        (values, Array.fill(values.length)(true))
+      case FlagSparse =>
+        val n = in.readVarLong().toInt
+        val bits = new Array[Long](n)
+        BitPack.unpack(in, n, 1, bits, 0)
+        val compacted = IntCodecs.decodeChunk(in.readBytes(in.remaining))
+        val values = new Array[Long](n)
+        val present = new Array[Boolean](n)
+        var i = 0
+        var j = 0
+        while (i < n) {
+          if (bits(i) == 1L) { present(i) = true; values(i) = compacted(j); j += 1 }
+          i += 1
+        }
+        (values, present)
+      case other => throw new IllegalStateException(s"bad nullable flag $other")
+    }
+  }
+
+  def encodeStrings(values: Array[String], codec: StringCodec,
+                    conf: CodecConf = CodecConf.Default): Array[Byte] = {
+    var nPresent = 0
+    var i = 0
+    while (i < values.length) { if (values(i) != null) nPresent += 1; i += 1 }
+    if (nPresent == values.length) {
+      val chunk = StringCodecs.encodeChunk(values, codec, conf)
+      val out = new Array[Byte](chunk.length + 1)
+      out(0) = FlagDense.toByte
+      System.arraycopy(chunk, 0, out, 1, chunk.length)
+      out
+    } else {
+      val bits = new Array[Long](values.length)
+      val compacted = new Array[String](nPresent)
+      var j = 0
+      i = 0
+      while (i < values.length) {
+        if (values(i) != null) { bits(i) = 1L; compacted(j) = values(i); j += 1 }
+        i += 1
+      }
+      val chunk = StringCodecs.encodeChunk(compacted, codec, conf)
+      val w = new ByteWriter(chunk.length + values.length / 8 + 16)
+      w.writeByte(FlagSparse)
+      w.writeVarLong(values.length.toLong)
+      BitPack.pack(bits, 0, values.length, 1, w)
+      w.writeBytes(chunk)
+      w.toArray
+    }
+  }
+
+  /** Absent slots decode to null. */
+  def decodeStrings(bytes: Array[Byte]): Array[String] = {
+    val in = new ByteReader(bytes)
+    in.readByte() match {
+      case FlagDense => StringCodecs.decodeChunk(in.readBytes(in.remaining))
+      case FlagSparse =>
+        val n = in.readVarLong().toInt
+        val bits = new Array[Long](n)
+        BitPack.unpack(in, n, 1, bits, 0)
+        val compacted = StringCodecs.decodeChunk(in.readBytes(in.remaining))
+        val values = new Array[String](n)
+        var i = 0
+        var j = 0
+        while (i < n) {
+          if (bits(i) == 1L) { values(i) = compacted(j); j += 1 }
+          i += 1
+        }
+        values
+      case other => throw new IllegalStateException(s"bad nullable flag $other")
+    }
+  }
+}

@@ -100,15 +100,27 @@ object Encode {
     f.delete()
   }
 
+  /** Both token-pruned-scan entries run on the zipf-skewed SYNTHETIC table:
+    * min/max stats only prune values the data makes rare per-chunk, which
+    * holds for the cube-zipf token mixture (top ids ~5e-5/token) but NOT
+    * for the documents-derived table, whose uniform word-hash ids put the
+    * global max into nearly every chunk (0 segments pruned => the operator
+    * proved nothing — same flaw as a vacuous IS NULL). The top-of-vocab
+    * range matches a handful of docs at this size, so both the skip AND
+    * the re-filter paths do real work. */
+  private val PruneLo = 50250L
+  private val PruneHi = 50256L
+  private def pruneInput(spark: SparkSession) =
+    TokenTables.synthetic(spark, nDocs = 2000, seed = 42L)
+
   /** Chunk skipping by min/max (the reference's stripe-pruning contract,
     * /root/reference/src/source.rs:279-281: prune inexactly, re-filter
     * exactly): scan for rare high token ids, report how many segments the
     * min/max index let us skip vs how many documents truly match. */
   def prunedScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lo = 50250L
-    val hi = 50256L
-    val input = TokenTables.fromDocuments(spark, dir)
+    val (lo, hi) = (PruneLo, PruneHi)
+    val input = pruneInput(spark)
     val segs = GraftEncoder.encode(input, buckets = 16, tokensPerChunk = 4096).persist()
     try {
       val seg = segs.agg(
@@ -129,14 +141,27 @@ object Encode {
 
   /** String-predicate chunk skipping via the doc_id min/max string stats —
     * the utf8 half of the reference's predicate conversion
-    * (/root/reference/src/predicate.rs:218-221). Point lookup of one
-    * doc_id: chunks whose [minS, maxS] range misses the key are never
-    * inflated or decoded; the survivors are re-filtered exactly. */
+    * (/root/reference/src/predicate.rs:218-221). Min/max stats only prune
+    * what the layout clusters, so this entry encodes the table with
+    * RANGE buckets over doc_id — the reference's `--sorted` table option
+    * (tpcds_bench.rs:434-436: data marked sorted by the leading column) —
+    * under which a point lookup touches one bucket's chunks and skips
+    * every other segment; survivors are re-filtered exactly. (On the
+    * default hash-bucketed layout each chunk spans the whole id range and
+    * the same stats prune ~nothing — clustering is the index.) */
   def prunedScanStr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val input = TokenTables.fromDocuments(spark, dir)
     val target = "doc_000000042"
-    val segs = GraftEncoder.encode(input, buckets = 16, tokensPerChunk = 4096).persist()
+    val nDocs = input.count()
+    val rangeBuckets = 16
+    val bucketed = input.map { r =>
+      // doc_%09d ids: contiguous id ranges -> contiguous buckets
+      val id = r.doc_id.stripPrefix("doc_").toLong
+      val b = math.min(rangeBuckets - 1, (id * rangeBuckets / math.max(1L, nDocs)).toInt)
+      graft.engine.BucketedRow(r.doc_id, r.tokens, r.n_tok, r.source, b)
+    }
+    val segs = GraftEncoder.encodeBucketed(bucketed, rangeBuckets, tokensPerChunk = 4096).persist()
     try {
       val seg = segs.agg(
         count(lit(1)).as("n_segments_total"),
@@ -154,7 +179,30 @@ object Encode {
     } finally segs.unpersist()
   }
 
+  /** Read-side scan metrics surfaced as a query — the reference's 12-counter
+    * metrics surface on OUR decode path (/root/reference/src/metrics.rs:57-218):
+    * run a metered pruned scan, report matched/pruned segments, scanned vs
+    * pruned payload bytes, rows+tokens decoded, and scan_efficiency. */
+  def scanMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val input = pruneInput(spark)
+    val segs = GraftEncoder.encode(input, buckets = 16, tokensPerChunk = 4096).persist()
+    try {
+      val m = new graft.engine.DecodeMetrics(spark.sparkContext)
+      val decoded = graft.engine.DecodeMetrics
+        .decodeWhereTokenRange(segs, PruneLo, PruneHi, m)
+      decoded.count() // the action that populates the accumulators
+      Seq((m.segmentsMatched.value: Long, m.segmentsPruned.value: Long,
+        m.bytesScanned.value: Long, m.bytesPruned.value: Long,
+        m.rowsDecoded.value: Long, m.tokensDecoded.value: Long,
+        m.scanEfficiency))
+        .toDF("segments_matched", "segments_pruned", "bytes_scanned",
+          "bytes_pruned", "rows_decoded", "tokens_decoded", "scan_efficiency")
+    } finally segs.unpersist()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "encode_scan_metrics" -> (scanMetrics _),
     "encode_roundtrip_docs" -> (roundtripDocs _),
     "encode_roundtrip_synthetic" -> (roundtripSynthetic _),
     "encode_codec_mix" -> (codecMix _),
