@@ -213,7 +213,7 @@ object Similarity {
        |)""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = Multimodal.oracles ++ Map(
     "ann_bruteforce_topk" ->
       s"""$bruteCtes
          |SELECT q_id, vec_id, ROUND(cosine_raw, 6) AS cosine, rnk FROM ranked WHERE rnk <= $TopK""".stripMargin,
@@ -230,45 +230,132 @@ object Similarity {
          |GROUP BY exact.q_id""".stripMargin)
 }
 
-/** Multimodal column plumbing: image/audio/video as opaque binary columns
-  * with typed metadata. The Spark-side schema, partitioning, and batch
-  * shape are real; the actual media decode is STUBBED with a deterministic
-  * fake (this container has no image/audio libraries) — the seam where a
-  * real decoder (e.g. a Pandas UDF over mapInPandas in PySpark, or a JNI
-  * decoder here) slots in is `fakeDecode`. */
+/** Multimodal columns: image/audio media as opaque `binary` columns with
+  * typed metadata extracted per partition. The Spark plumbing (schema,
+  * partitioning, typed mapPartitions batch shape) AND the container-header
+  * parsing are REAL — [[parseHeader]] reads actual PNG IHDR, JPEG SOF and
+  * WAV RIFF/fmt structures from the bytes (public file formats, no media
+  * library needed). Only pixel/sample decoding is stubbed (this container
+  * ships no image/audio codecs) — the seam where a real decoder (JNI here,
+  * or a Pandas UDF over mapInPandas in PySpark) slots in is the
+  * `case MediaMeta(...)` consumer in [[decodeStub]]. */
 object Multimodal {
 
-  /** STUB: deterministic fake "decode" of a binary blob -> (width, height,
-    * format). A real implementation would parse the media container. */
-  def fakeDecode(media: Array[Byte]): (Int, Int, String) = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < math.min(media.length, 64)) { h = (h ^ media(i)) * 1099511628211L; i += 1 }
-    val w0 = 160 + (Math.floorMod(h, 8L).toInt * 80)
-    ((w0), (w0 * 3) / 4, if (Math.floorMod(h >> 8, 2L) == 0L) "jpeg-stub" else "png-stub")
+  final case class MediaMeta(format: String, width: Int, height: Int,
+                             sampleRate: Int, channels: Int)
+
+  private def be16(b: Array[Byte], i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def le16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** REAL container-header parsing (the metadata-extraction half of a
+    * media decode): PNG IHDR (spec: 8-byte signature, then the IHDR chunk
+    * carries big-endian width/height), JPEG SOFn markers (big-endian
+    * height/width after marker+length+precision), WAV RIFF fmt chunk
+    * (little-endian channels + sample rate). Unknown bytes degrade to
+    * "unknown", never throw — scan robustness over corrupt blobs. */
+  def parseHeader(media: Array[Byte]): MediaMeta = {
+    if (media.length >= 33 &&
+      (media(0) & 0xff) == 0x89 && media(1) == 'P' && media(2) == 'N' && media(3) == 'G') {
+      // [8B sig][4B len][4B "IHDR"][4B width][4B height]
+      MediaMeta("png", be32(media, 16), be32(media, 20), 0, 0)
+    } else if (media.length >= 4 && (media(0) & 0xff) == 0xff && (media(1) & 0xff) == 0xd8) {
+      // JPEG: walk marker segments to SOF0..SOF3 (baseline/progressive)
+      var i = 2
+      while (i + 9 < media.length) {
+        if ((media(i) & 0xff) != 0xff) return MediaMeta("unknown", 0, 0, 0, 0)
+        val marker = media(i + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xc3) {
+          return MediaMeta("jpeg", be16(media, i + 7), be16(media, i + 5), 0, 0)
+        }
+        i += 2 + be16(media, i + 2)
+      }
+      MediaMeta("unknown", 0, 0, 0, 0)
+    } else if (media.length >= 36 &&
+      media(0) == 'R' && media(1) == 'I' && media(2) == 'F' && media(3) == 'F' &&
+      media(8) == 'W' && media(9) == 'A' && media(10) == 'V' && media(11) == 'E') {
+      // canonical layout: fmt chunk at offset 12
+      MediaMeta("wav", 0, 0, le32(media, 24), le16(media, 22))
+    } else MediaMeta("unknown", 0, 0, 0, 0)
   }
 
-  /** Binary media table derived deterministically from documents (text
-    * bytes stand in for media payloads), then "decoded" per partition —
-    * the batch shape a real decoder UDF would see. */
+  /** Deterministic synthetic media blob per doc: a structurally VALID
+    * minimal PNG, JPEG or WAV header (parseable by any conformant reader,
+    * not just ours) followed by the doc's text bytes as stand-in payload. */
+  def fakeMedia(id: Long, text: String): Array[Byte] = {
+    val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val w = (160 + (id % 8) * 80).toInt
+    val h = (w * 3) / 4
+    id % 3 match {
+      case 0 => // PNG signature + IHDR
+        val head = java.nio.ByteBuffer.allocate(33)
+        head.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+        head.putInt(13).put("IHDR".getBytes)
+        head.putInt(w).putInt(h)
+        head.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        head.array() ++ payload
+      case 1 => // JPEG SOI + SOF0
+        val sof = java.nio.ByteBuffer.allocate(12)
+        sof.put(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xc0.toByte))
+        sof.putShort(8.toShort).put(8.toByte)
+        sof.putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+        sof.array() ++ payload
+      case _ => // canonical 44-byte WAV header
+        val rate = if (id % 2 == 0) 16000 else 44100
+        val b = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("RIFF".getBytes).putInt(36 + payload.length).put("WAVE".getBytes)
+        b.put("fmt ".getBytes).putInt(16).putShort(1.toShort).putShort(1.toShort)
+        b.putInt(rate).putInt(rate * 2).putShort(2.toShort).putShort(16.toShort)
+        b.put("data".getBytes).putInt(payload.length)
+        b.array() ++ payload
+    }
+  }
+
+  /** Media metadata extraction over a binary column, per partition — the
+    * batch shape a full decoder would see; header fields are genuinely
+    * parsed from the bytes. */
   def decodeStub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text").cast("binary").as("media"))
-      .as[(Long, Array[Byte])]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
       .mapPartitions { it =>
-        it.map { case (id, media) =>
-          val (w, h, fmt) = fakeDecode(media)
-          (id, media.length.toLong, w, h, fmt)
+        it.map { case (id, text) =>
+          val media = fakeMedia(id, text)
+          val m = parseHeader(media)
+          (id, media.length.toLong, m.format, m.width, m.height, m.sampleRate, m.channels)
         }
       }
-      .toDF("doc_id", "media_bytes", "width", "height", "format")
+      .toDF("doc_id", "media_bytes", "format", "width", "height", "sample_rate", "channels")
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n"), sum(col("media_bytes")).as("total_bytes"),
-        min(col("width")).as("min_w"), max(col("width")).as("max_w"))
+        min(col("width")).as("min_w"), max(col("width")).as("max_w"),
+        max(col("sample_rate")).as("max_rate"))
       .orderBy(col("format"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_decode_stub" -> (decodeStub _))
+    "multimodal_decode" -> (decodeStub _))
+
+  /** The blob synthesis is a pure function of (doc_id, text) and the header
+    * parse must invert it — so the whole pipeline is oracle-checkable: the
+    * SQL below derives the same metadata arithmetically, and a hash match
+    * proves the byte-level writers and parsers agree. (Payload byte count
+    * == LENGTH(text) because the corpus is ASCII.) */
+  val oracles: Map[String, String] = Map(
+    "multimodal_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |    CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 12 ELSE 44 END + LENGTH(text) AS media_bytes,
+        |    CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(160 + (doc_id % 8) * 80 AS INTEGER) ELSE 0 END AS width,
+        |    CASE WHEN doc_id % 3 = 2 THEN (CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END) ELSE 0 END AS sample_rate
+        |  FROM documents
+        |)
+        |SELECT format, COUNT(*) AS n, CAST(SUM(media_bytes) AS BIGINT) AS total_bytes,
+        |  MIN(width) AS min_w, MAX(width) AS max_w, MAX(sample_rate) AS max_rate
+        |FROM m GROUP BY format""".stripMargin)
 }

@@ -71,6 +71,33 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally segs.unpersist()
   }
 
+  test("embedding near-dup plans with no cartesian product and no driver collect") {
+    val df = graft.queries0.Dedup.embeddingNearDup(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup must be a bucketed join, not all-pairs:\n$p")
+    assert(p.contains("Join"), s"expected the band self-join:\n$p")
+  }
+
+  test("minhash band join shuffles ids only — shingle arrays stay out of the exchange") {
+    val df = graft.queries0.Dedup.minhashLsh(spark, dir)
+    val p = plan(df)
+    // every Exchange above the band join must carry only narrow columns;
+    // the shingles arrays join back AFTER the distinct. If "shingles"
+    // appears in an hashpartitioning exchange together with band/bh, the
+    // slim-join contract broke.
+    val badExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("bh") && l.contains("shingles"))
+    assert(!badExchange, s"shingle payloads ride the band-join shuffle:\n$p")
+  }
+
+  test("mem-table query scans the in-memory relation, not parquet") {
+    val df = Relational.memTable(spark, dir)
+    val p = plan(df)
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"expected cached scan:\n$p")
+  }
+
   test("whole-stage codegen is active on the aggregation query") {
     val df = Relational.aggGroup(spark, dir)
     df.collect() // AQE: codegen spans appear only in the finalized plan
