@@ -185,6 +185,51 @@ object Dedup {
         sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("n_strong"))
   }
 
+  /** Near-dup CLUSTERS from the pair graph: connected components by
+    * iterative min-label propagation (the standard large-scale CC pattern —
+    * alternate small-star joins until fixpoint; near-dup components are
+    * shallow so it converges in a few rounds, each one narrow join + agg).
+    * The component id is the smallest member doc_id — the canonical
+    * "keep" document of a dedup group. Output: one row per cluster with
+    * its size and how many docs dedup would drop. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashLsh(spark, dir).select(col("id1"), col("id2")).persist()
+    try {
+      val edges = pairs
+        .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+        .persist()
+      var labels = edges.select(col("id1").as("id")).distinct()
+        .withColumn("comp", col("id"))
+        .persist()
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 25) {
+        val viaNeighbor = edges
+          .join(labels.withColumnRenamed("id", "id1"), Seq("id1"))
+          .groupBy(col("id2").as("id"))
+          .agg(min(col("comp")).as("n_comp"))
+        val next = labels.join(viaNeighbor, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"))
+          .persist()
+        changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.comp") =!= col("o.comp")).count()
+        labels.unpersist()
+        labels = next
+        iters += 1
+      }
+      require(changed == 0, s"label propagation did not converge in $iters rounds")
+      val out = labels.groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"), (count(lit(1)) - 1).as("n_removed"))
+        .orderBy(col("comp"))
+      val materialized = out.collect() // force before unpersisting inputs
+      edges.unpersist()
+      labels.unpersist()
+      spark.createDataFrame(spark.sparkContext.parallelize(materialized.toSeq), out.schema)
+    } finally pairs.unpersist()
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   def simhash(text: String): Long = {
@@ -303,6 +348,7 @@ object Dedup {
     "dedup_exact" -> (exact _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash" -> (simhashPairs _),
     "dedup_embedding_cosine" -> (embeddingNearDup _))
 
@@ -388,6 +434,24 @@ object Dedup {
          |SELECT COUNT(*) AS n_pairs,
          |  CAST(SUM(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_strong
          |FROM jpairs WHERE jaccard >= 0.5""".stripMargin,
+    "dedup_clusters" ->
+      s"""${jaccardCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |edges AS (
+         |  SELECT id1, id2 FROM jpairs WHERE jaccard >= 0.5
+         |  UNION ALL SELECT id2, id1 FROM jpairs WHERE jaccard >= 0.5
+         |),
+         |-- transitive closure: every (node, reachable node) pair; the
+         |-- component id is the min over {self} + reachable set
+         |reach AS (
+         |  SELECT id1 AS src, id2 AS dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.id2 FROM reach r JOIN edges e ON r.dst = e.id1
+         |),
+         |comp AS (
+         |  SELECT src AS id, LEAST(src, MIN(dst)) AS comp FROM reach GROUP BY src
+         |)
+         |SELECT comp, COUNT(*) AS n_members, COUNT(*) - 1 AS n_removed
+         |FROM comp GROUP BY comp""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""$embCtes
          |SELECT id1, id2, ROUND(cosine_raw, 6) AS cosine

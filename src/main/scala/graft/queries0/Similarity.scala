@@ -134,6 +134,51 @@ object Similarity {
     rankTopK(pairs)
   }
 
+  final val NCentroids = 16
+  final val NProbeLists = 4
+
+  /** IVF-flat ANN: a coarse quantizer (centroids = the first NCentroids
+    * corpus vectors — a SEEDED codebook: deterministic and reproducible by
+    * the SQL oracle with no Lloyd iterations) partitions the corpus into
+    * inverted lists in one narrow pass; a probe searches only its
+    * NProbeLists nearest lists. The codebook is broadcast (bounded by
+    * construction — the classic IVF shape: tiny codebook, huge corpus);
+    * candidate generation is a list-membership filter, never all-pairs. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = withNorm(spark, dir)
+    val cents = corpus.filter(_._1 < NCentroids).collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    // nearest-centroid assignment, lowest centroid id wins ties
+    val assigned = corpus.map { case (id, emb, n) =>
+      val cs = bc.value
+      var best = 0
+      var bestCos = Double.NegativeInfinity
+      var j = 0
+      while (j < cs.length) {
+        val cos = dot(emb, cs(j)._2) / (n * cs(j)._3)
+        if (cos > bestCos) { bestCos = cos; best = j }
+        j += 1
+      }
+      (id, emb, n, cs(best)._1.toInt)
+    }
+    val probes = assigned.filter(_._1 < NProbes).collect().sortBy(_._1)
+    val probeLists = probes.map { case (qid, qemb, qn, _) =>
+      val scored = bc.value.map(c => (dot(qemb, c._2) / (qn * c._3), c._1.toInt))
+      val top = scored.sortBy { case (cos, cid) => (-cos, cid) }
+        .take(NProbeLists).map(_._2)
+      (qid, qemb, qn, top)
+    }
+    val bq = spark.sparkContext.broadcast(probeLists)
+    val pairs = assigned.flatMap { case (id, emb, n, cid) =>
+      bq.value.iterator.collect {
+        case (qId, qEmb, qNorm, lists) if qId != id && lists.contains(cid) =>
+          (qId, id, dot(emb, qEmb) / (n * qNorm))
+      }
+    }.toDF("q_id", "vec_id", "cosine_raw")
+    rankTopK(pairs)
+  }
+
   /** ANN recall of the LSH path vs the exact baseline — quality telemetry. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = bruteForceTopK(spark, dir).select(col("q_id"), col("vec_id"))
@@ -152,6 +197,7 @@ object Similarity {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (bruteForceTopK _),
     "ann_lsh_topk" -> (annLsh _),
+    "ann_ivf_topk" -> (annIvf _),
     "ann_recall" -> (annRecall _)) ++ Multimodal.all
 
   // ---- DuckDB oracles --------------------------------------------------------
@@ -213,7 +259,36 @@ object Similarity {
        |)""".stripMargin
   }
 
+  private val ivfCtes =
+    s"""WITH $normCte,
+       |cent AS (SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm FROM n WHERE vec_id < $NCentroids),
+       |scored AS (
+       |  SELECT n.vec_id, n.emb, n.norm, cent.c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |      list_sum(list_transform(n.emb, (x, i) -> x * c_emb[i])) / (n.norm * c_norm) DESC,
+       |      cent.c_id ASC) AS crk
+       |  FROM n, cent
+       |),
+       |lists AS (SELECT vec_id, emb, norm, c_id FROM scored WHERE crk = 1),
+       |qprobe AS (SELECT vec_id AS q_id, c_id FROM scored WHERE vec_id < $NProbes AND crk <= $NProbeLists),
+       |qv AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm FROM n WHERE vec_id < $NProbes),
+       |ipairs AS (
+       |  SELECT qv.q_id, lists.vec_id,
+       |    list_sum(list_transform(lists.emb, (x, i) -> x * q_emb[i])) / (lists.norm * q_norm) AS cosine_raw
+       |  FROM qprobe JOIN lists ON lists.c_id = qprobe.c_id
+       |  JOIN qv ON qv.q_id = qprobe.q_id
+       |  WHERE lists.vec_id <> qv.q_id
+       |),
+       |iranked AS (
+       |  SELECT q_id, vec_id, cosine_raw,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id ASC) AS INTEGER) AS rnk
+       |  FROM ipairs
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Multimodal.oracles ++ Map(
+    "ann_ivf_topk" ->
+      s"""$ivfCtes
+         |SELECT q_id, vec_id, ROUND(cosine_raw, 6) AS cosine, rnk FROM iranked WHERE rnk <= $TopK""".stripMargin,
     "ann_bruteforce_topk" ->
       s"""$bruteCtes
          |SELECT q_id, vec_id, ROUND(cosine_raw, 6) AS cosine, rnk FROM ranked WHERE rnk <= $TopK""".stripMargin,

@@ -26,10 +26,17 @@ object Text {
   /** Whitespace token count: spaces + 1 (length arithmetic, portable). */
   private def wsTokens(c: Column): Column = (occPlain(c, " ") + lit(1L)).cast("long")
 
+  /** Token counting two ways: whitespace tokens (length arithmetic) and a
+    * BPE-ish regex tokenization — runs of alphanumerics OR single
+    * non-space symbols, the word/punct split every BPE pre-tokenizer
+    * applies before merges (simple enough that Java regex and DuckDB's RE2
+    * agree). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
       wsTokens(col("text")).as("n_tokens_ws"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .cast("long").as("n_tokens_re"),
       length(col("text")).cast("long").as("n_chars_txt"))
 
   /** Quality features: length, punctuation ratio, mean word length,
@@ -154,6 +161,7 @@ object Text {
     "text_token_count" ->
       s"""SELECT doc_id,
          |  CAST(${occSql("text", " ")} + 1 AS BIGINT) AS n_tokens_ws,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens_re,
          |  CAST(LENGTH(text) AS BIGINT) AS n_chars_txt
          |FROM documents""".stripMargin,
     "text_quality_score" ->
