@@ -220,13 +220,17 @@ object Dedup {
         iters += 1
       }
       require(changed == 0, s"label propagation did not converge in $iters rounds")
-      val out = labels.groupBy(col("comp"))
-        .agg(count(lit(1)).as("n_members"), (count(lit(1)) - 1).as("n_removed"))
-        .orderBy(col("comp"))
-      val materialized = out.collect() // force before unpersisting inputs
+      // Cut the iterative lineage chain (the standard move for loop-built
+      // DataFrames): the checkpoint materializes labels into executor
+      // blocks, after which the upstream caches can be released and the
+      // result stays fully distributed — no driver-side collect, however
+      // many clusters exist.
+      val stable = labels.localCheckpoint(true)
       edges.unpersist()
       labels.unpersist()
-      spark.createDataFrame(spark.sparkContext.parallelize(materialized.toSeq), out.schema)
+      stable.groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"), (count(lit(1)) - 1).as("n_removed"))
+        .orderBy(col("comp"))
     } finally pairs.unpersist()
   }
 
