@@ -199,9 +199,10 @@ object Dedup {
       val edges = pairs
         .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
         .persist()
-      var labels = edges.select(col("id1").as("id")).distinct()
+      var cached = edges.select(col("id1").as("id")).distinct()
         .withColumn("comp", col("id"))
         .persist()
+      var labels: DataFrame = cached
       var changed = 1L
       var iters = 0
       while (changed > 0 && iters < 25) {
@@ -209,14 +210,16 @@ object Dedup {
           .join(labels.withColumnRenamed("id", "id1"), Seq("id1"))
           .groupBy(col("id2").as("id"))
           .agg(min(col("comp")).as("n_comp"))
+        // carry the previous label through the round so convergence is one
+        // filter on the already-materialized result, not an extra join
         val next = labels.join(viaNeighbor, Seq("id"), "left_outer")
-          .select(col("id"),
+          .select(col("id"), col("comp").as("prev"),
             least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"))
           .persist()
-        changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.comp") =!= col("o.comp")).count()
-        labels.unpersist()
-        labels = next
+        changed = next.filter(col("comp") =!= col("prev")).count()
+        cached.unpersist()
+        cached = next
+        labels = next.select(col("id"), col("comp"))
         iters += 1
       }
       require(changed == 0, s"label propagation did not converge in $iters rounds")
@@ -227,7 +230,7 @@ object Dedup {
       // many clusters exist.
       val stable = labels.localCheckpoint(true)
       edges.unpersist()
-      labels.unpersist()
+      cached.unpersist()
       stable.groupBy(col("comp"))
         .agg(count(lit(1)).as("n_members"), (count(lit(1)) - 1).as("n_removed"))
         .orderBy(col("comp"))
