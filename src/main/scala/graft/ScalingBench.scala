@@ -46,9 +46,13 @@ object ScalingBench {
       val s =
         if (localMode) EncodeBench.session(cores)
         else EncodeBench.clusterSession(n, coresPerExec)
-      EncodeBench.timedEncode(s, inputPath, buckets = 16 * cores, cores)
+      // buckets: tasks >> slots (scheduler smooths bucket-size variance) AND
+      // bucket small enough that a task's live set stays GC-friendly as the
+      // input grows — SPARK_GRAFT_BUCKETS overrides for A-B experiments
+      val buckets = sys.env.get("SPARK_GRAFT_BUCKETS").map(_.toInt).getOrElse(16 * cores)
+      EncodeBench.timedEncode(s, inputPath, buckets = buckets, cores)
       (1 to timedReps)
-        .map(_ => EncodeBench.timedEncode(s, inputPath, buckets = 16 * cores, cores))
+        .map(_ => EncodeBench.timedEncode(s, inputPath, buckets = buckets, cores))
         .minBy(_.secs)
     }
 
