@@ -19,6 +19,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
+    // Single-thread kernel calibration: a fixed deterministic workload whose
+    // wall time depends only on host conditions. When a co-tenant noise
+    // episode inflates every query (observed: whole-run 1.4x swings on this
+    // shared box), this number inflates with it — making noisy rounds
+    // diagnosable from the JSON alone instead of looking like regressions.
+    val calibMs = {
+      val rnd = new java.util.Random(7)
+      val chunk = Array.fill(64 * 1024)((rnd.nextDouble() * 50257).toInt.toLong)
+      (1 to 3).foreach(_ => graft.codec.IntCodecs.encodeChunk(chunk, graft.codec.RleV2Codec))
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 50) { graft.codec.IntCodecs.encodeChunk(chunk, graft.codec.RleV2Codec); i += 1 }
+      (System.nanoTime() - t0) / 1e6
+    }
+
     val spark = EncodeBench.session(cpus)
     // Session warm-up OUTSIDE the timed loop: the alphabetically-first
     // query otherwise absorbs all one-time costs (whole-stage codegen
@@ -42,31 +57,36 @@ object Bench {
     // 32-hw-thread host).
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "3000000").toLong
     val encodeJson =
-      EncodeBench.forkScalingJson(nDocs, levels = "1,4", reps = 3) match {
+      EncodeBench.forkScalingJson(nDocs, levels = "1,4", reps = 4) match {
         case Some(json) => rekey(json)
         case None => """{"error":"forked ScalingBench produced no result"}"""
       }
 
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-        f""""encode":$encodeJson,"sf":"$sfDir"}""")
+        f""""calib_kernel_ms":$calibMs%.1f,"encode":$encodeJson,"sf":"$sfDir"}""")
   }
 
   /** Reshape ScalingBench's JSON line into the per-round encode block
     * (gbps_<cores> keys + the shared scalars). Format is ours, so a
     * regex pull is safe. */
   private def rekey(json: String): String = {
-    val run = """\{"executors":\d+,"cores":(\d+),"secs":[\d.eE+-]+,"gbps":([\d.eE+-]+)""".r
-    val gbps = run.findAllMatchIn(json).map(m => m.group(1).toInt -> m.group(2)).toSeq
+    val run = ("""\{"executors":\d+,"cores":(\d+),"secs":[\d.eE+-]+,"gbps":([\d.eE+-]+),""" +
+      """"decode_secs":[\d.eE+-]+,"decode_gbps":([\d.eE+-]+)""").r
+    val matches = run.findAllMatchIn(json).toSeq
+    val gbps = matches.map(m => m.group(1).toInt -> m.group(2))
+    val decGbps = matches.map(m => m.group(1).toInt -> m.group(3))
     def scalar(key: String): Option[String] =
       s""""$key":(-?[\\d.eE+-]+)""".r.findFirstMatchIn(json).map(_.group(1))
     val parts =
       gbps.sortBy(_._1).map { case (c, g) => s""""gbps_$c":$g""" } ++
-        Seq("scaling_efficiency", "lightweight_ratio", "stored_bytes",
+        decGbps.sortBy(_._1).map { case (c, g) => s""""decode_gbps_$c":$g""" } ++
+        Seq("scaling_efficiency", "decode_scaling_efficiency",
+          "lightweight_ratio", "stored_bytes",
           "orc_snappy_bytes", "orc_zlib_bytes", "stored_vs_orc_snappy",
           "stored_vs_orc_zlib", "n_docs", "n_tokens")
           .flatMap(k => scalar(k).map(v => s""""$k":$v""")) ++
-        Seq(""""methodology":"forked ScalingBench (fresh JVM, min of 3 reps, warm excluded)"""")
+        Seq(""""methodology":"forked ScalingBench (fresh JVM, interleaved levels, min of 4 reps, warm excluded)"""")
     parts.mkString("{", ",", "}")
   }
 }

@@ -41,30 +41,60 @@ object ScalingBench {
     // (min is the standard noise-rejecting estimator on a shared host).
     // buckets = 16x total cores: tasks >> slots so the scheduler smooths
     // bucket-size variance — the same recipe a 1000-executor cluster uses.
+    val segDir = EncodeBench.storedSegDir(inputPath)
+
+    def mkSession(n: Int) =
+      if (localMode) EncodeBench.session(n * coresPerExec)
+      else EncodeBench.clusterSession(n, coresPerExec)
+    // buckets: tasks >> slots (scheduler smooths bucket-size variance) AND
+    // bucket small enough that a task's live set stays GC-friendly as the
+    // input grows — SPARK_GRAFT_BUCKETS overrides for A-B experiments
+    def bucketsFor(cores: Int) =
+      sys.env.get("SPARK_GRAFT_BUCKETS").map(_.toInt).getOrElse(16 * cores)
+
+    // Warm both levels once (JIT is JVM-wide and survives session swaps;
+    // page cache fills), then INTERLEAVE the timed reps across levels: on
+    // a shared host, consecutive multi-minute blocks per level land in
+    // different noise windows and the efficiency ratio absorbs the skew —
+    // interleaving makes both levels sample the same climate, and min-of-N
+    // per level then rejects the noise symmetrically.
+    var expectTokens = 0L
+    levels.foreach { n =>
+      val s = mkSession(n)
+      val cores = n * coresPerExec
+      expectTokens = EncodeBench.timedEncode(s, inputPath, bucketsFor(cores), cores).nTokens
+      EncodeBench.timedDecode(s, segDir, cores, expectTokens)
+    }
+    val samples = (1 to timedReps).flatMap { _ =>
+      levels.map { n =>
+        val cores = n * coresPerExec
+        val s = mkSession(n)
+        val enc = EncodeBench.timedEncode(s, inputPath, bucketsFor(cores), cores)
+        // scan-side mirror: full decode of the stored segment table (the
+        // reference's own throughput identity is ORC scan speed); the token
+        // count doubles as a whole-corpus round-trip check
+        val dec = EncodeBench.timedDecode(s, segDir, cores, expectTokens)
+        (cores, enc, dec)
+      }
+    }
     val runs = levels.map { n =>
       val cores = n * coresPerExec
-      val s =
-        if (localMode) EncodeBench.session(cores)
-        else EncodeBench.clusterSession(n, coresPerExec)
-      // buckets: tasks >> slots (scheduler smooths bucket-size variance) AND
-      // bucket small enough that a task's live set stays GC-friendly as the
-      // input grows — SPARK_GRAFT_BUCKETS overrides for A-B experiments
-      val buckets = sys.env.get("SPARK_GRAFT_BUCKETS").map(_.toInt).getOrElse(16 * cores)
-      EncodeBench.timedEncode(s, inputPath, buckets = buckets, cores)
-      (1 to timedReps)
-        .map(_ => EncodeBench.timedEncode(s, inputPath, buckets = buckets, cores))
-        .minBy(_.secs)
+      val mine = samples.filter(_._1 == cores)
+      (mine.map(_._2).minBy(_.secs), mine.map(_._3).minBy(_.secs))
     }
 
-    val lo = runs.minBy(_.cpus)
-    val hi = runs.maxBy(_.cpus)
-    val eff = (hi.gbps / lo.gbps) / (hi.cpus.toDouble / lo.cpus)
-    val runsJson = runs.map { r =>
-      f"""{"executors":${r.cpus / coresPerExec},"cores":${r.cpus},"secs":${r.secs}%.3f,"gbps":${r.gbps}%.4f,"token_gb":${r.tokenBytes / 1e9}%.3f}"""
+    val lo = runs.minBy(_._1.cpus)
+    val hi = runs.maxBy(_._1.cpus)
+    val eff = (hi._1.gbps / lo._1.gbps) / (hi._1.cpus.toDouble / lo._1.cpus)
+    val decEff = (hi._2.gbps / lo._2.gbps) / (hi._2.cpus.toDouble / lo._2.cpus)
+    val runsJson = runs.map { case (r, d) =>
+      f"""{"executors":${r.cpus / coresPerExec},"cores":${r.cpus},"secs":${r.secs}%.3f,"gbps":${r.gbps}%.4f,""" +
+        f""""decode_secs":${d.secs}%.3f,"decode_gbps":${d.gbps}%.4f,"token_gb":${r.tokenBytes / 1e9}%.3f}"""
     }.mkString("[", ",", "]")
     println(
-      f"""{"metric":"encode_scaling","mode":"${if (localMode) "local" else "local-cluster"}","n_docs":$nDocs,"n_tokens":${hi.nTokens},"runs":$runsJson,""" +
-        f""""scaling_efficiency":$eff%.3f,"lightweight_ratio":${hi.ratio}%.3f,""" +
+      f"""{"metric":"encode_scaling","mode":"${if (localMode) "local" else "local-cluster"}","n_docs":$nDocs,"n_tokens":${hi._1.nTokens},"runs":$runsJson,""" +
+        f""""scaling_efficiency":$eff%.3f,"decode_scaling_efficiency":$decEff%.3f,""" +
+        f""""lightweight_ratio":${hi._1.ratio}%.3f,""" +
         f""""stored_bytes":$stored,"orc_snappy_bytes":$orcSnappy,"orc_zlib_bytes":$orcZlib,""" +
         f""""parquet_input_bytes":$parquetIn,""" +
         f""""stored_vs_orc_snappy":${stored.toDouble / orcSnappy}%.3f,""" +

@@ -89,6 +89,28 @@ object EncodeBench {
       agg.getLong(2), agg.getLong(3))
   }
 
+  /** One timed DECODE job over the stored segment table — the scan-side
+    * mirror of [[timedEncode]] and the direct analog of the reference's
+    * whole purpose (ORC scan throughput; its decode_time/rows_decoded
+    * metrics, /root/reference/src/metrics.rs:57-218). Forces every payload
+    * through inflate+codec decode and checks the token count, so the run
+    * doubles as a full-corpus round-trip count check. */
+  def timedDecode(spark: SparkSession, segDir: String, cpus: Int,
+                  expectTokens: Long): EncodeRun = {
+    import spark.implicits._
+    val segs = spark.read.parquet(segDir).drop("snapshotId").as[graft.engine.Segment]
+    val t0 = System.nanoTime()
+    val agg = graft.engine.GraftEncoder.decode(segs)
+      .agg(count(lit(1)).as("rows"),
+        sum(size($"tokens")).cast("long").as("toks"))
+      .collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val nTokens = agg.getLong(1)
+    require(nTokens == expectTokens,
+      s"decode token count mismatch: $nTokens vs $expectTokens")
+    EncodeRun(cpus, secs, agg.getLong(0), nTokens, nTokens * 4L, 0L, 0L)
+  }
+
   /** Independent ORC writer baseline (the reference's own stance: its size
     * baseline came from PyArrow's ORC writer, not its own code —
     * /root/reference/scripts/convert_tpcds_to_orc.py:71). Returns
@@ -108,13 +130,16 @@ object EncodeBench {
     else if (f.isDirectory) f.listFiles().map(dirBytes).sum
     else 0L
 
+  def storedSegDir(inputPath: String): String =
+    s"target/bench-input/graft-segments-${new java.io.File(inputPath).getName}"
+
   /** Our end-to-end stored size: segments written as the parquet segment
     * table (what actually lands on disk, headers + lineage overhead
-    * included). */
+    * included). The written table doubles as the decode-bench input. */
   def storedBytes(spark: SparkSession, inputPath: String, buckets: Int): Long = {
     import spark.implicits._
     val input = spark.read.parquet(inputPath).as[graft.engine.TokenRow]
-    val out = s"target/bench-input/graft-segments-${new java.io.File(inputPath).getName}"
+    val out = storedSegDir(inputPath)
     GraftEncoder.encode(input, buckets).write.mode(SaveMode.Overwrite).parquet(out)
     dirBytes(new java.io.File(out))
   }
