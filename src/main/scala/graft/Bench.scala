@@ -57,7 +57,7 @@ object Bench {
     // 32-hw-thread host).
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "3000000").toLong
     val encodeJson =
-      EncodeBench.forkScalingJson(nDocs, levels = "1,4", reps = 4) match {
+      EncodeBench.forkScalingJson(nDocs, levels = "1,4", reps = 3) match {
         case Some(json) => rekey(json)
         case None => """{"error":"forked ScalingBench produced no result"}"""
       }
@@ -86,7 +86,7 @@ object Bench {
           "orc_snappy_bytes", "orc_zlib_bytes", "stored_vs_orc_snappy",
           "stored_vs_orc_zlib", "n_docs", "n_tokens")
           .flatMap(k => scalar(k).map(v => s""""$k":$v""")) ++
-        Seq(""""methodology":"forked ScalingBench (fresh JVM, interleaved levels, min of 4 reps, warm excluded)"""")
+        Seq(""""methodology":"forked ScalingBench (fresh JVM, interleaved levels, min of 3 reps, warm excluded)"""")
     parts.mkString("{", ",", "}")
   }
 }

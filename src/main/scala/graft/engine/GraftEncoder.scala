@@ -164,11 +164,28 @@ object GraftEncoder {
     * UTF8String binary comparison, because the decode-side skip filter
     * compares the stored minS/maxS with SQL `<=`/`>=`. Scala's natural
     * String ordering is UTF-16 code-unit order, which disagrees for
-    * supplementary-plane characters; this one never does. */
+    * supplementary-plane characters; this one never does.
+    *
+    * Allocation-free fast path: while both sides are ASCII, char order ==
+    * UTF-8 byte order; on the first differing position involving a
+    * non-ASCII char, fall back to a real byte compare (encode hot path —
+    * the naive two-getBytes version cost 4 array allocations per row). */
   def compareUtf8(a: String, b: String): Int = {
-    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    java.util.Arrays.compareUnsigned(ab, bb)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i)
+      val cb = b.charAt(i)
+      if (ca != cb) {
+        if (ca < 0x80 && cb < 0x80) return ca - cb
+        return java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      i += 1
+    }
+    // one is a prefix of the other: shorter sorts first in byte order too
+    a.length - b.length
   }
 
   /** Encode one chunk of rows into a Segment (pure function — unit-tested

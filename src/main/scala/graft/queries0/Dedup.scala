@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline: exact
   * (hash-groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket-join),
-  * SimHash (banded hamming), n-gram Jaccard verification, and
-  * embedding-cosine near-dup (random-hyperplane LSH bucketing).
+  * EXACT n-gram Jaccard (inverted-index join), SimHash (banded hamming),
+  * embedding-cosine near-dup (random-hyperplane LSH bucketing), and
+  * connected-component cluster assignment over the pair graph.
   *
   * Scale design: signatures are computed in ONE narrow map pass per
   * document (no shingle explosion shuffle — a doc's shingle set never

@@ -109,6 +109,23 @@ class EnginePipelineSpec extends AnyFunSuite {
     assert(srcCol.minS === "books" && srcCol.maxS === "web")
   }
 
+  test("compareUtf8 is UTF-8 byte order, not UTF-16 char order") {
+    import GraftEncoder.compareUtf8
+    assert(compareUtf8("abc", "abd") < 0)
+    assert(compareUtf8("abc", "abcd") < 0, "prefix sorts first")
+    assert(compareUtf8("", "a") < 0)
+    assert(compareUtf8("same", "same") === 0)
+    // U+10000 (UTF-8 F0 90 80 80) vs U+FFFF (EF BF BF): UTF-16 code-unit
+    // order says supplementary < FFFF (surrogate D800 < FFFF), byte order
+    // says the opposite — we must follow byte order (Spark UTF8String).
+    val supp = new String(Character.toChars(0x10000))
+    assert("￿" > supp, "UTF-16 order disagrees (precondition)")
+    assert(compareUtf8(supp, "￿") > 0, "byte order must win")
+    assert(compareUtf8("a大", "a熊") ===
+      java.util.Arrays.compareUnsigned(
+        "a大".getBytes("UTF-8"), "a熊".getBytes("UTF-8")))
+  }
+
   test("doc_id range pruning: skips segments, never loses a matching row") {
     import spark.implicits._
     val input = TokenTables.synthetic(spark, nDocs = 600, seed = 5L)
