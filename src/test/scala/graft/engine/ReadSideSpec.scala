@@ -35,6 +35,38 @@ class ReadSideSpec extends AnyFunSuite {
     segs.unpersist()
   }
 
+  test("decode metrics: empty scan reports efficiency 1.0 (reference's div-by-zero stance)") {
+    val m = new DecodeMetrics(spark.sparkContext)
+    assert(m.scanEfficiency === 1.0)
+  }
+
+  test("composed chunk predicates prune soundly (AND/OR of may-match is may-match)") {
+    import spark.implicits._
+    val input = TokenTables.synthetic(spark, nDocs = 400, seed = 5L)
+    val segs = GraftEncoder.encode(input, buckets = 4, tokensPerChunk = 2048).cache()
+    import ChunkPredicate._
+    val rare = TokenRange(50000L, 50256L)
+    val web = SourceEquals("web")
+    val pred = And(rare, web)
+    val total = GraftEncoder.decode(segs).count()
+    val survivors = decodeWhere(segs, pred).cache()
+    assert(survivors.count() < total, "composition must prune")
+    // soundness: every truly-matching row survives
+    val exact = GraftEncoder.decode(segs)
+      .filter(r => r.source == "web" && r.tokens.exists(t => t >= 50000 && t <= 50256))
+      .collect().map(_.doc_id).toSet
+    val viaPruned = survivors
+      .filter(r => r.source == "web" && r.tokens.exists(t => t >= 50000 && t <= 50256))
+      .collect().map(_.doc_id).toSet
+    assert(viaPruned === exact)
+    // OR prunes no more than either branch alone
+    val orCount = decodeWhere(segs, Or(rare, web)).count()
+    assert(orCount >= decodeWhere(segs, rare).count())
+    assert(orCount >= decodeWhere(segs, web).count())
+    survivors.unpersist()
+    segs.unpersist()
+  }
+
   test("schema merge: appended nullable field unions; order is first-seen") {
     import org.apache.spark.sql.types._
     val a = StructType(Seq(
