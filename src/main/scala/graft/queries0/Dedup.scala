@@ -425,7 +425,77 @@ object Dedup {
        |  FROM en a JOIN en b ON a.vec_id < b.vec_id
        |)""".stripMargin
 
+  /** DuckDB replay of [[simhash]]: FNV-1a 64 over UTF-16 code units then the
+    * splitmix64 finalizer, all mod-2^64 arithmetic carried in HUGEINT on
+    * [0, 2^64). The two 64-bit finalizer multipliers would overflow HUGEINT
+    * (2^64 * 2^63.8 > 2^127), so each product is split 32/32:
+    * a*b mod 2^64 = ((a_hi*b mod 2^32) << 32 + a_lo*b) mod 2^64. Right
+    * shifts are integer division by 2^k (values are non-negative). The
+    * per-bit majority vote is a (doc, bit) aggregate over a pow2 lookup CTE,
+    * re-assembled into a signed BIGINT so band extraction and bit_count
+    * match Spark's 64-bit semantics. Validated value-identical to the Scala
+    * kernel at sf0.001/0.01 before wiring (225 / 202 pairs). */
+  private val simhashCtes =
+    s"""WITH RECURSIVE $corpusSql,
+       |pow2(b, p) AS (
+       |  SELECT 0, 1::HUGEINT UNION ALL SELECT b + 1, p * 2 FROM pow2 WHERE b < 63
+       |),
+       |words AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS w
+       |  FROM corpus
+       |),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(14695981039346656037::HUGEINT,
+       |                   list_transform(string_split(w, ''), c -> unicode(c)::HUGEINT)),
+       |      (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+       |    ) AS fnv
+       |  FROM words
+       |),
+       |mixed AS (
+       |  SELECT doc_id, xor(m3.z3, m3.z3 // 2147483648::HUGEINT) AS h
+       |  FROM hashed,
+       |  LATERAL (SELECT (fnv + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z0) m0,
+       |  LATERAL (SELECT xor(m0.z0, m0.z0 // 1073741824::HUGEINT) AS x1) m1a,
+       |  LATERAL (SELECT (((m1a.x1 // 4294967296::HUGEINT) * 13787848793156543929::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT
+       |                  + (m1a.x1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT) % 18446744073709551616::HUGEINT AS z2) m1,
+       |  LATERAL (SELECT xor(m1.z2, m1.z2 // 134217728::HUGEINT) AS x2) m2a,
+       |  LATERAL (SELECT (((m2a.x2 // 4294967296::HUGEINT) * 10723151780598845931::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT
+       |                  + (m2a.x2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT) % 18446744073709551616::HUGEINT AS z3) m3
+       |),
+       |votes AS (
+       |  SELECT m.doc_id, p.b,
+       |    SUM(CASE WHEN (m.h // p.p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM mixed m CROSS JOIN pow2 p
+       |  GROUP BY m.doc_id, p.b
+       |),
+       |sh AS (
+       |  SELECT v.doc_id,
+       |    CAST(SUM(CASE WHEN v.v > 0 THEN
+       |      CASE WHEN p.b = 63 THEN p.p - 18446744073709551616::HUGEINT ELSE p.p END
+       |      ELSE 0::HUGEINT END) AS BIGINT) AS s
+       |  FROM votes v JOIN pow2 p ON v.b = p.b
+       |  GROUP BY v.doc_id
+       |),
+       |banded AS (
+       |  SELECT doc_id, s, b.band,
+       |    ((CASE WHEN s < 0 THEN s::HUGEINT + 18446744073709551616::HUGEINT ELSE s::HUGEINT END
+       |     ) // (CASE b.band WHEN 0 THEN 1::HUGEINT WHEN 1 THEN 65536::HUGEINT WHEN 2 THEN 4294967296::HUGEINT ELSE 281474976710656::HUGEINT END)
+       |    ) % 65536 AS bits
+       |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) b
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.s AS s1, b.s AS s2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_simhash" ->
+      s"""$simhashCtes
+         |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(s1, s2)) <= 4""".stripMargin,
     "dedup_exact" ->
       s"""WITH $corpusSql, groups AS (
          |  SELECT md5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
