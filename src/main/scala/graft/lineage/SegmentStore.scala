@@ -172,4 +172,15 @@ object SegmentStore {
   /** Full decode of a committed snapshot. */
   def readDecoded(spark: SparkSession, tableDir: String, snapshotId: Long): Dataset[TokenRow] =
     GraftEncoder.decode(readSegments(spark, tableDir, snapshotId))
+
+  /** Read segments across ALL snapshots (the incremental-encode view: each
+    * micro-batch is its own snapshot and the table is their disjoint union,
+    * because a snapshot never clobbers another — partitionBy(snapshotId,
+    * bucket) above). */
+  def readSegmentsAll(spark: SparkSession, tableDir: String): Dataset[Segment] = {
+    import spark.implicits._
+    spark.read.parquet(dataDir(tableDir))
+      .drop($"snapshotId")
+      .as[Segment]
+  }
 }

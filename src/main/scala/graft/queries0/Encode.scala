@@ -201,7 +201,57 @@ object Encode {
     } finally segs.unpersist()
   }
 
+  /** Incremental (Structured Streaming) encode surfaced as a query: the
+    * token table lands as 4 input files, StreamingEncode drains them with
+    * maxFilesPerTrigger=1 — one ledgered snapshot per micro-batch — and the
+    * union of all snapshots must decode back to exactly the input
+    * (element-for-element token equality, the same contract as the batch
+    * round-trip). Output: per-source doc/token totals + mismatches (must be
+    * 0) + how many micro-batch snapshots the ledger recorded (must be > 1,
+    * or the entry degenerated to a single batch and proved nothing
+    * incremental). */
+  def streamingIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val input = TokenTables.fromDocuments(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
+    try {
+      input.repartition(4).write.parquet(s"$base/input")
+      graft.streaming.StreamingEncode.drain(
+        spark, s"$base/input", s"$base/table", s"$base/ckpt", buckets = 8)
+      val nSnapshots = SegmentStore.readLineage(spark, s"$base/table")
+        .filter($"status" === SegmentStore.Committed)
+        .select($"snapshotId").distinct().count()
+      require(nSnapshots > 1, s"expected >1 micro-batch snapshots, got $nSnapshots")
+      val decoded = SegmentStore.readSegmentsAll(spark, s"$base/table")
+        .transform(GraftEncoder.decode)
+        .toDF("doc_id", "tokens_dec", "n_tok_dec", "source_dec")
+      // Materialize before the finally-delete: the result is group-by-source
+      // scale (a handful of rows), the join underneath is fully distributed.
+      val rows = input.toDF("doc_id", "tokens", "n_tok", "source")
+        .join(decoded, Seq("doc_id"), "full_outer")
+        .withColumn("ok",
+          $"tokens" === $"tokens_dec" && $"n_tok" === $"n_tok_dec" &&
+            $"source" === $"source_dec")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("sum_tokens"),
+          sum(when(coalesce($"ok", lit(false)), 0L).otherwise(1L)).as("n_mismatch"))
+        .withColumn("n_snapshots", lit(nSnapshots))
+        .orderBy($"source")
+        .collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(
+          Seq(org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_tokens", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_mismatch", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_snapshots", org.apache.spark.sql.types.LongType))))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "encode_streaming_incremental" -> (streamingIncremental _),
     "encode_scan_metrics" -> (scanMetrics _),
     "encode_roundtrip_docs" -> (roundtripDocs _),
     "encode_roundtrip_synthetic" -> (roundtripSynthetic _),
