@@ -50,6 +50,63 @@ final case class Segment(
 final case class BucketedRow(
     doc_id: String, tokens: Array[Int], n_tok: Int, source: String, bucket: Int)
 
+/** Shuffle wire form of a [[BucketedRow]]: the token array varint-packed
+  * map-side, BEFORE the bucket exchange. Vocab ids are zipf-heavy small
+  * ints, so this moves ~2 B/token through the shuffle instead of the 4 B/
+  * token of a raw Array[Int] — stage telemetry attributes the encode job's
+  * 16-core efficiency sag to shuffle write/serialization bandwidth
+  * (BASELINE.md), and at the 10^12-sequence scale the exchange is the
+  * single largest data movement of the whole pipeline. Pack/unpack are
+  * branch-light single passes (~1 ns/token), invisible next to the deflate
+  * work on the reduce side; unpacked tokens are bit-identical, so segment
+  * bytes and the determinism/restart contract are untouched. */
+final case class PackedRow(
+    doc_id: String, pack: Array[Byte], n_tok: Int, source: String, bucket: Int)
+
+/** LEB128-style varint codec for the shuffle payload (unsigned form over
+  * the int's 32-bit pattern: non-negative vocab ids cost 1-3 bytes;
+  * arbitrary negative ints still round-trip, at 5 bytes). */
+object TokenPack {
+  def pack(tokens: Array[Int]): Array[Byte] = {
+    var size = 0
+    var i = 0
+    while (i < tokens.length) {
+      var v = tokens(i) & 0xFFFFFFFFL
+      size += 1
+      while (v >= 0x80L) { v >>>= 7; size += 1 }
+      i += 1
+    }
+    val out = new Array[Byte](size)
+    var o = 0
+    i = 0
+    while (i < tokens.length) {
+      var v = tokens(i) & 0xFFFFFFFFL
+      while (v >= 0x80L) { out(o) = ((v & 0x7F) | 0x80).toByte; o += 1; v >>>= 7 }
+      out(o) = v.toByte; o += 1
+      i += 1
+    }
+    out
+  }
+
+  def unpack(pack: Array[Byte], n: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    var o = 0
+    var i = 0
+    while (o < n) {
+      var v = 0L
+      var shift = 0
+      var b = pack(i); i += 1
+      while ((b & 0x80) != 0) {
+        v |= (b & 0x7FL) << shift; shift += 7
+        b = pack(i); i += 1
+      }
+      v |= (b & 0xFFL) << shift
+      out(o) = v.toInt; o += 1
+    }
+    out
+  }
+}
+
 /** The encode/decode engine: typed Dataset transformations only (input_hint:
   * no RDD unless forced; the chunking inside a partition is genuine
   * per-partition imperative logic, expressed via mapPartitions on the typed
@@ -115,9 +172,18 @@ object GraftEncoder {
                      codecConf: CodecConf = CodecConf.Default): Dataset[Segment] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    partitionForEncode(ds, buckets).mapPartitions { rows =>
-      encodePartition(rows, tokensPerChunk, codecConf)
-    }
+    // Varint-pack the token payload in the SAME narrow map stage that feeds
+    // the exchange (see [[PackedRow]]): the one shuffle of the job moves
+    // ~half the bytes. Unpack on the reduce side restores bit-identical
+    // token arrays before chunking, so segments are unchanged.
+    ds.map(r => PackedRow(r.doc_id, TokenPack.pack(r.tokens), r.n_tok, r.source, r.bucket))
+      .repartition(buckets, $"bucket")
+      .mapPartitions { rows =>
+        encodePartition(
+          rows.map(p => BucketedRow(p.doc_id, TokenPack.unpack(p.pack, p.n_tok),
+            p.n_tok, p.source, p.bucket)),
+          tokensPerChunk, codecConf)
+      }
   }
 
   /** Pure per-partition encode: buffer the partition (≈ one bucket by
