@@ -56,6 +56,13 @@ object CodecPropertySpec extends Properties("codecs") {
     RleV2.decode(RleV2.encode(values)).toSeq == values.toSeq
   }
 
+  property("TokenPack (shuffle varint) round-trips any Int array") =
+    forAll(genAnyInts) { values =>
+      val ints = values.map(_.toInt) // shuffle payload is Array[Int]
+      graft.engine.TokenPack.unpack(graft.engine.TokenPack.pack(ints), ints.length)
+        .toSeq == ints.toSeq
+    }
+
   property("every int codec round-trips") = forAll(genAnyInts) { values =>
     IntCodecs.all.forall { c =>
       IntCodecs.decodeChunk(IntCodecs.encodeChunk(values, c)).toSeq == values.toSeq
