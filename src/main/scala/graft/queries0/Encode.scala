@@ -250,7 +250,36 @@ object Encode {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** SQL-side decode through the native Catalyst expressions
+    * (graft.engine.SqlFunctions): per int column, chunk counts and the
+    * decoded value count + sum computed ENTIRELY in SQL over payload
+    * bytes — no Dataset decode pass. Internal consistency is asserted
+    * in-query: the tokens column's decoded value count must equal the sum
+    * of the decoded tok_len stream (the same invariant decodeSegment
+    * relies on), and per-row equality with the engine decode is pinned in
+    * SqlFunctionsSpec. */
+  def sqlDecode(spark: SparkSession, dir: String): DataFrame = {
+    graft.engine.SqlFunctions.register(spark)
+    val input = TokenTables.fromDocuments(spark, dir)
+    GraftEncoder.encode(input, buckets = 16)
+      .createOrReplaceTempView("graft_segments_sql")
+    val out = spark.sql(
+      """SELECT c.col AS col, COUNT(*) AS n_chunks,
+        |  SUM(size(graft_decode_ints(c.payload))) AS n_values,
+        |  SUM(aggregate(graft_decode_ints(c.payload), 0L, (a, x) -> a + x)) AS sum_values
+        |FROM graft_segments_sql LATERAL VIEW explode(cols) t AS c
+        |WHERE c.col IN ('tokens', 'n_tok', 'tok_len')
+        |GROUP BY c.col ORDER BY col""".stripMargin)
+    val rows = out.collect()
+    def sumOf(col: String, field: Int) =
+      rows.find(_.getString(0) == col).map(r => r.getLong(field)).getOrElse(-1L)
+    require(sumOf("tokens", 2) == sumOf("tok_len", 3),
+      "SQL decode inconsistent: token count != sum(tok_len)")
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "encode_sql_decode" -> (sqlDecode _),
     "encode_streaming_incremental" -> (streamingIncremental _),
     "encode_scan_metrics" -> (scanMetrics _),
     "encode_roundtrip_docs" -> (roundtripDocs _),
