@@ -28,33 +28,45 @@ object BlockCompression {
   final val SampleLen = 8 * 1024
   final val MinSampledGain = 0.0
 
+  // Per-thread codec reuse (the Hadoop/Parquet codec-pool pattern): a
+  // Deflater/Inflater per chunk pays a native malloc + free on every column
+  // chunk — at the 10^12-sequence scale that is billions of native
+  // allocations for nothing (single-node microbenching on this noisy host
+  // can't resolve the delta; the allocation is simply unnecessary work).
+  // Spark executor task threads are pooled and bounded, so per-thread
+  // natives are bounded too; the level is (re)applied per call, so
+  // concurrent jobs with different zlibLevel confs never leak state.
+  private val localDeflater: ThreadLocal[Deflater] =
+    ThreadLocal.withInitial(() => new Deflater(Deflater.DEFAULT_COMPRESSION, true))
+  private val localInflater: ThreadLocal[Inflater] =
+    ThreadLocal.withInitial(() => new Inflater(true))
+
   def deflate(data: Array[Byte], lvl: Int): Array[Byte] = {
-    val d = new Deflater(lvl, true)
-    try {
-      d.setInput(data)
-      d.finish()
-      val out = new ByteWriter(math.max(64, data.length / 3))
-      val buf = new Array[Byte](8192)
-      while (!d.finished()) {
-        val n = d.deflate(buf)
-        out.writeBytes(buf, 0, n)
-      }
-      out.toArray
-    } finally d.end()
+    val d = localDeflater.get()
+    d.setLevel(lvl) // takes effect at the reset() below (Deflater contract)
+    d.reset()
+    d.setInput(data)
+    d.finish()
+    val out = new ByteWriter(math.max(64, data.length / 3))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      out.writeBytes(buf, 0, n)
+    }
+    out.toArray
   }
 
   def inflate(data: Array[Byte], from: Int, len: Int, rawLen: Int): Array[Byte] = {
-    val inf = new Inflater(true)
-    try {
-      inf.setInput(data, from, len)
-      val out = new Array[Byte](rawLen)
-      var pos = 0
-      while (pos < rawLen && !inf.finished()) {
-        pos += inf.inflate(out, pos, rawLen - pos)
-      }
-      require(pos == rawLen, s"inflate produced $pos of $rawLen bytes")
-      out
-    } finally inf.end()
+    val inf = localInflater.get()
+    inf.reset()
+    inf.setInput(data, from, len)
+    val out = new Array[Byte](rawLen)
+    var pos = 0
+    while (pos < rawLen && !inf.finished()) {
+      pos += inf.inflate(out, pos, rawLen - pos)
+    }
+    require(pos == rawLen, s"inflate produced $pos of $rawLen bytes")
+    out
   }
 
   /** Wrap a payload, deflating only when it wins. Payloads well beyond the
