@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.TaskContext
 
@@ -346,6 +346,64 @@ object GraftEncoder {
     val spark = segments.sparkSession
     import spark.implicits._
     segments.flatMap(decodeSegment _)
+  }
+
+  /** Column-pruned decode — the native-engine half of projection pushdown
+    * (the reference gets its half free from DataFusion's projected scan,
+    * /root/reference/src/source.rs; Catalyst prunes OUR parquet scan the
+    * same way, but once a Segment row is materialized [[decodeSegment]]
+    * would still inflate and decode all five streams). A projection that
+    * skips `tokens` skips inflating the token payload — ~95% of stored
+    * bytes — so `SELECT doc_id, n_tok`-shaped scans over the segment table
+    * decode only the few-KB metadata streams. Column order in the result
+    * follows the canonical (doc_id, tokens, n_tok, source) order. */
+  def decodeProjected(segments: Dataset[Segment], columns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val canonical = Seq("doc_id", "tokens", "n_tok", "source")
+    require(columns.nonEmpty && columns.forall(canonical.contains),
+      s"projectable columns are $canonical, got $columns")
+    val cols = canonical.filter(columns.contains)
+    val schema = StructType(cols.map {
+      case "doc_id" => StructField("doc_id", StringType, nullable = false)
+      case "tokens" => StructField("tokens", ArrayType(IntegerType, containsNull = false), nullable = false)
+      case "n_tok"  => StructField("n_tok", IntegerType, nullable = false)
+      case "source" => StructField("source", StringType, nullable = false)
+    })
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    val needDoc = cols.contains("doc_id")
+    val needTok = cols.contains("tokens")
+    val needN = cols.contains("n_tok")
+    val needSrc = cols.contains("source")
+    segments.flatMap { seg =>
+      val byCol = seg.cols.map(c => c.col -> c).toMap
+      val docIds = if (needDoc) StringCodecs.decodeChunk(byCol("doc_id").payload) else null
+      val sources = if (needSrc) StringCodecs.decodeChunk(byCol("source").payload) else null
+      val nToks = if (needN) IntCodecs.decodeChunk(byCol("n_tok").payload) else null
+      val tokLens = if (needTok) IntCodecs.decodeChunk(byCol("tok_len").payload) else null
+      val flat = if (needTok) IntCodecs.decodeChunk(byCol("tokens").payload) else null
+      var pos = 0
+      (0 until seg.nRows).iterator.map { i =>
+        val values = new Array[Any](cols.length)
+        var f = 0
+        cols.foreach { c =>
+          values(f) = c match {
+            case "doc_id" => docIds(i)
+            case "tokens" =>
+              val len = tokLens(i).toInt
+              val t = new Array[Int](len)
+              var j = 0
+              while (j < len) { t(j) = flat(pos + j).toInt; j += 1 }
+              pos += len
+              t.toSeq
+            case "n_tok" => nToks(i).toInt
+            case "source" => sources(i)
+          }
+          f += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(values.toIndexedSeq)
+      }
+    }.toDF(cols: _*)
   }
 
   /** Decode only segments whose `tokens` chunk [minV, maxV] intersects

@@ -278,7 +278,33 @@ object Encode {
     out
   }
 
+  /** Projection-pruned decode: a `SELECT doc_id, n_tok`-shaped scan decodes
+    * only the metadata streams — the tokens/tok_len payloads (~95% of
+    * stored bytes) are never inflated. Output: row totals from the
+    * projected scan + the payload bytes decoded vs skipped under this
+    * projection (from the chunk ledger, deterministic). */
+  def projectedScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val input = TokenTables.fromDocuments(spark, dir)
+    val segs = GraftEncoder.encode(input, buckets = 16).persist()
+    try {
+      val needed = Set("doc_id", "n_tok")
+      val projected = GraftEncoder.decodeProjected(segs, needed.toSeq)
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("sum_tokens"))
+        .collect()(0)
+      val bytes = segs.select(explode($"cols").as("c"))
+        .groupBy()
+        .agg(
+          sum(when($"c.col".isin(needed.toSeq: _*), $"c.bytesOut").otherwise(0L)).as("bytes_decoded"),
+          sum(when($"c.col".isin(needed.toSeq: _*), 0L).otherwise($"c.bytesOut")).as("bytes_skipped"))
+        .collect()(0)
+      Seq((projected.getLong(0), projected.getLong(1), bytes.getLong(0), bytes.getLong(1)))
+        .toDF("n_docs", "sum_tokens", "bytes_decoded", "bytes_skipped")
+    } finally segs.unpersist()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "encode_projected_scan" -> (projectedScan _),
     "encode_sql_decode" -> (sqlDecode _),
     "encode_streaming_incremental" -> (streamingIncremental _),
     "encode_scan_metrics" -> (scanMetrics _),

@@ -154,4 +154,35 @@ class EnginePipelineSpec extends AnyFunSuite {
     assert(segments.count(_.nTokens >= 2048) >= segments.length / 2,
       "chunks should be reasonably full")
   }
+
+  test("projected decode equals full decode on every projection subset") {
+    val input = TokenTables.synthetic(spark, nDocs = 300, seed = 42L)
+    val segs = GraftEncoder.encode(input, buckets = 4)
+    val full = GraftEncoder.decode(segs).collect().map(r => r.doc_id -> r).toMap
+    val subsets = Seq(
+      Seq("doc_id"), Seq("doc_id", "n_tok"), Seq("doc_id", "source"),
+      Seq("doc_id", "tokens"), Seq("doc_id", "tokens", "n_tok", "source"))
+    subsets.foreach { cols =>
+      val rows = GraftEncoder.decodeProjected(segs, cols).collect()
+      assert(rows.length === full.size, s"projection $cols row count")
+      assert(rows.head.schema.fieldNames.toSeq ===
+        Seq("doc_id", "tokens", "n_tok", "source").filter(cols.contains))
+      rows.foreach { r =>
+        val exp = full(r.getString(r.fieldIndex("doc_id")))
+        if (cols.contains("tokens"))
+          assert(r.getSeq[Int](r.fieldIndex("tokens")) === exp.tokens.toSeq)
+        if (cols.contains("n_tok"))
+          assert(r.getInt(r.fieldIndex("n_tok")) === exp.n_tok)
+        if (cols.contains("source"))
+          assert(r.getString(r.fieldIndex("source")) === exp.source)
+      }
+    }
+    // an unknown column and an empty projection must be rejected
+    intercept[IllegalArgumentException] {
+      GraftEncoder.decodeProjected(segs, Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftEncoder.decodeProjected(segs, Seq.empty)
+    }
+  }
 }
