@@ -110,7 +110,9 @@ object ScalingBench {
       f"""{"executors":${r.cpus / coresPerExec},"cores":${r.cpus},"secs":${r.secs}%.3f,"gbps":${r.gbps}%.4f,""" +
         f""""decode_secs":${d.secs}%.3f,"decode_gbps":${d.gbps}%.4f,""" +
         f""""task_sec":${r.taskSecs}%.1f,"cpu_sec":${r.cpuSecs}%.1f,""" +
-        f""""decode_cpu_sec":${d.cpuSecs}%.1f,"token_gb":${r.tokenBytes / 1e9}%.3f}"""
+        f""""decode_cpu_sec":${d.cpuSecs}%.1f,"shuffle_gb":${r.shuffleBytes / 1e9}%.3f,""" +
+        f""""wire_bytes_per_token":${if (r.nTokens > 0) r.shuffleBytes.toDouble / r.nTokens else -1.0}%.2f,""" +
+        f""""token_gb":${r.tokenBytes / 1e9}%.3f}"""
     }.mkString("[", ",", "]")
     println(
       f"""{"metric":"encode_scaling","mode":"${if (localMode) "local" else "local-cluster"}","n_docs":$nDocs,"n_tokens":${hi._1.nTokens},"runs":$runsJson,""" +

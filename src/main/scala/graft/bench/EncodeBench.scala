@@ -21,7 +21,8 @@ object EncodeBench {
       bytesIn: Long,
       bytesOut: Long,
       taskSecs: Double = 0.0, // sum of executorRunTime over the job's stages
-      cpuSecs: Double = 0.0) { // sum of executorCpuTime (on-CPU, noise-robust)
+      cpuSecs: Double = 0.0, // sum of executorCpuTime (on-CPU, noise-robust)
+      shuffleBytes: Long = 0L) { // sum of shuffle bytes written (wire volume)
     def gbps: Double = tokenBytes / 1e9 / secs
     def ratio: Double = bytesIn.toDouble / bytesOut
   }
@@ -32,14 +33,16 @@ object EncodeBench {
     * CPU whatever the neighbors do), so emitting both lets a reader split
     * "algorithmic scaling loss" from "noisy measurement window" directly
     * in the JSON — the same diagnostic role as Bench's calib_kernel_ms. */
-  private def withTaskTime[A](spark: SparkSession)(body: => A): (A, Double, Double) = {
+  private def withTaskTime[A](spark: SparkSession)(body: => A): (A, Double, Double, Long) = {
     val runMs = new java.util.concurrent.atomic.AtomicLong(0L)
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufB = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         runMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
         cpuNs.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime)
+        shufB.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
         ()
       }
     }
@@ -50,7 +53,7 @@ object EncodeBench {
         Thread.sleep(300) // drain the listener bus
         spark.sparkContext.removeSparkListener(listener)
       }
-    (a, runMs.get() / 1e3, cpuNs.get() / 1e9)
+    (a, runMs.get() / 1e3, cpuNs.get() / 1e9, shufB.get())
   }
 
   /** Materialize the deterministic synthetic token table once as parquet so
@@ -102,7 +105,7 @@ object EncodeBench {
       .getOrElse(graft.codec.CodecConf.Default)
     val input = spark.read.parquet(inputPath).as[graft.engine.TokenRow]
     var agg: org.apache.spark.sql.Row = null
-    val (secs, taskSecs, cpuSecs) = withTaskTime(spark) {
+    val (secs, taskSecs, cpuSecs, shufBytes) = withTaskTime(spark) {
       val t0 = System.nanoTime()
       stageReport(spark) {
         agg = GraftEncoder.encode(input, buckets, codecConf = codecConf)
@@ -117,7 +120,7 @@ object EncodeBench {
     }
     val nTokens = agg.getLong(1)
     EncodeRun(cpus, secs, agg.getLong(0), nTokens, nTokens * 4L,
-      agg.getLong(2), agg.getLong(3), taskSecs, cpuSecs)
+      agg.getLong(2), agg.getLong(3), taskSecs, cpuSecs, shufBytes)
   }
 
   /** One timed DECODE job over the stored segment table — the scan-side
@@ -131,7 +134,7 @@ object EncodeBench {
     import spark.implicits._
     val segs = spark.read.parquet(segDir).drop("snapshotId").as[graft.engine.Segment]
     var agg: org.apache.spark.sql.Row = null
-    val (secs, taskSecs, cpuSecs) = withTaskTime(spark) {
+    val (secs, taskSecs, cpuSecs, _) = withTaskTime(spark) {
       val t0 = System.nanoTime()
       agg = graft.engine.GraftEncoder.decode(segs)
         .agg(count(lit(1)).as("rows"),
