@@ -205,7 +205,11 @@ object EncodeBench {
       buf.toSeq
     }
     val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
-      "-Xmx12g", "-XX:+UseParallelGC",
+      // Same heap as the documented standalone methodology (BASELINE.md:
+      // SPARK_DRIVER_MEM=16g) — the fork ran -Xmx12g for a while and
+      // systematically sagged at the 16-core level (more GC at 16
+      // concurrent encode tasks: cpu_work_ratio 0.85 vs 0.91 standalone).
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}", "-XX:+UseParallelGC",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", cp, "graft.ScalingBench")
     val pb = new ProcessBuilder(cmd: _*)
