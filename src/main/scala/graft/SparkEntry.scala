@@ -37,6 +37,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     queries0.Relational.oracles ++
+      queries0.Encode.oracles ++
       queries0.Text.oracles ++
       queries0.Dedup.oracles ++
       queries0.Similarity.oracles

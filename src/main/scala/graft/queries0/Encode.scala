@@ -303,7 +303,43 @@ object Encode {
     } finally segs.unpersist()
   }
 
+  /** End-to-end through the DSv2 connector: encode the documents-derived
+    * token table into a SegmentStore table, read it back with
+    * `spark.read.format("graft")` (logical TokenRow schema, projected +
+    * filter-negotiated scan), aggregate per source. Oracle-checked: the
+    * tokenizer's word count is SQL-expressible, so DuckDB reproduces
+    * n_docs/sum_tokens from the raw documents table — a full-loop
+    * (encode -> store -> DSv2 scan -> aggregate) correctness gate. */
+  def dsv2Scan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-q").toString
+    try {
+      val input = TokenTables.fromDocuments(spark, dir)
+      SegmentStore.encodeCommit(input, base, snapshotId = 1L, buckets = 8)
+      val rows = spark.read.format("graft").load(base)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("sum_tokens"))
+        .orderBy($"source")
+        .collect().toSeq // materialize (group-by-source scale) before the temp dir is deleted
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum_tokens", org.apache.spark.sql.types.LongType))))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
+  /** DuckDB replay of [[dsv2Scan]]: the tokenizer is a `[^a-z0-9]+` split
+    * with empties dropped, so its COUNT is exact SQL. */
+  val oracles: Map[String, String] = Map(
+    "encode_dsv2_scan" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> ''))) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY source""".stripMargin)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "encode_dsv2_scan" -> (dsv2Scan _),
     "encode_projected_scan" -> (projectedScan _),
     "encode_sql_decode" -> (sqlDecode _),
     "encode_streaming_incremental" -> (streamingIncremental _),

@@ -1,0 +1,252 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.codec.{IntCodecs, StringCodecs}
+
+/** `spark.read.format("graft").load(tableDir)` — a DataSource V2 connector
+  * over the stored segment table, the Spark-native analog of the
+  * reference's DataFusion `TableProvider`/`FileFormat` registration
+  * (/root/reference/src/file_format.rs, source.rs):
+  *
+  *  - **schema inference** (§2.A.2): the table presents the logical
+  *    TokenRow schema `(doc_id, tokens, n_tok, source)`, not the physical
+  *    segment schema;
+  *  - **projection pushdown** (§2.A.8): `pruneColumns` reaches the decode
+  *    kernels — streams a query does not touch are never inflated
+  *    (a `SELECT doc_id, n_tok` never decodes the tokens payload);
+  *  - **filter pushdown negotiation** (§2.A.6): string/int comparisons on
+  *    doc_id/source/n_tok prune whole segments via the chunk min/max
+  *    statistics, and ALL filters are returned as residuals so Spark
+  *    re-filters rows exactly — the same `PushedDown::Inexact` contract the
+  *    reference pins (src/source.rs:279-281);
+  *  - **scan opener** (§2.A.5/7): one InputPartition per segment part-file;
+  *    each reader streams Groups straight from parquet with no Spark
+  *    session on the executor path.
+  *
+  * Works on both layouts: a bare `Dataset[Segment].write.parquet(dir)` dump
+  * and a [[graft.lineage.SegmentStore]] table dir (reads `dir/data`,
+  * ignores the lineage ledger).
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTable.TokenSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft source requires a path, e.g. .load(dir)"))
+    new GraftTable(path)
+  }
+}
+
+object GraftTable {
+  val TokenSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("tokens", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("source", StringType, nullable = false)))
+
+  /** Test-only telemetry (single-JVM): segments pruned by pushed stats. */
+  val segmentsPruned = new java.util.concurrent.atomic.LongAdder
+  val segmentsRead = new java.util.concurrent.atomic.LongAdder
+}
+
+class GraftTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft:$path"
+  override def schema(): StructType = GraftTable.TokenSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path)
+}
+
+class GraftScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = GraftTable.TokenSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept stats-prunable comparisons for segment skipping; hand EVERY
+    * filter back as a residual (inexact pruning, engine re-filters). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(GraftScan.prunable)
+    filters // all residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve canonical column order; an empty projection (COUNT(*)) still
+    // needs row counts, carried by nRows without decoding any stream
+    required = StructType(
+      GraftTable.TokenSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+  }
+  override def build(): Scan = new GraftScan(path, required, pushed)
+}
+
+object GraftScan {
+  def prunable(f: Filter): Boolean = f match {
+    case EqualTo(a, _: String) => a == "doc_id" || a == "source"
+    case GreaterThan(a, _: String) => a == "doc_id" || a == "source"
+    case GreaterThanOrEqual(a, _: String) => a == "doc_id" || a == "source"
+    case LessThan(a, _: String) => a == "doc_id" || a == "source"
+    case LessThanOrEqual(a, _: String) => a == "doc_id" || a == "source"
+    case EqualTo("n_tok", _: Int) => true
+    case GreaterThan("n_tok", _: Int) => true
+    case GreaterThanOrEqual("n_tok", _: Int) => true
+    case LessThan("n_tok", _: Int) => true
+    case LessThanOrEqual("n_tok", _: Int) => true
+    case _ => false
+  }
+}
+
+final case class GraftInputPartition(file: String) extends InputPartition
+
+class GraftScan(path: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftScan ReadSchema: ${required.simpleString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    val dataDir = new HPath(path, "data")
+    val fs = dataDir.getFileSystem(conf)
+    val root = if (fs.exists(dataDir)) dataDir else new HPath(path)
+    val files = ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        files += f.getPath.toString
+    }
+    files.sorted.map(f => GraftInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required, pushed)
+}
+
+class GraftReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition].file,
+      required, pushed)
+}
+
+/** Streams Segment groups from one parquet part-file, prunes on chunk
+  * stats, decodes ONLY the projected streams, emits InternalRows. */
+class GraftPartitionReader(file: String, required: StructType, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new HPath(file))
+      .withConf(new Configuration()).build()
+  private var rows: Iterator[InternalRow] = Iterator.empty
+  private var current: InternalRow = _
+
+  private val needDoc = required.fieldNames.contains("doc_id")
+  private val needTok = required.fieldNames.contains("tokens")
+  private val needN = required.fieldNames.contains("n_tok")
+  private val needSrc = required.fieldNames.contains("source")
+
+  override def next(): Boolean = {
+    while (!rows.hasNext) {
+      val g = reader.read()
+      if (g == null) return false
+      rows = decodeGroup(g)
+    }
+    current = rows.next()
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+
+  private final case class ChunkStats(minV: Long, maxV: Long, minS: String,
+                                      maxS: String, payload: Array[Byte])
+
+  private def chunks(g: Group): Map[String, ChunkStats] = {
+    val wrapper = g.getGroup("cols", 0) // LIST wrapper
+    val n = wrapper.getFieldRepetitionCount(0)
+    (0 until n).map { i =>
+      val el = wrapper.getGroup(0, i).getGroup(0, 0) // repeated "list" -> "element"
+      el.getString("col", 0) -> ChunkStats(
+        el.getLong("minV", 0), el.getLong("maxV", 0),
+        el.getString("minS", 0), el.getString("maxS", 0),
+        el.getBinary("payload", 0).getBytes)
+    }.toMap
+  }
+
+  /** May this segment match the pushed filters? Sound, inexact — false
+    * only when the chunk stats PROVE no row matches. */
+  private def mayMatch(c: Map[String, ChunkStats]): Boolean = pushed.forall {
+    case EqualTo(a, v: String) if c.contains(a) =>
+      val s = c(a); s.minS <= v && v <= s.maxS
+    case GreaterThan(a, v: String) if c.contains(a) => c(a).maxS > v
+    case GreaterThanOrEqual(a, v: String) if c.contains(a) => c(a).maxS >= v
+    case LessThan(a, v: String) if c.contains(a) => c(a).minS < v
+    case LessThanOrEqual(a, v: String) if c.contains(a) => c(a).minS <= v
+    case EqualTo("n_tok", v: Int) =>
+      val s = c("n_tok"); s.minV <= v && v <= s.maxV
+    case GreaterThan("n_tok", v: Int) => c("n_tok").maxV > v
+    case GreaterThanOrEqual("n_tok", v: Int) => c("n_tok").maxV >= v
+    case LessThan("n_tok", v: Int) => c("n_tok").minV < v
+    case LessThanOrEqual("n_tok", v: Int) => c("n_tok").minV <= v
+    case _ => true
+  }
+
+  private def decodeGroup(g: Group): Iterator[InternalRow] = {
+    val byCol = chunks(g)
+    if (!mayMatch(byCol)) {
+      GraftTable.segmentsPruned.increment()
+      return Iterator.empty
+    }
+    GraftTable.segmentsRead.increment()
+    val nRows = g.getInteger("nRows", 0)
+    val docIds = if (needDoc) StringCodecs.decodeChunk(byCol("doc_id").payload) else null
+    val sources = if (needSrc) StringCodecs.decodeChunk(byCol("source").payload) else null
+    val nToks = if (needN) IntCodecs.decodeChunk(byCol("n_tok").payload) else null
+    val tokLens = if (needTok) IntCodecs.decodeChunk(byCol("tok_len").payload) else null
+    val flat = if (needTok) IntCodecs.decodeChunk(byCol("tokens").payload) else null
+    var pos = 0
+    (0 until nRows).iterator.map { i =>
+      val row = new GenericInternalRow(required.length)
+      var f = 0
+      required.fieldNames.foreach { name =>
+        name match {
+          case "doc_id" => row.update(f, UTF8String.fromString(docIds(i)))
+          case "tokens" =>
+            val len = tokLens(i).toInt
+            val t = new Array[Int](len)
+            var j = 0
+            while (j < len) { t(j) = flat(pos + j).toInt; j += 1 }
+            pos += len
+            row.update(f, new GenericArrayData(t))
+          case "n_tok" => row.setInt(f, nToks(i).toInt)
+          case "source" => row.update(f, UTF8String.fromString(sources(i)))
+        }
+        f += 1
+      }
+      row
+    }
+  }
+}
