@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -119,12 +119,33 @@ object GraftScan {
 final case class GraftInputPartition(file: String) extends InputPartition
 
 class GraftScan(path: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  /** Planning-time size estimate so Catalyst can pick broadcast joins over
+    * small graft tables (the optimizer otherwise assumes a v2 scan is huge
+    * and never broadcasts). Stored segment bytes times the measured
+    * lightweight-compression expansion (~2.2x, BASELINE.md) approximates
+    * decoded width; a projection that skips `tokens` shrinks the estimate
+    * by the tokens stream's share of stored bytes (~90%). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val bytes: Long = {
+      val conf = new Configuration()
+      val stored = planInputPartitions().map { p =>
+        val hp = new HPath(p.asInstanceOf[GraftInputPartition].file)
+        hp.getFileSystem(conf).getFileStatus(hp).getLen
+      }.sum
+      val expansion = 2.2
+      val projFraction = if (required.fieldNames.contains("tokens")) 1.0 else 0.1
+      math.max(1L, (stored * expansion * projFraction).toLong)
+    }
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration()

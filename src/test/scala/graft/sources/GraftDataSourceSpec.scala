@@ -92,4 +92,16 @@ class GraftDataSourceSpec extends AnyFunSuite {
       .filter(_.n_tok > 1000).count()
     assert(exact === expected)
   }
+
+  test("scan reports statistics; small graft tables broadcast in joins") {
+    import spark.implicits._
+    val stats = spark.read.format("graft").load(bare)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(stats > 0 && stats < 100L * 1024 * 1024, s"stats=$stats")
+    val big = spark.range(100000).select($"id".cast("string").as("doc_id"))
+    val joined = big.join(spark.read.format("graft").load(bare).select("doc_id", "n_tok"), "doc_id")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"graft side not broadcast:\n$plan")
+  }
 }
