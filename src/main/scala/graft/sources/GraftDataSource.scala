@@ -14,7 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -80,9 +81,11 @@ class GraftTable(path: String) extends Table with SupportsRead {
 }
 
 class GraftScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var required: StructType = GraftTable.TokenSchema
   private var pushed: Array[Filter] = Array.empty
+  private var countStar = false
 
   /** Accept stats-prunable comparisons for segment skipping; hand EVERY
     * filter back as a residual (inexact pruning, engine re-filters). */
@@ -97,7 +100,26 @@ class GraftScanBuilder(path: String)
     required = StructType(
       GraftTable.TokenSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
   }
-  override def build(): Scan = new GraftScan(path, required, pushed)
+
+  /** COUNT(*) with no grouping and no residual filters reduces to summing
+    * the segment headers' nRows — the reader requests a parquet schema of
+    * JUST that int32, so payload pages are never read at all (a count over
+    * the 10^12-row table touches megabytes, not petabytes). Partial
+    * pushdown: each partition returns its own sum, Spark adds them up.
+    * Any filter blocks the push (Spark only offers the aggregate when the
+    * plan has no post-scan Filter, and ours always re-filters). */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar] &&
+      pushed.isEmpty
+    if (ok) countStar = true
+    ok
+  }
+
+  override def build(): Scan =
+    if (countStar) new GraftCountScan(path) else new GraftScan(path, required, pushed)
 }
 
 object GraftScan {
@@ -172,6 +194,44 @@ class GraftReaderFactory(required: StructType, pushed: Array[Filter])
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition].file,
       required, pushed)
+}
+
+/** COUNT(*)-pushed scan: partial counts from segment headers only. */
+class GraftCountScan(path: String) extends GraftScan(path, GraftTable.TokenSchema, Array.empty) {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count", LongType, nullable = false)))
+  override def description(): String = s"GraftScan PushedAggregation: [COUNT(*)]"
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new GraftCountReader(partition.asInstanceOf[GraftInputPartition].file)
+    }
+}
+
+/** Sums nRows per part-file; the parquet requested schema is the single
+  * int32 column, so payload pages are skipped at the IO layer. */
+class GraftCountReader(file: String) extends PartitionReader[InternalRow] {
+  private var done = false
+  override def next(): Boolean = !done && { done = true; true }
+  override def get(): InternalRow = {
+    val conf = new Configuration()
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      "message spark_schema { required int32 nRows; }")
+    val reader = ParquetReader.builder(new GroupReadSupport(), new HPath(file))
+      .withConf(conf).build()
+    var total = 0L
+    try {
+      var g = reader.read()
+      while (g != null) {
+        total += g.getInteger("nRows", 0)
+        g = reader.read()
+      }
+    } finally reader.close()
+    val row = new GenericInternalRow(1)
+    row.setLong(0, total)
+    row
+  }
+  override def close(): Unit = ()
 }
 
 /** Streams Segment groups from one parquet part-file, prunes on chunk

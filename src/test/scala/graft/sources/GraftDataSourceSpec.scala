@@ -104,4 +104,23 @@ class GraftDataSourceSpec extends AnyFunSuite {
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"graft side not broadcast:\n$plan")
   }
+
+  test("COUNT(*) pushes to segment headers (no decode, payload pages unread)") {
+    import spark.implicits._
+    val df = spark.read.format("graft").load(bare)
+    GraftTable.segmentsRead.reset(); GraftTable.segmentsPruned.reset()
+    val counted = df.agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+    assert(counted.collect()(0).getLong(0) === 400L)
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [COUNT(*)]"), s"count not pushed:\n$plan")
+    assert(GraftTable.segmentsRead.sum() === 0L,
+      "pushed count must not run the row-decoding reader")
+    // a filtered count must NOT push (we always re-filter residually) and stays exact
+    val filtered = df.filter($"n_tok" > 1000).agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    val expected = TokenTables.synthetic(spark, nDocs = 400, seed = 42L)
+      .filter(_.n_tok > 1000).count()
+    assert(filtered.collect()(0).getLong(0) === expected)
+  }
 }
