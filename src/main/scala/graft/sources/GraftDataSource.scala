@@ -140,6 +140,10 @@ object GraftScan {
 
 final case class GraftInputPartition(file: String) extends InputPartition
 
+/** Per-chunk stats + payload pulled from one parquet Group. */
+final case class ChunkStats(minV: Long, maxV: Long, minS: String,
+                            maxS: String, payload: Array[Byte])
+
 class GraftScan(path: String, required: StructType, pushed: Array[Filter])
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -261,9 +265,6 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
   }
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
-
-  private final case class ChunkStats(minV: Long, maxV: Long, minS: String,
-                                      maxS: String, payload: Array[Byte])
 
   private def chunks(g: Group): Map[String, ChunkStats] = {
     val wrapper = g.getGroup("cols", 0) // LIST wrapper
