@@ -396,7 +396,43 @@ object Relational {
         |FROM mem_lineitem GROUP BY l_returnflag""".stripMargin)
   }
 
+  /** The reference's literal domain is an ORC *reader* (its whole crate
+    * registers an ORC FileFormat with DataFusion). Our §2 analog for "read
+    * ORC" is Spark's built-in ORC source; this entry exercises it
+    * round-trip — write the documents table as ORC, scan it back with a
+    * projection + predicate (pushed into the ORC reader the same way the
+    * reference pushes into orc-rust), aggregate — and must match the
+    * DuckDB oracle computed from the original parquet. */
+  def orcScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-orc-q").toString
+    try {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .write.mode("overwrite").option("compression", "snappy").orc(s"$base/docs")
+      val rows = spark.read.orc(s"$base/docs")
+        .filter($"n_chars" > 500)
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").cast("long").as("sum_chars"))
+        .orderBy($"source", $"lang")
+        .collect().toSeq // group-by-source-lang scale; materialized before temp cleanup
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum_chars", org.apache.spark.sql.types.LongType))))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_orc_scan" -> (orcScan _),
     "q_stddev" -> (stddev0 _),
     "q_cube" -> (cube0 _),
     "q_grouping_sets" -> (groupingSets _),
@@ -440,6 +476,10 @@ object Relational {
     "q_cte_join_agg" -> (cteJoinAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q_orc_scan" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars > 500 GROUP BY source, lang""".stripMargin,
     "q_stddev" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
