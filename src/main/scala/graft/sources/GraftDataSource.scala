@@ -16,7 +16,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{And => SAnd, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Or => SOr}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -123,6 +123,12 @@ class GraftScanBuilder(path: String)
 }
 
 object GraftScan {
+  /** Stats-prunable filter shapes: string/int comparisons on stats-bearing
+    * columns, composed under AND/OR (the reference's predicate-tree
+    * conversion, predicate.rs:53-166 — same semantics as the engine's
+    * [[graft.engine.ChunkPredicate]]: AND/OR of may-match upper bounds is
+    * an upper bound, so composition stays sound). NOT is rejected, as in
+    * ChunkPredicate: interval stats cannot prove a complement empty. */
   def prunable(f: Filter): Boolean = f match {
     case EqualTo(a, _: String) => a == "doc_id" || a == "source"
     case GreaterThan(a, _: String) => a == "doc_id" || a == "source"
@@ -134,6 +140,8 @@ object GraftScan {
     case GreaterThanOrEqual("n_tok", _: Int) => true
     case LessThan("n_tok", _: Int) => true
     case LessThanOrEqual("n_tok", _: Int) => true
+    case SAnd(l, r) => prunable(l) && prunable(r)
+    case SOr(l, r) => prunable(l) && prunable(r)
     case _ => false
   }
 }
@@ -279,8 +287,12 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
   }
 
   /** May this segment match the pushed filters? Sound, inexact — false
-    * only when the chunk stats PROVE no row matches. */
-  private def mayMatch(c: Map[String, ChunkStats]): Boolean = pushed.forall {
+    * only when the chunk stats PROVE no row matches. AND/OR recurse with
+    * may-match semantics (an upper bound composed of upper bounds). */
+  private def mayMatch(c: Map[String, ChunkStats]): Boolean =
+    pushed.forall(f => mayMatchOne(c, f))
+
+  private def mayMatchOne(c: Map[String, ChunkStats], f: Filter): Boolean = f match {
     case EqualTo(a, v: String) if c.contains(a) =>
       val s = c(a); s.minS <= v && v <= s.maxS
     case GreaterThan(a, v: String) if c.contains(a) => c(a).maxS > v
@@ -293,6 +305,8 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
     case GreaterThanOrEqual("n_tok", v: Int) => c("n_tok").maxV >= v
     case LessThan("n_tok", v: Int) => c("n_tok").minV < v
     case LessThanOrEqual("n_tok", v: Int) => c("n_tok").minV <= v
+    case SAnd(l, r) => mayMatchOne(c, l) && mayMatchOne(c, r)
+    case SOr(l, r) => mayMatchOne(c, l) || mayMatchOne(c, r)
     case _ => true
   }
 

@@ -105,6 +105,28 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"graft side not broadcast:\n$plan")
   }
 
+  test("OR of point lookups composes under may-match pruning (predicate-tree conversion)") {
+    import spark.implicits._
+    val dir = tmp()
+    val input = TokenTables.synthetic(spark, nDocs = 400, seed = 42L)
+    val rangeBuckets = 8
+    val bucketed = input.map { r =>
+      val id = r.doc_id.filter(_.isDigit).toLong
+      val b = math.min(rangeBuckets - 1, (id * rangeBuckets / 400L).toInt)
+      graft.engine.BucketedRow(r.doc_id, r.tokens, r.n_tok, r.source, b)
+    }
+    GraftEncoder.encodeBucketed(bucketed, rangeBuckets, tokensPerChunk = 4096)
+      .write.parquet(s"$dir/segs")
+    val ids = input.collect().map(_.doc_id).sorted
+    val (a, b) = (ids.head, ids.last)
+    GraftTable.segmentsPruned.reset(); GraftTable.segmentsRead.reset()
+    val rows = spark.read.format("graft").load(s"$dir/segs")
+      .filter($"doc_id" === a || $"doc_id" === b).collect()
+    assert(rows.map(_.getString(0)).toSet === Set(a, b))
+    assert(GraftTable.segmentsPruned.sum() > 0,
+      "OR of two point lookups must still prune middle segments")
+  }
+
   test("COUNT(*) pushes to segment headers (no decode, payload pages unread)") {
     import spark.implicits._
     val df = spark.read.format("graft").load(bare)
