@@ -16,7 +16,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.sources.{And => SAnd, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Or => SOr}
+import org.apache.spark.sql.sources.{And => SAnd, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or => SOr}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -140,6 +140,8 @@ object GraftScan {
     case GreaterThanOrEqual("n_tok", _: Int) => true
     case LessThan("n_tok", _: Int) => true
     case LessThanOrEqual("n_tok", _: Int) => true
+    case In(a, vs) => (a == "doc_id" || a == "source") &&
+      vs.nonEmpty && vs.forall(_.isInstanceOf[String])
     case SAnd(l, r) => prunable(l) && prunable(r)
     case SOr(l, r) => prunable(l) && prunable(r)
     case _ => false
@@ -292,19 +294,32 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
   private def mayMatch(c: Map[String, ChunkStats]): Boolean =
     pushed.forall(f => mayMatchOne(c, f))
 
+  // Chunk minS/maxS were written in UTF-8 byte order (GraftEncoder
+  // .compareUtf8, matching Spark SQL's UTF8String comparisons); the skip
+  // tests must use the SAME order — Java String's UTF-16 code-unit order
+  // disagrees for supplementary-plane characters and would make pruning
+  // unsound there.
+  private def leS(a: String, b: String): Boolean =
+    graft.engine.GraftEncoder.compareUtf8(a, b) <= 0
+  private def ltS(a: String, b: String): Boolean =
+    graft.engine.GraftEncoder.compareUtf8(a, b) < 0
+
   private def mayMatchOne(c: Map[String, ChunkStats], f: Filter): Boolean = f match {
     case EqualTo(a, v: String) if c.contains(a) =>
-      val s = c(a); s.minS <= v && v <= s.maxS
-    case GreaterThan(a, v: String) if c.contains(a) => c(a).maxS > v
-    case GreaterThanOrEqual(a, v: String) if c.contains(a) => c(a).maxS >= v
-    case LessThan(a, v: String) if c.contains(a) => c(a).minS < v
-    case LessThanOrEqual(a, v: String) if c.contains(a) => c(a).minS <= v
+      val s = c(a); leS(s.minS, v) && leS(v, s.maxS)
+    case GreaterThan(a, v: String) if c.contains(a) => ltS(v, c(a).maxS)
+    case GreaterThanOrEqual(a, v: String) if c.contains(a) => leS(v, c(a).maxS)
+    case LessThan(a, v: String) if c.contains(a) => ltS(c(a).minS, v)
+    case LessThanOrEqual(a, v: String) if c.contains(a) => leS(c(a).minS, v)
     case EqualTo("n_tok", v: Int) =>
       val s = c("n_tok"); s.minV <= v && v <= s.maxV
     case GreaterThan("n_tok", v: Int) => c("n_tok").maxV > v
     case GreaterThanOrEqual("n_tok", v: Int) => c("n_tok").maxV >= v
     case LessThan("n_tok", v: Int) => c("n_tok").minV < v
     case LessThanOrEqual("n_tok", v: Int) => c("n_tok").minV <= v
+    case In(a, vs) if c.contains(a) =>
+      val s = c(a)
+      vs.exists { case v: String => leS(s.minS, v) && leS(v, s.maxS); case _ => true }
     case SAnd(l, r) => mayMatchOne(c, l) && mayMatchOne(c, r)
     case SOr(l, r) => mayMatchOne(c, l) || mayMatchOne(c, r)
     case _ => true

@@ -125,6 +125,13 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSet === Set(a, b))
     assert(GraftTable.segmentsPruned.sum() > 0,
       "OR of two point lookups must still prune middle segments")
+
+    // IN-list prunes like OR-of-equalities
+    GraftTable.segmentsPruned.reset()
+    val inRows = spark.read.format("graft").load(s"$dir/segs")
+      .filter($"doc_id".isin(a, b)).collect()
+    assert(inRows.map(_.getString(0)).toSet === Set(a, b))
+    assert(GraftTable.segmentsPruned.sum() > 0, "IN-list must prune")
   }
 
   test("COUNT(*) pushes to segment headers (no decode, payload pages unread)") {
