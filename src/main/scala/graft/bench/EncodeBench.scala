@@ -216,11 +216,16 @@ object EncodeBench {
     pb.environment().put("SPARK_GRAFT_BENCH_DOCS", nDocs.toString)
     pb.environment().put("SPARK_GRAFT_EXECUTORS", levels)
     pb.environment().put("SPARK_GRAFT_REPS", reps.toString)
-    pb.redirectErrorStream(false)
+    // stderr goes straight to a file: reading stdout to EOF while stderr
+    // sits in an undrained pipe deadlocks the child as soon as its Spark
+    // logging exceeds the ~64 KiB pipe buffer (child blocks in a stderr
+    // write, never exits, never closes stdout).
+    val errFile = java.io.File.createTempFile("graft-scaling-fork", ".stderr")
+    errFile.deleteOnExit()
+    pb.redirectError(ProcessBuilder.Redirect.to(errFile))
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8)
-    proc.getErrorStream.readAllBytes() // drain
     val code = proc.waitFor()
     val line = out.linesIterator.find(_.startsWith("""{"metric":"encode_scaling""""))
     if (code != 0 && line.isEmpty) {

@@ -88,10 +88,19 @@ object TokenPack {
     out
   }
 
-  def unpack(pack: Array[Byte], n: Int): Array[Int] = {
+  /** The value count is derived from the pack itself (one value per byte
+    * with the continuation bit clear) — NOT from a denormalized field like
+    * n_tok, which a caller-constructed TokenRow could set inconsistently
+    * with tokens.length; trusting it would silently truncate (or index
+    * past) the array while the pre-pack shuffle encoded such rows
+    * faithfully. */
+  def unpack(pack: Array[Byte]): Array[Int] = {
+    var n = 0
+    var i = 0
+    while (i < pack.length) { if ((pack(i) & 0x80) == 0) n += 1; i += 1 }
     val out = new Array[Int](n)
     var o = 0
-    var i = 0
+    i = 0
     while (o < n) {
       var v = 0L
       var shift = 0
@@ -180,7 +189,7 @@ object GraftEncoder {
       .repartition(buckets, $"bucket")
       .mapPartitions { rows =>
         encodePartition(
-          rows.map(p => BucketedRow(p.doc_id, TokenPack.unpack(p.pack, p.n_tok),
+          rows.map(p => BucketedRow(p.doc_id, TokenPack.unpack(p.pack),
             p.n_tok, p.source, p.bucket)),
           tokensPerChunk, codecConf)
       }

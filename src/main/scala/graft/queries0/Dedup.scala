@@ -128,8 +128,22 @@ object Dedup {
     * self-join and the pair-dedup carry ONLY (doc_id, band, hash) — the
     * shingle arrays join back once per unique candidate pair. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val (result, sigs) = minhashLshPlan(spark, dir)
+    // Materialize (eager localCheckpoint) BEFORE releasing the signature
+    // cache, so the caller's later actions never re-trigger the pipeline.
+    try result.localCheckpoint(true) finally sigs.unpersist()
+  }
+
+  /** The lazy plan + the live signature cache handle — split out so
+    * PlanAuditSpec can audit the REAL plan (the public entry returns a
+    * materialized checkpoint, whose plan is just an ExistingRDD scan).
+    * The signature pass (tokenize + shingle + MinhashK mixes per doc) is
+    * the expensive stage and feeds FOUR consumers (band self-join a/b,
+    * shingle join id1/id2) — without the persist Spark recomputes it per
+    * consumer. Callers MUST unpersist the returned handle. */
+  private[graft] def minhashLshPlan(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val sigs = signatures(spark, dir).toDF("doc_id", "shingles", "sig")
+    val sigs = signatures(spark, dir).toDF("doc_id", "shingles", "sig").persist()
     val rowsPerBand = MinhashK / Bands
     val banded = sigs.select(
       col("doc_id"),
@@ -154,7 +168,7 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= 0.5)
       .select(col("id1"), col("id2"), col("jaccard"))
-      .orderBy(col("id1"), col("id2"))
+      .orderBy(col("id1"), col("id2")) -> sigs
   }
 
   /** EXACT n-gram Jaccard dedup via the inverted-index join: explode
@@ -196,11 +210,13 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = minhashLsh(spark, dir).select(col("id1"), col("id2")).persist()
+    var edges: DataFrame = null
+    var cached: DataFrame = null
     try {
-      val edges = pairs
+      edges = pairs
         .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
         .persist()
-      var cached = edges.select(col("id1").as("id")).distinct()
+      cached = edges.select(col("id1").as("id")).distinct()
         .withColumn("comp", col("id"))
         .persist()
       var labels: DataFrame = cached
@@ -230,12 +246,16 @@ object Dedup {
       // result stays fully distributed — no driver-side collect, however
       // many clusters exist.
       val stable = labels.localCheckpoint(true)
-      edges.unpersist()
-      cached.unpersist()
       stable.groupBy(col("comp"))
         .agg(count(lit(1)).as("n_members"), (count(lit(1)) - 1).as("n_removed"))
         .orderBy(col("comp"))
-    } finally pairs.unpersist()
+    } finally {
+      // release on BOTH paths — a non-converged require() used to leave
+      // edges + the last round's cache pinned for the session
+      if (edges != null) edges.unpersist()
+      if (cached != null) cached.unpersist()
+      pairs.unpersist()
+    }
   }
 
   // ---- SimHash ------------------------------------------------------------
@@ -322,11 +342,19 @@ object Dedup {
     * (1 - 0.9757^4)^8 ~ 6e-9 per pair, and everything is deterministic, so
     * the DuckDB all-pairs oracle matches exactly. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val (result, corpus) = embeddingNearDupPlan(spark, dir)
+    try result.localCheckpoint(true) finally corpus.unpersist()
+  }
+
+  /** Lazy plan + live corpus cache handle (see [[minhashLshPlan]] for why).
+    * Callers MUST unpersist the handle. */
+  private[graft] def embeddingNearDupPlan(spark: SparkSession, dir: String): (DataFrame, Dataset[_]) = {
     import spark.implicits._
     val planes = spark.sparkContext.broadcast(
       Similarity.hyperplanes(seed = 13L, nPlanes = EmbPlanes))
     val corpus = embCorpus(spark, dir)
       .map { case (id, emb) => (id, emb, Similarity.norm(emb)) }
+      .persist() // feeds the band self-join AND both exact-verify joins
     val bandRows = corpus.flatMap { case (id, emb, _) =>
       val bucket = Similarity.lshBucket(emb, planes.value)
       (0 until EmbBands).iterator.map(b => (id, b, (bucket >>> (4 * b)) & 15))
@@ -349,7 +377,7 @@ object Dedup {
       .toDF("id1", "id2", "cosine_raw")
       .filter(col("cosine_raw") >= CosineThreshold)
       .select(col("id1"), col("id2"), round(col("cosine_raw"), 6).as("cosine"))
-      .orderBy(col("id1"), col("id2"))
+      .orderBy(col("id1"), col("id2")) -> corpus
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

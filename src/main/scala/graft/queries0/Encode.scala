@@ -275,7 +275,9 @@ object Encode {
       rows.find(_.getString(0) == col).map(r => r.getLong(field)).getOrElse(-1L)
     require(sumOf("tokens", 2) == sumOf("tok_len", 3),
       "SQL decode inconsistent: token count != sum(tok_len)")
-    out
+    // return the already-materialized rows: handing back the lazy plan
+    // would re-run the whole encode + SQL decode on the caller's action
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), out.schema)
   }
 
   /** Projection-pruned decode: a `SELECT doc_id, n_tok`-shaped scan decodes

@@ -387,13 +387,25 @@ object Relational {
     * before the run, tpcds_bench.rs:525-536): cache + materialize, register
     * a temp view, query through SQL. Result must equal the uncached oracle. */
   def memTable(spark: SparkSession, dir: String): DataFrame = {
+    val (out, cached) = memTablePlan(spark, dir)
+    try {
+      // answer FROM the cache, then release it — a session-lifetime cache
+      // of lineitem would squat on storage memory through every later query
+      val rows = out.collect()
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+    } finally cached.unpersist()
+  }
+
+  /** Lazy query + live cache handle (PlanAuditSpec audits that the query
+    * really scans the in-memory relation; callers MUST unpersist). */
+  private[graft] def memTablePlan(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val df = t(spark, dir, "lineitem").cache()
     df.count() // materialize the cache (MemTable::load analog)
     df.createOrReplaceTempView("mem_lineitem")
     spark.sql(
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM mem_lineitem GROUP BY l_returnflag""".stripMargin)
+        |FROM mem_lineitem GROUP BY l_returnflag""".stripMargin) -> df
   }
 
   /** The reference's literal domain is an ORC *reader* (its whole crate

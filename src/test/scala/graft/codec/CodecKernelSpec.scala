@@ -203,13 +203,13 @@ class CodecKernelSpec extends AnyFunSuite {
   test("TokenPack: shuffle varint pack round-trips, incl. edge ints; vocab ids pack small") {
     import graft.engine.TokenPack
     val edge = Array(0, 1, 127, 128, 16383, 16384, 50256, Int.MaxValue, Int.MinValue, -1)
-    assert(TokenPack.unpack(TokenPack.pack(edge), edge.length).toSeq === edge.toSeq)
+    assert(TokenPack.unpack(TokenPack.pack(edge)).toSeq === edge.toSeq)
     assert(TokenPack.pack(Array.empty[Int]).length === 0)
-    assert(TokenPack.unpack(Array.empty[Byte], 0).length === 0)
+    assert(TokenPack.unpack(Array.empty[Byte]).length === 0)
     val rnd = new java.util.Random(13)
     val vocab = Array.fill(20000)(rnd.nextInt(50257))
     val packed = TokenPack.pack(vocab)
-    assert(TokenPack.unpack(packed, vocab.length).toSeq === vocab.toSeq)
+    assert(TokenPack.unpack(packed).toSeq === vocab.toSeq)
     // uniform [0,50257): ~1/3 of ids fit 1 byte, rest 2-3 -> well under 4 B/token
     assert(packed.length < vocab.length * 3, s"packed ${packed.length} B for ${vocab.length} tokens")
   }

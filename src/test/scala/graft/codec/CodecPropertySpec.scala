@@ -59,7 +59,7 @@ object CodecPropertySpec extends Properties("codecs") {
   property("TokenPack (shuffle varint) round-trips any Int array") =
     forAll(genAnyInts) { values =>
       val ints = values.map(_.toInt) // shuffle payload is Array[Int]
-      graft.engine.TokenPack.unpack(graft.engine.TokenPack.pack(ints), ints.length)
+      graft.engine.TokenPack.unpack(graft.engine.TokenPack.pack(ints))
         .toSeq == ints.toSeq
     }
 

@@ -72,15 +72,20 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("embedding near-dup plans with no cartesian product and no driver collect") {
-    val df = graft.queries0.Dedup.embeddingNearDup(spark, dir)
-    val p = plan(df)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"near-dup must be a bucketed join, not all-pairs:\n$p")
-    assert(p.contains("Join"), s"expected the band self-join:\n$p")
+    // audit the LAZY plan: the public entry returns a materialized
+    // checkpoint whose plan is just an ExistingRDD scan
+    val (df, corpus) = graft.queries0.Dedup.embeddingNearDupPlan(spark, dir)
+    try {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"near-dup must be a bucketed join, not all-pairs:\n$p")
+      assert(p.contains("Join"), s"expected the band self-join:\n$p")
+    } finally corpus.unpersist()
   }
 
   test("minhash band join shuffles ids only — shingle arrays stay out of the exchange") {
-    val df = graft.queries0.Dedup.minhashLsh(spark, dir)
+    val (df, sigs) = graft.queries0.Dedup.minhashLshPlan(spark, dir)
+    try {
     val p = plan(df)
     // every Exchange above the band join must carry only narrow columns;
     // the shingles arrays join back AFTER the distinct. If "shingles"
@@ -89,13 +94,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val badExchange = p.linesIterator.exists(l =>
       l.contains("Exchange hashpartitioning") && l.contains("bh") && l.contains("shingles"))
     assert(!badExchange, s"shingle payloads ride the band-join shuffle:\n$p")
+    // the audit must not be vacuous: the lazy plan really contains the join
+    assert(p.contains("Join"), s"expected the band join in the audited plan:\n$p")
+    } finally sigs.unpersist()
   }
 
   test("mem-table query scans the in-memory relation, not parquet") {
-    val df = Relational.memTable(spark, dir)
-    val p = plan(df)
-    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
-      s"expected cached scan:\n$p")
+    val (df, cached) = Relational.memTablePlan(spark, dir)
+    try {
+      val p = plan(df)
+      assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+        s"expected cached scan:\n$p")
+    } finally cached.unpersist()
   }
 
   test("whole-stage codegen is active on the aggregation query") {
