@@ -16,7 +16,16 @@ import org.apache.spark.util.LongAccumulator
   * `bytesPruned` counts payload bytes skipped by chunk statistics without
   * being touched. scanEfficiency = scanned / (scanned + pruned) — 1.0
   * means the statistics saved nothing (the reference's "1.0 = full read"
-  * convention, metrics.rs:203-217). */
+  * convention, metrics.rs:203-217).
+  *
+  * Counting semantics are AT-LEAST-ONCE, exactly like Spark's own
+  * non-SQL-metric accumulators: updates happen inside a transformation, so
+  * a task retry, speculative duplicate, or re-computation of an un-cached
+  * dataset adds again. Treat the counters as scan telemetry (ratios like
+  * scanEfficiency stay meaningful — both sides inflate together), not as
+  * exactly-once accounting; for per-query exact counters use the DSv2
+  * connector's CustomMetrics, which Spark aggregates from successful tasks
+  * only. */
 final class DecodeMetrics(sc: SparkContext) extends Serializable {
   val segmentsMatched: LongAccumulator = sc.longAccumulator("graft.decode.segmentsMatched")
   val segmentsPruned: LongAccumulator = sc.longAccumulator("graft.decode.segmentsPruned")

@@ -89,8 +89,14 @@ object SqlFunctions {
 
 /** `spark.sql.extensions=graft.engine.GraftExtensions` — the standard
   * builder-time injection seam for clusters where sessions are created by
-  * the platform, not application code. */
+  * the platform, not application code. Injects the SQL decode functions
+  * and the connector's token-range pushdown rule (as a pre-CBO rule: that
+  * batch runs after `V2ScanRelationPushDown`, so the graft scan relation
+  * exists by then — live sessions get the same rule via
+  * [[graft.sources.GraftTokenRangePushdown.install]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     SqlFunctions.all.foreach(ext.injectFunction)
+    ext.injectPreCBORule(_ => graft.sources.GraftTokenRangePushdown)
+  }
 }

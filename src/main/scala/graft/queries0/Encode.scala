@@ -332,16 +332,111 @@ object Encode {
     } finally deleteRecursively(new java.io.File(base))
   }
 
-  /** DuckDB replay of [[dsv2Scan]]: the tokenizer is a `[^a-z0-9]+` split
-    * with empties dropped, so its COUNT is exact SQL. */
+  /** LIMIT pushdown through the connector, surfaced end-to-end: a
+    * `.limit(k)` over the graft table must plan with `PushedLimit` (readers
+    * stop opening parquet groups at k rows — the reference's headline scan
+    * feature, /root/reference/src/opener.rs:212-266), return exactly
+    * min(k, |table|) rows, and every returned row must be a bit-exact
+    * member of the input (LIMIT picks SOME k rows; validity, not identity,
+    * is the checkable contract). Output: (n_rows, n_valid) — both
+    * reproducible by the oracle as LEAST(k, COUNT(*)). */
+  def dsv2Limit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 13
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-limit-q").toString
+    try {
+      val input = TokenTables.fromDocuments(spark, dir)
+      SegmentStore.encodeCommit(input, base, snapshotId = 1L, buckets = 8)
+      val limited = spark.read.format("graft").load(base).limit(k)
+      require(limited.queryExecution.executedPlan.toString.contains(s"PushedLimit: $k"),
+        "limit did not reach the graft scan")
+      // k rows on the driver is bounded by construction (k, not data size)
+      val got = limited.collect().map(r => graft.engine.TokenRow(
+        r.getString(0), r.getSeq[Int](1).toArray, r.getInt(2), r.getString(3)))
+      val gotDs = spark.createDataset(got.toSeq)
+        .toDF("doc_id", "tokens_got", "n_tok_got", "source_got")
+      // validity check joins the k rows back against the full input (the
+      // join is distributed; the k-row side broadcasts)
+      val nValid = gotDs.join(input.toDF("doc_id", "tokens", "n_tok", "source"), Seq("doc_id"))
+        .where($"tokens_got" === $"tokens" && $"n_tok_got" === $"n_tok" &&
+          $"source_got" === $"source")
+        .count()
+      Seq((got.length.toLong, nValid)).toDF("n_rows", "n_valid")
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
+  /** Token-range predicate pushdown through the connector, end-to-end from
+    * SQL: `exists(tokens, x -> lo <= x <= hi)` reaches the tokens-chunk
+    * min/max skip via [[graft.sources.GraftTokenRangePushdown]] (asserted
+    * on the plan in-query), survivors are re-filtered exactly, and the
+    * result is oracle-checked — DuckDB replays the tokenizer's FNV-1a
+    * word hash in mod-2^32 BIGINT arithmetic, so the match set is exact
+    * cross-engine. (Pruning COUNTS are pinned in GraftDataSourceSpec on
+    * the zipf-clustered layout; the documents-derived table's uniform
+    * hash ids make min/max skips rare by construction.) */
+  def dsv2TokenRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // band chosen to be SELECTIVE on the corpus vocabulary: it contains the
+    // hash of one rare word (~5% of docs), so both the skip and the exact
+    // re-filter paths do real work at every sf
+    val (lo, hi) = (29490, 29519)
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-tok-q").toString
+    try {
+      graft.sources.GraftTokenRangePushdown.install(spark)
+      val input = TokenTables.fromDocuments(spark, dir)
+      SegmentStore.encodeCommit(input, base, snapshotId = 1L, buckets = 8)
+      val hits = spark.read.format("graft").load(base)
+        .filter(expr(s"exists(tokens, x -> x >= $lo AND x <= $hi)"))
+      require(hits.queryExecution.executedPlan.toString
+        .contains(s"PushedTokenRange: [$lo, $hi]"),
+        "token range did not reach the graft scan")
+      val row = hits
+        .agg(count(lit(1)).as("n_docs"), coalesce(sum($"n_tok"), lit(0L)).cast("long").as("sum_tokens"))
+        .collect()(0)
+      Seq((row.getLong(0), row.getLong(1))).toDF("n_docs", "sum_tokens")
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
+  /** DuckDB replays of the connector entries. [[dsv2Scan]]: the tokenizer
+    * is a `[^a-z0-9]+` split with empties dropped, so its COUNT is exact
+    * SQL. [[dsv2TokenRange]]: the token id of a word is FNV-1a-32 mod the
+    * vocab (TokenTables.stableHash) — a left fold of
+    * `h = (h XOR c) * 16777619 mod 2^32` over the code points, replayed
+    * below with list_reduce in BIGINT (products stay < 2^57). */
   val oracles: Map[String, String] = Map(
     "encode_dsv2_scan" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> ''))) AS BIGINT) AS sum_tokens
-        |FROM documents GROUP BY source""".stripMargin)
+        |FROM documents GROUP BY source""".stripMargin,
+    "encode_dsv2_limit" ->
+      """SELECT CAST(LEAST(13, COUNT(*)) AS BIGINT) AS n_rows,
+        |       CAST(LEAST(13, COUNT(*)) AS BIGINT) AS n_valid
+        |FROM documents""".stripMargin,
+    "encode_dsv2_tokenrange" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+        |  FROM documents
+        |),
+        |words AS (SELECT doc_id, len(ws) AS n_tok, unnest(ws) AS w FROM docs),
+        |tok AS (
+        |  SELECT doc_id, n_tok,
+        |    (list_reduce(
+        |       list_prepend(CAST(2166136261 AS BIGINT),
+        |         list_transform(string_split(w, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |       (h, c) -> ((xor(h, c) * 16777619) % 4294967296)) % 2147483648) % 50257 AS t
+        |  FROM words
+        |),
+        |hits AS (SELECT doc_id, ANY_VALUE(n_tok) AS n_tok FROM tok
+        |         WHERE t BETWEEN 29490 AND 29519 GROUP BY doc_id)
+        |SELECT COUNT(*) AS n_docs,
+        |       CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS sum_tokens
+        |FROM hits""".stripMargin)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "encode_dsv2_scan" -> (dsv2Scan _),
+    "encode_dsv2_limit" -> (dsv2Limit _),
+    "encode_dsv2_tokenrange" -> (dsv2TokenRange _),
     "encode_projected_scan" -> (projectedScan _),
     "encode_sql_decode" -> (sqlDecode _),
     "encode_streaming_incremental" -> (streamingIncremental _),

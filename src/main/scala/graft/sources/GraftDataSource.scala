@@ -3,23 +3,27 @@ package graft.sources
 import java.util.{Map => JMap}
 
 import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.schema.{GroupType, MessageType, Type}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{And => SAnd, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or => SOr}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.codec.{IntCodecs, StringCodecs}
 
@@ -39,13 +43,41 @@ import graft.codec.{IntCodecs, StringCodecs}
   *    statistics, and ALL filters are returned as residuals so Spark
   *    re-filters rows exactly — the same `PushedDown::Inexact` contract the
   *    reference pins (src/source.rs:279-281);
+  *  - **LIMIT pushdown** (§2.A.10): the reference's headline scan feature
+  *    (cross-batch counting + straddling-batch truncation,
+  *    /root/reference/src/opener.rs:212-266). Ours is two-level: each
+  *    partition reader stops opening parquet groups once `limit` rows were
+  *    emitted (the cross-segment count), and when no filters are pushed the
+  *    planner stops planning part-files once their header row sums cover
+  *    the limit. Always partial (`isPartiallyPushed`): Spark applies the
+  *    exact global limit on top;
+  *  - **token-range pushdown**: `array_contains(tokens, v)` /
+  *    `exists(tokens, x -> lo <= x AND x <= hi)` predicates reach the
+  *    tokens-chunk min/max skip via [[GraftTokenRangePushdown]] (Catalyst
+  *    cannot translate array predicates to `sources.Filter`s — the rule is
+  *    the Spark-side analog of the reference's arbitrary-PhysicalExpr
+  *    conversion, /root/reference/src/predicate.rs:53-166). Inexact like
+  *    every other prune: the Filter stays in the plan;
+  *  - **aggregate pushdown**: COUNT(*)/MIN/MAX over stats-bearing columns
+  *    collapse to segment-header reads — payload pages are never read
+  *    (partial pushdown; Spark merges the per-file partials);
   *  - **scan opener** (§2.A.5/7): one InputPartition per segment part-file;
   *    each reader streams Groups straight from parquet with no Spark
-  *    session on the executor path.
+  *    session on the executor path, under the session's Hadoop conf
+  *    (credentials/filesystem settings reach executors via
+  *    [[SerializableConfiguration]]);
+  *  - **metrics** (§2.A.14): per-query DSv2 `CustomMetric`s (segments
+  *    decoded/pruned, payload bytes decoded/pruned, rows emitted) — the
+  *    Spark-native rendering of the reference's ExecutionPlanMetricsSet
+  *    counters (/root/reference/src/metrics.rs:57-218), visible in the SQL
+  *    UI and isolated per execution (no cross-query statics).
   *
   * Works on both layouts: a bare `Dataset[Segment].write.parquet(dir)` dump
-  * and a [[graft.lineage.SegmentStore]] table dir (reads `dir/data`,
-  * ignores the lineage ledger).
+  * and a [[graft.lineage.SegmentStore]] table dir. For the latter the
+  * planner consults the lineage ledger and reads ONLY ledger-committed
+  * (snapshotId, bucket) partitions — data written in the crash window
+  * between a partition write and its ledger commit is invisible, the same
+  * read-committed stance an Iceberg snapshot read takes.
   */
 class GraftDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
@@ -65,10 +97,6 @@ object GraftTable {
     StructField("tokens", ArrayType(IntegerType, containsNull = false), nullable = false),
     StructField("n_tok", IntegerType, nullable = false),
     StructField("source", StringType, nullable = false)))
-
-  /** Test-only telemetry (single-JVM): segments pruned by pushed stats. */
-  val segmentsPruned = new java.util.concurrent.atomic.LongAdder
-  val segmentsRead = new java.util.concurrent.atomic.LongAdder
 }
 
 class GraftTable(path: String) extends Table with SupportsRead {
@@ -77,15 +105,27 @@ class GraftTable(path: String) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path)
+    new GraftScanBuilder(path,
+      new SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
 
-class GraftScanBuilder(path: String)
+/** What MIN/MAX/COUNT(*) reduce to against the segment headers. */
+sealed trait AggSpec
+object AggSpec {
+  final case class MinOf(col: String) extends AggSpec
+  final case class MaxOf(col: String) extends AggSpec
+  case object CountAll extends AggSpec
+}
+
+class GraftScanBuilder(path: String, hconf: SerializableConfiguration)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   private var required: StructType = GraftTable.TokenSchema
   private var pushed: Array[Filter] = Array.empty
-  private var countStar = false
+  private var aggSpecs: Seq[AggSpec] = Nil
+  private var limit: Option[Int] = None
 
   /** Accept stats-prunable comparisons for segment skipping; hand EVERY
     * filter back as a residual (inexact pruning, engine re-filters). */
@@ -101,25 +141,45 @@ class GraftScanBuilder(path: String)
       GraftTable.TokenSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
   }
 
-  /** COUNT(*) with no grouping and no residual filters reduces to summing
-    * the segment headers' nRows — the reader requests a parquet schema of
-    * JUST that int32, so payload pages are never read at all (a count over
-    * the 10^12-row table touches megabytes, not petabytes). Partial
-    * pushdown: each partition returns its own sum, Spark adds them up.
-    * Any filter blocks the push (Spark only offers the aggregate when the
-    * plan has no post-scan Filter, and ours always re-filters). */
+  /** LIMIT pushdown, always partial: each partition reader caps the rows it
+    * decodes and the planner drops part-files past the limit when nothing
+    * is filtered; Spark keeps the exact global limit on top (the same
+    * split as the reference's per-stream `take_while` + engine-level
+    * GlobalLimit, opener.rs:212-266). */
+  override def pushLimit(n: Int): Boolean =
+    if (aggSpecs.nonEmpty) false else { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** COUNT(*)/MIN/MAX with no grouping and no residual filters reduce to
+    * the segment headers: nRows for counts, the chunk min/max statistics
+    * for MIN/MAX over stats-bearing columns — the reader requests a
+    * payload-free parquet schema, so data pages are never read at all (a
+    * count or min over the 10^12-row table touches megabytes, not
+    * petabytes; the reference's exact-stats stance, metadata.rs:64-86).
+    * Partial pushdown: each partition returns its own partials, Spark
+    * merges. Any filter blocks the push (ours always re-filter). */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    val ok = aggregation.groupByExpressions.isEmpty &&
-      aggregation.aggregateExpressions.length == 1 &&
-      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar] &&
-      pushed.isEmpty
-    if (ok) countStar = true
-    ok
+    def field(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames().length == 1 => Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    val statCols = Set("n_tok", "doc_id", "source")
+    if (pushed.nonEmpty || limit.isDefined || aggregation.groupByExpressions.nonEmpty ||
+      aggregation.aggregateExpressions.isEmpty) return false
+    val specs = aggregation.aggregateExpressions.map {
+      case _: CountStar => Some(AggSpec.CountAll)
+      case m: Min => field(m.column).filter(statCols).map(AggSpec.MinOf)
+      case m: Max => field(m.column).filter(statCols).map(AggSpec.MaxOf)
+      case _ => None
+    }
+    if (specs.forall(_.isDefined)) { aggSpecs = specs.flatten.toSeq; true } else false
   }
 
   override def build(): Scan =
-    if (countStar) new GraftCountScan(path) else new GraftScan(path, required, pushed)
+    if (aggSpecs.nonEmpty) new GraftAggScan(path, aggSpecs, hconf)
+    else new GraftScan(path, required, pushed, limit, None, hconf)
 }
 
 object GraftScan {
@@ -146,6 +206,32 @@ object GraftScan {
     case SOr(l, r) => prunable(l) && prunable(r)
     case _ => false
   }
+
+  /** The connector's scan counters, one sum metric each — names must match
+    * the task metrics the readers emit. */
+  def customMetrics: Array[CustomMetric] = Array(
+    new SegmentsDecodedMetric, new SegmentsPrunedMetric,
+    new SegmentsPrunedTokenRangeMetric, new PayloadBytesDecodedMetric,
+    new PayloadBytesPrunedMetric, new RowsEmittedMetric)
+}
+
+/** DSv2 custom metrics (driver side): each is instantiated reflectively by
+  * Spark's metric aggregation, so every concrete class needs a no-arg
+  * constructor. Sum semantics match the reference's Count metrics. */
+sealed abstract class GraftSumMetric(n: String) extends CustomSumMetric {
+  override def name(): String = n
+  override def description(): String = n
+}
+final class SegmentsDecodedMetric extends GraftSumMetric("graft segments decoded")
+final class SegmentsPrunedMetric extends GraftSumMetric("graft segments pruned (filter stats)")
+final class SegmentsPrunedTokenRangeMetric extends GraftSumMetric("graft segments pruned (token range)")
+final class PayloadBytesDecodedMetric extends GraftSumMetric("graft payload bytes decoded")
+final class PayloadBytesPrunedMetric extends GraftSumMetric("graft payload bytes pruned")
+final class RowsEmittedMetric extends GraftSumMetric("graft rows emitted")
+
+final case class GraftTaskMetric(metricName: String, metricValue: Long) extends CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = metricValue
 }
 
 final case class GraftInputPartition(file: String) extends InputPartition
@@ -154,110 +240,210 @@ final case class GraftInputPartition(file: String) extends InputPartition
 final case class ChunkStats(minV: Long, maxV: Long, minS: String,
                             maxS: String, payload: Array[Byte])
 
-class GraftScan(path: String, required: StructType, pushed: Array[Filter])
+class GraftScan(
+    val path: String,
+    required: StructType,
+    pushed: Array[Filter],
+    limit: Option[Int],
+    val tokenRange: Option[(Long, Long)],
+    hconf: SerializableConfiguration)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan ReadSchema: ${required.simpleString}, " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      limit.map(n => s", PushedLimit: $n").getOrElse("") +
+      tokenRange.map { case (lo, hi) => s", PushedTokenRange: [$lo, $hi]" }.getOrElse("")
 
-  /** Planning-time size estimate so Catalyst can pick broadcast joins over
-    * small graft tables (the optimizer otherwise assumes a v2 scan is huge
-    * and never broadcasts). Stored segment bytes times the measured
-    * lightweight-compression expansion (~2.2x, BASELINE.md) approximates
-    * decoded width; a projection that skips `tokens` shrinks the estimate
-    * by the tokens stream's share of stored bytes (~90%). */
+  override def supportedCustomMetrics(): Array[CustomMetric] = GraftScan.customMetrics
+
+  /** Used by [[GraftTokenRangePushdown]] once per scan (guarded by
+    * `tokenRange.isEmpty`); the listing is re-derived lazily in the copy. */
+  def withTokenRange(lo: Long, hi: Long): GraftScan =
+    new GraftScan(path, required, pushed, limit, Some((lo, hi)), hconf)
+
+  /** Committed part-files of the table, sorted (deterministic partition
+    * order). Listed once per scan and shared by planning and statistics. */
+  protected lazy val files: Seq[String] = GraftLayout.listDataFiles(path, hconf.value)
+
+  /** Planning-time statistics from the segment headers: exact row count
+    * (the same header sum the COUNT(*) path reads) and decoded size = the
+    * header-recorded bytesIn of the PROJECTED streams — the measured
+    * expansion of this very table, not a constant. Header sums are
+    * memoized per immutable part-file ([[GraftLayout.header]]), so repeated
+    * planning over a large table re-reads nothing. Catalyst uses the size
+    * to broadcast small graft tables (a v2 scan is otherwise assumed
+    * huge). */
   override def estimateStatistics(): Statistics = new Statistics {
-    private lazy val bytes: Long = {
-      val conf = new Configuration()
-      val stored = planInputPartitions().map { p =>
-        val hp = new HPath(p.asInstanceOf[GraftInputPartition].file)
-        hp.getFileSystem(conf).getFileStatus(hp).getLen
-      }.sum
-      val expansion = 2.2
-      val projFraction = if (required.fieldNames.contains("tokens")) 1.0 else 0.1
-      math.max(1L, (stored * expansion * projFraction).toLong)
+    private lazy val (rows, bytes) = {
+      val conf = hconf.value
+      var r = 0L
+      var b = 0L
+      val wantTokens = required.fieldNames.contains("tokens")
+      val cols = required.fieldNames.toSet ++ (if (wantTokens) Set("tok_len") else Set.empty)
+      files.foreach { f =>
+        val h = GraftLayout.header(f, conf)
+        r += h.rows
+        b += h.bytesIn.collect { case (c, n) if cols.contains(c) => n }.sum
+      }
+      (r, math.max(1L, b))
     }
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
-    val dataDir = new HPath(path, "data")
-    val fs = dataDir.getFileSystem(conf)
-    val root = if (fs.exists(dataDir)) dataDir else new HPath(path)
-    val files = ArrayBuffer.empty[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val n = f.getPath.getName
-      if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-        files += f.getPath.toString
+    // With a pushed limit and nothing to prune reader-side, part-files past
+    // the limit are not even planned: walk headers in order until the row
+    // sums cover it (typically one file — header-only driver reads).
+    val chosen = limit match {
+      case Some(n) if pushed.isEmpty && tokenRange.isEmpty =>
+        val conf = hconf.value
+        val out = ArrayBuffer.empty[String]
+        var seen = 0L
+        val it = files.iterator
+        while (seen < n && it.hasNext) {
+          val f = it.next()
+          out += f
+          seen += GraftLayout.header(f, conf).rows
+        }
+        out.toSeq
+      case _ => files
     }
-    files.sorted.map(f => GraftInputPartition(f): InputPartition).toArray
+    chosen.map(f => GraftInputPartition(f): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, pushed)
+    new GraftReaderFactory(required, pushed, limit, tokenRange, hconf)
 }
 
-class GraftReaderFactory(required: StructType, pushed: Array[Filter])
+class GraftReaderFactory(required: StructType, pushed: Array[Filter],
+                         limit: Option[Int], tokenRange: Option[(Long, Long)],
+                         hconf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition].file,
-      required, pushed)
+      required, pushed, limit, tokenRange, hconf.value)
 }
 
-/** COUNT(*)-pushed scan: partial counts from segment headers only. */
-class GraftCountScan(path: String) extends GraftScan(path, GraftTable.TokenSchema, Array.empty) {
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("count", LongType, nullable = false)))
-  override def description(): String = s"GraftScan PushedAggregation: [COUNT(*)]"
-  override def createReaderFactory(): PartitionReaderFactory =
+/** Header-only aggregate scan: COUNT(*)/MIN/MAX partials per part-file from
+  * segment headers; payload pages are never requested from parquet. */
+class GraftAggScan(path: String, specs: Seq[AggSpec], hconf: SerializableConfiguration)
+    extends GraftScan(path, GraftTable.TokenSchema, Array.empty, None, None, hconf) {
+  override def readSchema(): StructType = StructType(specs.map {
+    case AggSpec.CountAll => StructField("count(*)", LongType, nullable = false)
+    case AggSpec.MinOf("n_tok") => StructField("min(n_tok)", IntegerType, nullable = false)
+    case AggSpec.MaxOf("n_tok") => StructField("max(n_tok)", IntegerType, nullable = false)
+    case AggSpec.MinOf(c) => StructField(s"min($c)", StringType, nullable = false)
+    case AggSpec.MaxOf(c) => StructField(s"max($c)", StringType, nullable = false)
+  })
+  override def description(): String =
+    "GraftScan PushedAggregation: [" + specs.map {
+      case AggSpec.CountAll => "COUNT(*)"
+      case AggSpec.MinOf(c) => s"MIN($c)"
+      case AggSpec.MaxOf(c) => s"MAX($c)"
+    }.mkString(", ") + "]"
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val hc = hconf
+    val sp = specs
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new GraftCountReader(partition.asInstanceOf[GraftInputPartition].file)
+        new GraftAggReader(partition.asInstanceOf[GraftInputPartition].file, sp, hc.value)
     }
+  }
 }
 
-/** Sums nRows per part-file; the parquet requested schema is the single
-  * int32 column, so payload pages are skipped at the IO layer. */
-class GraftCountReader(file: String) extends PartitionReader[InternalRow] {
+/** One partial-aggregate row per part-file, computed from segment headers
+  * only (the parquet requested schema drops the payload column, so data
+  * pages are skipped at the IO layer). */
+class GraftAggReader(file: String, specs: Seq[AggSpec], conf: Configuration)
+    extends PartitionReader[InternalRow] {
   private var done = false
-  override def next(): Boolean = !done && { done = true; true }
-  override def get(): InternalRow = {
-    val conf = new Configuration()
-    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-      "message spark_schema { required int32 nRows; }")
-    val reader = ParquetReader.builder(new GroupReadSupport(), new HPath(file))
-      .withConf(conf).build()
-    var total = 0L
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    done = true
+    val needChunks = specs.exists { case AggSpec.CountAll => false; case _ => true }
+    val reader = GraftLayout.openPruned(file, conf,
+      top = if (needChunks) Set("nRows", "cols") else Set("nRows"),
+      chunkFields = if (needChunks) Set("col", "minV", "maxV", "minS", "maxS") else Set.empty)
+    var count = 0L
+    var nSegs = 0L
+    val minV = scala.collection.mutable.Map.empty[String, Long]
+    val maxV = scala.collection.mutable.Map.empty[String, Long]
+    val minS = scala.collection.mutable.Map.empty[String, String]
+    val maxS = scala.collection.mutable.Map.empty[String, String]
     try {
       var g = reader.read()
       while (g != null) {
-        total += g.getInteger("nRows", 0)
+        nSegs += 1
+        count += g.getInteger("nRows", 0)
+        if (needChunks) {
+          val wrapper = g.getGroup("cols", 0)
+          val n = wrapper.getFieldRepetitionCount(0)
+          var i = 0
+          while (i < n) {
+            val el = wrapper.getGroup(0, i).getGroup(0, 0)
+            val c = el.getString("col", 0)
+            if (c == "n_tok") {
+              val lo = el.getLong("minV", 0)
+              val hi = el.getLong("maxV", 0)
+              minV.updateWith(c)(v => Some(v.fold(lo)(math.min(_, lo))))
+              maxV.updateWith(c)(v => Some(v.fold(hi)(math.max(_, hi))))
+            } else if (c == "doc_id" || c == "source") {
+              val lo = el.getString("minS", 0)
+              val hi = el.getString("maxS", 0)
+              minS.updateWith(c)(v => Some(v.fold(lo)(p =>
+                if (graft.engine.GraftEncoder.compareUtf8(lo, p) < 0) lo else p)))
+              maxS.updateWith(c)(v => Some(v.fold(hi)(p =>
+                if (graft.engine.GraftEncoder.compareUtf8(hi, p) > 0) hi else p)))
+            }
+            i += 1
+          }
+        }
         g = reader.read()
       }
     } finally reader.close()
-    val row = new GenericInternalRow(1)
-    row.setLong(0, total)
-    row
+    if (nSegs == 0L) return false // no partial from an empty file
+    val out = new GenericInternalRow(specs.length)
+    specs.zipWithIndex.foreach {
+      case (AggSpec.CountAll, i) => out.setLong(i, count)
+      case (AggSpec.MinOf("n_tok"), i) => out.setInt(i, minV("n_tok").toInt)
+      case (AggSpec.MaxOf("n_tok"), i) => out.setInt(i, maxV("n_tok").toInt)
+      case (AggSpec.MinOf(c), i) => out.update(i, UTF8String.fromString(minS(c)))
+      case (AggSpec.MaxOf(c), i) => out.update(i, UTF8String.fromString(maxS(c)))
+    }
+    row = out
+    true
   }
+  override def get(): InternalRow = row
   override def close(): Unit = ()
 }
 
 /** Streams Segment groups from one parquet part-file, prunes on chunk
-  * stats, decodes ONLY the projected streams, emits InternalRows. */
-class GraftPartitionReader(file: String, required: StructType, pushed: Array[Filter])
+  * stats (pushed filters AND the optional token range), decodes ONLY the
+  * projected streams, emits InternalRows, stops at the pushed limit. */
+class GraftPartitionReader(file: String, required: StructType, pushed: Array[Filter],
+                           limit: Option[Int], tokenRange: Option[(Long, Long)],
+                           conf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new HPath(file))
-      .withConf(new Configuration()).build()
+      .withConf(conf).build()
   private var rows: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
+  private val maxRows: Long = limit.map(_.toLong).getOrElse(Long.MaxValue)
+
+  // per-task scan counters, reported to Spark as DSv2 custom task metrics
+  private var mSegsDecoded = 0L
+  private var mSegsPruned = 0L
+  private var mSegsPrunedTok = 0L
+  private var mBytesDecoded = 0L
+  private var mBytesPruned = 0L
+  private var mRows = 0L
 
   private val needDoc = required.fieldNames.contains("doc_id")
   private val needTok = required.fieldNames.contains("tokens")
@@ -265,16 +451,26 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
   private val needSrc = required.fieldNames.contains("source")
 
   override def next(): Boolean = {
+    if (mRows >= maxRows) return false // pushed limit: stop opening groups
     while (!rows.hasNext) {
       val g = reader.read()
       if (g == null) return false
       rows = decodeGroup(g)
     }
     current = rows.next()
+    mRows += 1
     true
   }
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    GraftTaskMetric("graft segments decoded", mSegsDecoded),
+    GraftTaskMetric("graft segments pruned (filter stats)", mSegsPruned),
+    GraftTaskMetric("graft segments pruned (token range)", mSegsPrunedTok),
+    GraftTaskMetric("graft payload bytes decoded", mBytesDecoded),
+    GraftTaskMetric("graft payload bytes pruned", mBytesPruned),
+    GraftTaskMetric("graft rows emitted", mRows))
 
   private def chunks(g: Group): Map[String, ChunkStats] = {
     val wrapper = g.getGroup("cols", 0) // LIST wrapper
@@ -304,6 +500,9 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
   private def ltS(a: String, b: String): Boolean =
     graft.engine.GraftEncoder.compareUtf8(a, b) < 0
 
+  // Every case is guarded by c.contains so a part-file whose segments lack
+  // the chunk (foreign or evolved layout) degrades to may-match=true
+  // instead of throwing.
   private def mayMatchOne(c: Map[String, ChunkStats], f: Filter): Boolean = f match {
     case EqualTo(a, v: String) if c.contains(a) =>
       val s = c(a); leS(s.minS, v) && leS(v, s.maxS)
@@ -311,12 +510,12 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
     case GreaterThanOrEqual(a, v: String) if c.contains(a) => leS(v, c(a).maxS)
     case LessThan(a, v: String) if c.contains(a) => ltS(c(a).minS, v)
     case LessThanOrEqual(a, v: String) if c.contains(a) => leS(c(a).minS, v)
-    case EqualTo("n_tok", v: Int) =>
+    case EqualTo("n_tok", v: Int) if c.contains("n_tok") =>
       val s = c("n_tok"); s.minV <= v && v <= s.maxV
-    case GreaterThan("n_tok", v: Int) => c("n_tok").maxV > v
-    case GreaterThanOrEqual("n_tok", v: Int) => c("n_tok").maxV >= v
-    case LessThan("n_tok", v: Int) => c("n_tok").minV < v
-    case LessThanOrEqual("n_tok", v: Int) => c("n_tok").minV <= v
+    case GreaterThan("n_tok", v: Int) if c.contains("n_tok") => c("n_tok").maxV > v
+    case GreaterThanOrEqual("n_tok", v: Int) if c.contains("n_tok") => c("n_tok").maxV >= v
+    case LessThan("n_tok", v: Int) if c.contains("n_tok") => c("n_tok").minV < v
+    case LessThanOrEqual("n_tok", v: Int) if c.contains("n_tok") => c("n_tok").minV <= v
     case In(a, vs) if c.contains(a) =>
       val s = c(a)
       vs.exists { case v: String => leS(s.minS, v) && leS(v, s.maxS); case _ => true }
@@ -325,19 +524,39 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
     case _ => true
   }
 
+  private def payloadBytes(c: Map[String, ChunkStats]): Long =
+    c.valuesIterator.map(_.payload.length.toLong).sum
+
   private def decodeGroup(g: Group): Iterator[InternalRow] = {
     val byCol = chunks(g)
     if (!mayMatch(byCol)) {
-      GraftTable.segmentsPruned.increment()
+      mSegsPruned += 1
+      mBytesPruned += payloadBytes(byCol)
       return Iterator.empty
     }
-    GraftTable.segmentsRead.increment()
+    // token-range skip on the tokens chunk min/max — the engine's flagship
+    // chunk skip (GraftEncoder.decodeWhereTokenRange), reachable from SQL
+    // through GraftTokenRangePushdown; inexact, Spark re-filters.
+    tokenRange match {
+      case Some((lo, hi)) if byCol.contains("tokens") &&
+        (byCol("tokens").minV > hi || byCol("tokens").maxV < lo) =>
+        mSegsPrunedTok += 1
+        mBytesPruned += payloadBytes(byCol)
+        return Iterator.empty
+      case _ => ()
+    }
+    mSegsDecoded += 1
     val nRows = g.getInteger("nRows", 0)
     val docIds = if (needDoc) StringCodecs.decodeChunk(byCol("doc_id").payload) else null
     val sources = if (needSrc) StringCodecs.decodeChunk(byCol("source").payload) else null
     val nToks = if (needN) IntCodecs.decodeChunk(byCol("n_tok").payload) else null
     val tokLens = if (needTok) IntCodecs.decodeChunk(byCol("tok_len").payload) else null
     val flat = if (needTok) IntCodecs.decodeChunk(byCol("tokens").payload) else null
+    mBytesDecoded += byCol.iterator.collect {
+      case (c, s) if (c == "doc_id" && needDoc) || (c == "source" && needSrc) ||
+        (c == "n_tok" && needN) || ((c == "tokens" || c == "tok_len") && needTok) =>
+        s.payload.length.toLong
+    }.sum
     var pos = 0
     (0 until nRows).iterator.map { i =>
       val row = new GenericInternalRow(required.length)

@@ -1,0 +1,164 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.api.ReadSupport.ReadContext
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.schema.MessageType
+
+/** Driver-side knowledge of the segment-table layout shared by planning,
+  * statistics and the header-only readers.
+  *
+  * The reference front-loads the same work at registration: every file's
+  * footer is read once for `infer_schema`/`infer_stats`
+  * (/root/reference/src/file_format.rs:137-172) — our analog reads the
+  * payload-free header columns of each part-file and memoizes per file
+  * (part-files are immutable once written: Spark part file names carry a
+  * per-job UUID, so a path never holds different bytes across queries).
+  */
+object GraftLayout {
+
+  /** Payload-free per-file header sums. `bytesIn` is the header-recorded
+    * UNENCODED byte count per column stream — i.e. the measured decoded
+    * size of this very file, which planning uses instead of a constant
+    * expansion factor. */
+  final case class FileHeader(rows: Long, bytesIn: Map[String, Long])
+
+  private val headerCache = new java.util.concurrent.ConcurrentHashMap[String, FileHeader]
+
+  def header(file: String, conf: Configuration): FileHeader =
+    headerCache.computeIfAbsent(file, _ => readHeader(file, conf))
+
+  private def readHeader(file: String, conf: Configuration): FileHeader = {
+    val reader = openPruned(file, conf,
+      top = Set("nRows", "cols"), chunkFields = Set("col", "bytesIn"))
+    var rows = 0L
+    val bytes = scala.collection.mutable.Map.empty[String, Long]
+    try {
+      var g = reader.read()
+      while (g != null) {
+        rows += g.getInteger("nRows", 0)
+        val wrapper = g.getGroup("cols", 0)
+        val n = wrapper.getFieldRepetitionCount(0)
+        var i = 0
+        while (i < n) {
+          val el = wrapper.getGroup(0, i).getGroup(0, 0)
+          val c = el.getString("col", 0)
+          bytes.updateWith(c)(v => Some(v.getOrElse(0L) + el.getLong("bytesIn", 0)))
+          i += 1
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
+    FileHeader(rows, bytes.toMap)
+  }
+
+  /** List the data part-files of a graft table, ledger-filtered and sorted.
+    *
+    * Bare layout (a plain `Dataset[Segment].write.parquet` dump): every
+    * parquet file under the dir. SegmentStore layout (`dir/data` +
+    * `dir/lineage`): ONLY files under ledger-committed (snapshotId, bucket)
+    * partitions — data written in the crash window between a bucket write
+    * and its ledger append is invisible until recommitted, and a bucket
+    * overwritten by a retry is read exactly once (read-committed, the
+    * Iceberg-snapshot stance the lineage layer emulates). A `data` dir
+    * with no ledger at all falls back to reading everything (foreign
+    * writer). */
+  def listDataFiles(path: String, conf: Configuration): Seq[String] = {
+    val dataDir = new HPath(path, "data")
+    val fs = dataDir.getFileSystem(conf)
+    val root = if (fs.exists(dataDir)) dataDir else new HPath(path)
+    val files = ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        files += f.getPath.toString
+    }
+    val committed = committedPairs(path, conf)
+    val kept = committed match {
+      case None => files.toSeq
+      case Some(pairs) => files.toSeq.filter { f =>
+        partitionOf(f) match {
+          case Some(sb) => pairs.contains(sb)
+          case None => true // not a ledgered layout path: tolerate
+        }
+      }
+    }
+    kept.sorted
+  }
+
+  private val PartitionRe = ".*/snapshotId=(\\d+)/bucket=(\\d+)/[^/]+$".r
+
+  def partitionOf(file: String): Option[(Long, Int)] = file match {
+    case PartitionRe(s, b) => Some((s.toLong, b.toInt))
+    case _ => None
+  }
+
+  /** Committed (snapshotId, bucket) pairs from the lineage ledger, read
+    * driver-side with a plain parquet reader (3 projected columns, no
+    * Spark job). None = no ledger present (bare layout). */
+  def committedPairs(path: String, conf: Configuration): Option[Set[(Long, Int)]] = {
+    val ldir = new HPath(path, "lineage")
+    val fs = ldir.getFileSystem(conf)
+    if (!fs.exists(ldir)) return None
+    val pairs = scala.collection.mutable.Set.empty[(Long, Int)]
+    val it = fs.listFiles(ldir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
+        val reader = openPruned(f.getPath.toString, conf,
+          top = Set("snapshotId", "bucket", "status"), chunkFields = Set.empty)
+        try {
+          var g = reader.read()
+          while (g != null) {
+            if (g.getString("status", 0) == "committed")
+              pairs += ((g.getLong("snapshotId", 0), g.getInteger("bucket", 0)))
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+    }
+    Some(pairs.toSet)
+  }
+
+  /** Open a parquet file with a name-pruned requested schema: keep only the
+    * `top`-level fields, and inside the `cols` LIST elements only
+    * `chunkFields`. Pruning from the FILE's actual schema (rather than a
+    * hand-written schema string) keeps repetition/annotation exactly
+    * compatible, and dropping `payload` here is what makes header reads
+    * skip the data pages at the parquet IO layer. */
+  def openPruned(file: String, conf: Configuration,
+                 top: Set[String], chunkFields: Set[String]): ParquetReader[Group] =
+    ParquetReader.builder(new PrunedGroupReadSupport(top, chunkFields), new HPath(file))
+      .withConf(conf).build()
+}
+
+/** GroupReadSupport whose requested projection is derived by name-pruning
+  * the file schema (top-level fields + the `cols` list-element fields). */
+class PrunedGroupReadSupport(top: Set[String], chunkFields: Set[String])
+    extends GroupReadSupport {
+  override def init(configuration: Configuration,
+                    keyValueMetaData: java.util.Map[String, String],
+                    fileSchema: MessageType): ReadContext = {
+    val kept = fileSchema.getFields.asScala.filter(f => top.contains(f.getName)).map {
+      case f if f.getName == "cols" && chunkFields.nonEmpty =>
+        // optional group cols (LIST) { repeated group list { optional group element {...} } }
+        val colsG = f.asGroupType()
+        val listG = colsG.getFields.get(0).asGroupType()
+        val elemG = listG.getFields.get(0).asGroupType()
+        val prunedElem = elemG.withNewFields(
+          elemG.getFields.asScala.filter(e => chunkFields.contains(e.getName)).asJava)
+        colsG.withNewFields(listG.withNewFields(prunedElem))
+      case f => f
+    }
+    new ReadContext(new MessageType(fileSchema.getName, kept.asJava))
+  }
+}
