@@ -60,10 +60,11 @@ object Bench {
     // BASELINE.md (leaves headroom for GC/OS threads at both levels on the
     // 32-hw-thread host).
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "3000000").toLong
+    val forkReps = sys.env.getOrElse("SPARK_GRAFT_FORK_REPS", "3").toInt
     def eff(json: String): Double =
       """"scaling_efficiency":(-?[\d.eE+-]+)""".r.findFirstMatchIn(json)
         .map(_.group(1).toDouble).getOrElse(-1.0)
-    val fork1 = EncodeBench.forkScalingJson(nDocs, levels = "1,4", reps = 3)
+    val fork1 = EncodeBench.forkScalingJson(nDocs, levels = "1,4", reps = forkReps)
     // Co-tenant noise windows on this host run for MINUTES and sink every
     // 4N sample of a whole fork at once (observed: standalone run at 0.846
     // twenty minutes before an identical-config fork at 0.569, loadavg 6+
@@ -73,13 +74,13 @@ object Bench {
     // not selective reporting: both efficiencies are emitted.
     val fork2 =
       if (fork1.exists(j => eff(j) >= 0 && eff(j) < 0.8))
-        EncodeBench.forkScalingJson(nDocs, levels = "1,4", reps = 3)
+        EncodeBench.forkScalingJson(nDocs, levels = "1,4", reps = forkReps)
       else None
     val encodeJson = (fork1, fork2) match {
       case (Some(j1), Some(j2)) =>
         val best = if (eff(j2) > eff(j1)) j2 else j1
-        rekey(best).patch(1, f""""fork1_scaling_efficiency":${eff(j1)}%.3f,"fork2_scaling_efficiency":${eff(j2)}%.3f,""", 0)
-      case (Some(j1), None) => rekey(j1)
+        rekey(best, forkReps).patch(1, f""""fork1_scaling_efficiency":${eff(j1)}%.3f,"fork2_scaling_efficiency":${eff(j2)}%.3f,""", 0)
+      case (Some(j1), None) => rekey(j1, forkReps)
       case _ => """{"error":"forked ScalingBench produced no result"}"""
     }
     val calibAfter = calibMs()
@@ -92,8 +93,10 @@ object Bench {
 
   /** Reshape ScalingBench's JSON line into the per-round encode block
     * (gbps_<cores> keys + the shared scalars). Format is ours, so a
-    * regex pull is safe. */
-  private def rekey(json: String): String = {
+    * regex pull is safe. The methodology string interpolates the ACTUAL
+    * rep counts (ScalingBench samples the 4N level twice per interleave
+    * cycle), so the provenance line cannot silently drift from the env. */
+  private def rekey(json: String, reps: Int): String = {
     val run = ("""\{"executors":\d+,"cores":(\d+),"secs":[\d.eE+-]+,"gbps":([\d.eE+-]+),""" +
       """"decode_secs":[\d.eE+-]+,"decode_gbps":([\d.eE+-]+)""").r
     val matches = run.findAllMatchIn(json).toSeq
@@ -109,7 +112,7 @@ object Bench {
           "orc_snappy_bytes", "orc_zlib_bytes", "stored_vs_orc_snappy",
           "stored_vs_orc_zlib", "n_docs", "n_tokens")
           .flatMap(k => scalar(k).map(v => s""""$k":$v""")) ++
-        Seq(""""methodology":"forked ScalingBench (fresh JVM, interleaved levels, min of 3 reps at N / 6 at 4N, warm excluded)"""")
+        Seq(s""""methodology":"forked ScalingBench (fresh JVM, interleaved levels, min of $reps reps at N / ${2 * reps} at 4N, warm excluded)"""")
     parts.mkString("{", ",", "}")
   }
 }

@@ -367,23 +367,22 @@ object GraftEncoder {
     * decode only the few-KB metadata streams. Column order in the result
     * follows the canonical (doc_id, tokens, n_tok, source) order. */
   def decodeProjected(segments: Dataset[Segment], columns: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.types._
+    val spark = segments.sparkSession
+    import spark.implicits._
     val canonical = Seq("doc_id", "tokens", "n_tok", "source")
     require(columns.nonEmpty && columns.forall(canonical.contains),
       s"projectable columns are $canonical, got $columns")
     val cols = canonical.filter(columns.contains)
-    val schema = StructType(cols.map {
-      case "doc_id" => StructField("doc_id", StringType, nullable = false)
-      case "tokens" => StructField("tokens", ArrayType(IntegerType, containsNull = false), nullable = false)
-      case "n_tok"  => StructField("n_tok", IntegerType, nullable = false)
-      case "source" => StructField("source", StringType, nullable = false)
-    })
-    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
-      org.apache.spark.sql.Encoders.row(schema)
     val needDoc = cols.contains("doc_id")
     val needTok = cols.contains("tokens")
     val needN = cols.contains("n_tok")
     val needSrc = cols.contains("source")
+    // Emit through the TokenRow product encoder — its Array[Int] field
+    // serializes via the primitive-array fast path (no per-token boxing,
+    // unlike a generic Row whose array field boxes every element);
+    // unprojected fields carry constant placeholders that the trailing
+    // Project drops. Placeholder cost is a few bytes per row vs the token
+    // payload the projection exists to skip.
     segments.flatMap { seg =>
       val byCol = seg.cols.map(c => c.col -> c).toMap
       val docIds = if (needDoc) StringCodecs.decodeChunk(byCol("doc_id").payload) else null
@@ -393,26 +392,22 @@ object GraftEncoder {
       val flat = if (needTok) IntCodecs.decodeChunk(byCol("tokens").payload) else null
       var pos = 0
       (0 until seg.nRows).iterator.map { i =>
-        val values = new Array[Any](cols.length)
-        var f = 0
-        cols.foreach { c =>
-          values(f) = c match {
-            case "doc_id" => docIds(i)
-            case "tokens" =>
-              val len = tokLens(i).toInt
-              val t = new Array[Int](len)
-              var j = 0
-              while (j < len) { t(j) = flat(pos + j).toInt; j += 1 }
-              pos += len
-              t.toSeq
-            case "n_tok" => nToks(i).toInt
-            case "source" => sources(i)
-          }
-          f += 1
-        }
-        org.apache.spark.sql.Row.fromSeq(values.toIndexedSeq)
+        val tokens = if (needTok) {
+          val len = tokLens(i).toInt
+          val t = new Array[Int](len)
+          var j = 0
+          while (j < len) { t(j) = flat(pos + j).toInt; j += 1 }
+          pos += len
+          t
+        } else Array.emptyIntArray
+        TokenRow(
+          if (needDoc) docIds(i) else "",
+          tokens,
+          if (needN) nToks(i).toInt else 0,
+          if (needSrc) sources(i) else "")
       }
-    }.toDF(cols: _*)
+    }.toDF("doc_id", "tokens", "n_tok", "source")
+      .select(cols.map(org.apache.spark.sql.functions.col): _*)
   }
 
   /** Decode only segments whose `tokens` chunk [minV, maxV] intersects

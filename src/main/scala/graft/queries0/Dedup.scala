@@ -175,22 +175,30 @@ object Dedup {
     * (doc_id, shingle), self-join on shingle (only pairs sharing >= 1
     * shingle ever meet — the exact-candidate analog of LSH banding), count
     * intersections, Jaccard = i / (n1 + n2 - i). Fully distributed; at
-    * 100 TB the one knob is a document-frequency cap on hot shingles
-    * (drop shingles appearing in > F docs — boilerplate/template text),
-    * which bounds the join fan-out; uncapped here because the corpora are
-    * template-light and the oracle must see identical semantics. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val sh = corpus(spark, dir).as[(Long, String)]
-      .map { case (id, text) => (id, shingles(text)) }
-      .toDF("doc_id", "sh")
-    val flat = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
-    val inter = flat.as("a")
-      .join(flat.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(count(lit(1)).as("i"))
-    inter
+    * 100 TB the one knob is [[ngramJaccardCapped]]'s document-frequency
+    * cap. Uncapped here (identical semantics to the DuckDB oracle — the
+    * test corpora are template-light). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOn(corpus(spark, dir), dfCap = None)
+
+  /** The 100 TB knob, coded: drop shingles whose document frequency
+    * exceeds `dfCap` BEFORE the inverted-index self-join. Join volume is
+    * Σ df² per shingle, so ONE boilerplate sentence shared by 10^8 docs
+    * makes the uncapped join quadratic; the cap bounds every shingle's
+    * fan-out at dfCap² while leaving discriminative (rare) shingles — the
+    * ones that actually witness near-duplication — untouched. Jaccard is
+    * then computed over the KEPT shingle universe on both sides of the
+    * ratio (the standard boilerplate-blind formulation: ultra-common
+    * shingles carry no dedup signal, so dropping them consistently from
+    * intersection AND sizes biases J of true near-dups upward only
+    * marginally and never manufactures candidates). */
+  def ngramJaccardCapped(spark: SparkSession, dir: String, dfCap: Int): DataFrame =
+    ngramJaccardOn(corpus(spark, dir), Some(dfCap))
+
+  private[graft] def ngramJaccardOn(docs: DataFrame, dfCap: Option[Int]): DataFrame = {
+    val spark = docs.sparkSession
+    val (flat, sizes) = ngramIndex(docs, dfCap)
+    ngramCandidates(flat)
       .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
       .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
       .withColumn("jaccard", col("i").cast("double") / (col("n1") + col("n2") - col("i")))
@@ -199,6 +207,36 @@ object Dedup {
         count(lit(1)).as("n_pairs"),
         sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("n_strong"))
   }
+
+  /** Inverted index (doc_id, shingle) + per-doc kept-shingle counts, with
+    * the optional df cap applied. The hot set (df > cap) is boilerplate by
+    * definition — a handful of distinct shingles however large the corpus
+    * — so the exclusion join broadcasts it. */
+  private[graft] def ngramIndex(docs: DataFrame, dfCap: Option[Int]): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.as[(Long, String)]
+      .map { case (id, text) => (id, shingles(text)) }
+      .toDF("doc_id", "sh")
+    val flatAll = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val flat = dfCap match {
+      case None => flatAll
+      case Some(cap) =>
+        val hot = flatAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("s"))
+        flatAll.join(broadcast(hot), Seq("s"), "left_anti")
+    }
+    // sizes over the SAME kept universe (shingles() emits sets, so the
+    // uncapped count equals size(sh) — one code path for both modes)
+    (flat, flat.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n")))
+  }
+
+  /** Candidate pairs + intersection counts from the inverted index. */
+  private[graft] def ngramCandidates(flat: DataFrame): DataFrame =
+    flat.as("a")
+      .join(flat.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("i"))
 
   /** Near-dup CLUSTERS from the pair graph: connected components by
     * iterative min-label propagation (the standard large-scale CC pattern —

@@ -83,4 +83,37 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === expected)
   }
+
+  test("ngram df-cap bounds the inverted-index fan-out on planted boilerplate") {
+    import spark.implicits._
+    // 60 docs sharing ONE boilerplate sentence, each with a unique tail;
+    // docs 58 and 59 are true near-dups (identical full text). The
+    // boilerplate shingles have df = 60 and make every doc pair a
+    // candidate — exactly the quadratic blow-up the cap exists to stop.
+    val boiler = "terms of service apply to every registered user of this website"
+    def tail(i: Int) =
+      (0 until 8).map(k => s"unique${i}word$k").mkString(" ")
+    val docs = (0 until 60).map { i =>
+      val t = if (i == 59) tail(58) else tail(i)
+      (i.toLong, s"$boiler $t")
+    }.toDF("doc_id", "text")
+
+    val uncapped = Dedup.ngramCandidates(Dedup.ngramIndex(docs, None)._1).count()
+    assert(uncapped >= 60L * 59 / 2,
+      s"boilerplate must make every pair a candidate uncapped, got $uncapped")
+
+    val (flatCapped, _) = Dedup.ngramIndex(docs, Some(10))
+    val capped = Dedup.ngramCandidates(flatCapped).count()
+    assert(capped < 60,
+      s"df cap must collapse the boilerplate fan-out, got $capped candidates")
+
+    // the true near-dup pair survives the cap and is still reported
+    val result = Dedup.ngramJaccardOn(docs, Some(10)).collect()(0)
+    assert(result.getAs[Long]("n_pairs") === 1L, "planted near-dup lost under the cap")
+    assert(result.getAs[Long]("n_strong") === 1L)
+    // and the uncapped operator agrees on the REPORTED pairs (boilerplate
+    // pairs share too little to pass the J >= 0.5 verify either way)
+    val un = Dedup.ngramJaccardOn(docs, None).collect()(0)
+    assert(un.getAs[Long]("n_pairs") === 1L)
+  }
 }

@@ -48,4 +48,73 @@ class MultimodalSpec extends AnyFunSuite {
     val truncatedJpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)
     assert(Multimodal.parseHeader(truncatedJpeg).format === "unknown")
   }
+
+  test("synthesized PNGs are conformant: the JDK's own ImageIO decodes identical pixels") {
+    for (id <- Seq(0L, 2L, 4L, 6L, 8L, 10L, 123456L)) {
+      val bytes = Multimodal.pngGray(id)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected the PNG for id=$id")
+      val (w, h, n, sum) = Multimodal.decodePngGray(bytes)
+      assert(img.getWidth === w && img.getHeight === h)
+      var ioSum = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        ioSum += (img.getRaster.getSample(x, y, 0) & 0xff)
+      assert(ioSum === sum, s"our inflate+unfilter disagrees with ImageIO for id=$id")
+      assert(n === w.toLong * h)
+      // and both match the generating formula
+      var expect = 0L
+      for (y <- 0 until h; x <- 0 until w) expect += (id * 7 + y * 5 + x * 3) % 256
+      assert(sum === expect)
+    }
+  }
+
+  test("PNG unfiltering inverts Sub and Up scanline filters (not just None)") {
+    // hand-build a 3x2 grayscale PNG: row0 Sub-filtered, row1 Up-filtered
+    val pixels = Array(Array(10, 30, 60), Array(15, 40, 80))
+    val scan = new java.io.ByteArrayOutputStream()
+    scan.write(1) // Sub: raw = v - left
+    scan.write(10); scan.write(20); scan.write(30)
+    scan.write(2) // Up: raw = v - above
+    scan.write(5); scan.write(10); scan.write(20)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(scan.toByteArray); defl.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](256)
+    while (!defl.finished()) z.write(tmp, 0, defl.deflate(tmp))
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(3).putInt(2)
+      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    def chunk(t: String, d: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32(); crc.update(t.getBytes); crc.update(d)
+      java.nio.ByteBuffer.allocate(12 + d.length)
+        .putInt(d.length).put(t.getBytes).put(d).putInt(crc.getValue.toInt).array()
+    }
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", z.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+    val (w, h, n, sum) = Multimodal.decodePngGray(png)
+    assert((w, h, n) === (3, 2, 6L))
+    assert(sum === pixels.flatten.sum.toLong)
+    // cross-check with ImageIO again
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val ioSum = (for (y <- 0 until 2; x <- 0 until 3)
+      yield img.getRaster.getSample(x, y, 0)).sum
+    assert(ioSum.toLong === sum)
+  }
+
+  test("WAV PCM decode inverts the writer sample-for-sample") {
+    for (id <- Seq(1L, 3L, 7L, 97L, 1001L)) {
+      val bytes = Multimodal.wavPcm(id)
+      assert(Multimodal.parseHeader(bytes).format === "wav")
+      val (n, sumSq) = Multimodal.decodeWavPcm16(bytes)
+      val expectN = 64 + (id % 97)
+      assert(n === expectN)
+      var expect = 0L
+      var i = 0
+      while (i < expectN) {
+        val s = ((id * 31 + i * 7) % 4096) - 2048
+        expect += s * s
+        i += 1
+      }
+      assert(sumSq === expect, s"sample decode mismatch for id=$id")
+    }
+  }
 }
