@@ -397,6 +397,100 @@ object Encode {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** The DSv2 WRITE path end-to-end: `df.write.format("graft")` (the
+    * standard Spark write surface — no graft-specific API) encodes under
+    * the declared doc_id-clustered distribution, commits atomically through
+    * the lineage ledger, and the connector reads the table back. Output is
+    * a full-fidelity audit per source: doc/token totals plus the count of
+    * rows that failed bit-exact round-trip (must be 0) — all
+    * SQL-expressible, so DuckDB replays it from the raw documents table.
+    * The reference's writer is an explicit TODO stub
+    * (/root/reference/src/writer.rs:18-23); this entry is the completed
+    * write half it never shipped. */
+  def dsv2Write(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-write-q").toString
+    try {
+      val input = TokenTables.fromDocuments(spark, dir)
+      input.toDF("doc_id", "tokens", "n_tok", "source")
+        .write.format("graft").option("buckets", "8")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(base)
+      val nCommitted = SegmentStore.readLineage(spark, base)
+        .filter($"status" === SegmentStore.Committed).count()
+      require(nCommitted == 8L, s"expected 8 committed bucket rows, got $nCommitted")
+      val back = spark.read.format("graft").load(base)
+        .toDF("doc_id", "tokens_dec", "n_tok_dec", "source_dec")
+      val rows = input.toDF("doc_id", "tokens", "n_tok", "source")
+        .join(back, Seq("doc_id"), "full_outer")
+        .withColumn("ok",
+          $"tokens" === $"tokens_dec" && $"n_tok" === $"n_tok_dec" &&
+            $"source" === $"source_dec")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tok").cast("long").as("sum_tokens"),
+          sum(when(coalesce($"ok", lit(false)), 0L).otherwise(1L)).as("n_mismatch"))
+        .orderBy($"source")
+        .collect().toSeq // group-by-source scale; materialize before temp delete
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum_tokens", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_mismatch", org.apache.spark.sql.types.LongType))))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
+  /** The DSv2 STREAMING sink end-to-end: the token table lands as 4 input
+    * files, `writeStream.format("graft")` drains them with
+    * maxFilesPerTrigger=1 (one ledgered snapshot per epoch,
+    * checkpoint-replay idempotent — asserted in GraftWriteSpec), and the
+    * union of epoch snapshots must round-trip bit-exactly. Incrementality
+    * is asserted in-query (>1 epoch snapshots); the output stays fully
+    * SQL-expressible. */
+  def dsv2StreamingWrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-stream-w-q").toString
+    try {
+      val input = TokenTables.fromDocuments(spark, dir)
+      input.toDF("doc_id", "tokens", "n_tok", "source")
+        .repartition(4).write.parquet(s"$base/in")
+      implicit val enc = org.apache.spark.sql.Encoders.product[graft.engine.TokenRow]
+      val q = spark.readStream.schema(enc.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .writeStream.format("graft")
+        .option("checkpointLocation", s"$base/ckpt")
+        .option("buckets", "8")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(s"$base/table")
+      q.awaitTermination()
+      val nSnapshots = SegmentStore.readLineage(spark, s"$base/table")
+        .filter($"status" === SegmentStore.Committed)
+        .select($"snapshotId").distinct().count()
+      require(nSnapshots > 1, s"expected >1 epoch snapshots, got $nSnapshots")
+      val back = spark.read.format("graft").load(s"$base/table")
+        .toDF("doc_id", "tokens_dec", "n_tok_dec", "source_dec")
+      val rows = input.toDF("doc_id", "tokens", "n_tok", "source")
+        .join(back, Seq("doc_id"), "full_outer")
+        .withColumn("ok",
+          $"tokens" === $"tokens_dec" && $"n_tok" === $"n_tok_dec" &&
+            $"source" === $"source_dec")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(coalesce($"ok", lit(false)), 0L).otherwise(1L)).as("n_mismatch"))
+        .orderBy($"source")
+        .collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_mismatch", org.apache.spark.sql.types.LongType))))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
   /** DuckDB replays of the connector entries. [[dsv2Scan]]: the tokenizer
     * is a `[^a-z0-9]+` split with empties dropped, so its COUNT is exact
     * SQL. [[dsv2TokenRange]]: the token id of a word is FNV-1a-32 mod the
@@ -404,6 +498,14 @@ object Encode {
     * `h = (h XOR c) * 16777619 mod 2^32` over the code points, replayed
     * below with list_reduce in BIGINT (products stay < 2^57). */
   val oracles: Map[String, String] = Map(
+    "encode_dsv2_write" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> ''))) AS BIGINT) AS sum_tokens,
+        |  CAST(0 AS BIGINT) AS n_mismatch
+        |FROM documents GROUP BY source""".stripMargin,
+    "encode_dsv2_streaming_write" ->
+      """SELECT source, COUNT(*) AS n_docs, CAST(0 AS BIGINT) AS n_mismatch
+        |FROM documents GROUP BY source""".stripMargin,
     "encode_dsv2_scan" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> ''))) AS BIGINT) AS sum_tokens
@@ -434,6 +536,8 @@ object Encode {
         |FROM hits""".stripMargin)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "encode_dsv2_write" -> (dsv2Write _),
+    "encode_dsv2_streaming_write" -> (dsv2StreamingWrite _),
     "encode_dsv2_scan" -> (dsv2Scan _),
     "encode_dsv2_limit" -> (dsv2Limit _),
     "encode_dsv2_tokenrange" -> (dsv2TokenRange _),

@@ -14,13 +14,16 @@ import org.apache.parquet.schema.{GroupType, MessageType, Type}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources.{And => SAnd, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or => SOr}
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
@@ -99,15 +102,19 @@ object GraftTable {
     StructField("source", StringType, nullable = false)))
 }
 
-class GraftTable(path: String) extends Table with SupportsRead {
+class GraftTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft:$path"
   override def schema(): StructType = GraftTable.TokenSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+  private def sessionConf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path,
-      new SerializableConfiguration(
-        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+    new GraftScanBuilder(path, sessionConf,
+      options.getBoolean("columnar", GraftScan.ColumnarDefault))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(path, info, sessionConf)
 }
 
 /** What MIN/MAX/COUNT(*) reduce to against the segment headers. */
@@ -118,7 +125,8 @@ object AggSpec {
   case object CountAll extends AggSpec
 }
 
-class GraftScanBuilder(path: String, hconf: SerializableConfiguration)
+class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
+                       columnar: Boolean = GraftScan.ColumnarDefault)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -179,10 +187,16 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration)
 
   override def build(): Scan =
     if (aggSpecs.nonEmpty) new GraftAggScan(path, aggSpecs, hconf)
-    else new GraftScan(path, required, pushed, limit, None, hconf)
+    else new GraftScan(path, required, pushed, limit, None, hconf, columnar)
 }
 
 object GraftScan {
+  /** Columnar reads are the default (flip per-read with
+    * `.option("columnar", "false")`): one ColumnarBatch per segment through
+    * OnHeapColumnVectors, the Spark-native analog of the reference's Arrow
+    * RecordBatch stream. */
+  final val ColumnarDefault = true
+
   /** Stats-prunable filter shapes: string/int comparisons on stats-bearing
     * columns, composed under AND/OR (the reference's predicate-tree
     * conversion, predicate.rs:53-166 — same semantics as the engine's
@@ -246,7 +260,8 @@ class GraftScan(
     pushed: Array[Filter],
     limit: Option[Int],
     val tokenRange: Option[(Long, Long)],
-    hconf: SerializableConfiguration)
+    hconf: SerializableConfiguration,
+    columnar: Boolean = GraftScan.ColumnarDefault)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -261,7 +276,7 @@ class GraftScan(
   /** Used by [[GraftTokenRangePushdown]] once per scan (guarded by
     * `tokenRange.isEmpty`); the listing is re-derived lazily in the copy. */
   def withTokenRange(lo: Long, hi: Long): GraftScan =
-    new GraftScan(path, required, pushed, limit, Some((lo, hi)), hconf)
+    new GraftScan(path, required, pushed, limit, Some((lo, hi)), hconf, columnar)
 
   /** Committed part-files of the table, sorted (deterministic partition
     * order). Listed once per scan and shared by planning and statistics. */
@@ -315,15 +330,20 @@ class GraftScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, pushed, limit, tokenRange, hconf)
+    new GraftReaderFactory(required, pushed, limit, tokenRange, hconf, columnar)
 }
 
 class GraftReaderFactory(required: StructType, pushed: Array[Filter],
                          limit: Option[Int], tokenRange: Option[(Long, Long)],
-                         hconf: SerializableConfiguration)
+                         hconf: SerializableConfiguration,
+                         columnar: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition].file,
+      required, pushed, limit, tokenRange, hconf.value)
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
+    new GraftColumnarPartitionReader(partition.asInstanceOf[GraftInputPartition].file,
       required, pushed, limit, tokenRange, hconf.value)
 }
 
@@ -422,55 +442,59 @@ class GraftAggReader(file: String, specs: Seq[AggSpec], conf: Configuration)
   override def close(): Unit = ()
 }
 
-/** Streams Segment groups from one parquet part-file, prunes on chunk
-  * stats (pushed filters AND the optional token range), decodes ONLY the
-  * projected streams, emits InternalRows, stops at the pushed limit. */
-class GraftPartitionReader(file: String, required: StructType, pushed: Array[Filter],
-                           limit: Option[Int], tokenRange: Option[(Long, Long)],
-                           conf: Configuration)
-    extends PartitionReader[InternalRow] {
+/** One decoded segment's projected column arrays (null = not projected). */
+private[sources] final class DecodedSegment(
+    val nRows: Int,
+    val docIds: Array[String],
+    val sources: Array[String],
+    val nToks: Array[Long],
+    val tokLens: Array[Long],
+    val flat: Array[Long])
+
+/** Shared per-part-file scan core for the row and columnar readers:
+  * streams Segment groups from one parquet file, prunes on chunk stats
+  * (pushed filters AND the optional token range), decodes ONLY the
+  * projected streams, and keeps the task-level scan counters. */
+private[sources] final class SegmentScanCore(
+    file: String, required: StructType, pushed: Array[Filter],
+    tokenRange: Option[(Long, Long)], conf: Configuration) {
 
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new HPath(file))
       .withConf(conf).build()
-  private var rows: Iterator[InternalRow] = Iterator.empty
-  private var current: InternalRow = _
-  private val maxRows: Long = limit.map(_.toLong).getOrElse(Long.MaxValue)
 
   // per-task scan counters, reported to Spark as DSv2 custom task metrics
-  private var mSegsDecoded = 0L
-  private var mSegsPruned = 0L
-  private var mSegsPrunedTok = 0L
-  private var mBytesDecoded = 0L
-  private var mBytesPruned = 0L
-  private var mRows = 0L
+  var mSegsDecoded = 0L
+  var mSegsPruned = 0L
+  var mSegsPrunedTok = 0L
+  var mBytesDecoded = 0L
+  var mBytesPruned = 0L
 
-  private val needDoc = required.fieldNames.contains("doc_id")
-  private val needTok = required.fieldNames.contains("tokens")
-  private val needN = required.fieldNames.contains("n_tok")
-  private val needSrc = required.fieldNames.contains("source")
+  val needDoc: Boolean = required.fieldNames.contains("doc_id")
+  val needTok: Boolean = required.fieldNames.contains("tokens")
+  val needN: Boolean = required.fieldNames.contains("n_tok")
+  val needSrc: Boolean = required.fieldNames.contains("source")
 
-  override def next(): Boolean = {
-    if (mRows >= maxRows) return false // pushed limit: stop opening groups
-    while (!rows.hasNext) {
-      val g = reader.read()
-      if (g == null) return false
-      rows = decodeGroup(g)
+  /** Next matching segment, decoded; null at end of file. */
+  def nextSegment(): DecodedSegment = {
+    var g = reader.read()
+    while (g != null) {
+      val seg = decodeGroup(g)
+      if (seg != null) return seg
+      g = reader.read()
     }
-    current = rows.next()
-    mRows += 1
-    true
+    null
   }
-  override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
 
-  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+  def close(): Unit = reader.close()
+
+  def metricsValues(rowsEmitted: Long): Array[CustomTaskMetric] = Array(
     GraftTaskMetric("graft segments decoded", mSegsDecoded),
     GraftTaskMetric("graft segments pruned (filter stats)", mSegsPruned),
     GraftTaskMetric("graft segments pruned (token range)", mSegsPrunedTok),
     GraftTaskMetric("graft payload bytes decoded", mBytesDecoded),
     GraftTaskMetric("graft payload bytes pruned", mBytesPruned),
-    GraftTaskMetric("graft rows emitted", mRows))
+    GraftTaskMetric("graft rows emitted", rowsEmitted))
 
   private def chunks(g: Group): Map[String, ChunkStats] = {
     val wrapper = g.getGroup("cols", 0) // LIST wrapper
@@ -527,12 +551,12 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
   private def payloadBytes(c: Map[String, ChunkStats]): Long =
     c.valuesIterator.map(_.payload.length.toLong).sum
 
-  private def decodeGroup(g: Group): Iterator[InternalRow] = {
+  private def decodeGroup(g: Group): DecodedSegment = {
     val byCol = chunks(g)
     if (!mayMatch(byCol)) {
       mSegsPruned += 1
       mBytesPruned += payloadBytes(byCol)
-      return Iterator.empty
+      return null
     }
     // token-range skip on the tokens chunk min/max — the engine's flagship
     // chunk skip (GraftEncoder.decodeWhereTokenRange), reachable from SQL
@@ -542,7 +566,7 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
         (byCol("tokens").minV > hi || byCol("tokens").maxV < lo) =>
         mSegsPrunedTok += 1
         mBytesPruned += payloadBytes(byCol)
-        return Iterator.empty
+        return null
       case _ => ()
     }
     mSegsDecoded += 1
@@ -557,26 +581,143 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
         (c == "n_tok" && needN) || ((c == "tokens" || c == "tok_len") && needTok) =>
         s.payload.length.toLong
     }.sum
+    new DecodedSegment(nRows, docIds, sources, nToks, tokLens, flat)
+  }
+}
+
+/** Row-based reader: wraps the scan core, emits one InternalRow per doc,
+  * stops at the pushed limit. */
+class GraftPartitionReader(file: String, required: StructType, pushed: Array[Filter],
+                           limit: Option[Int], tokenRange: Option[(Long, Long)],
+                           conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val core = new SegmentScanCore(file, required, pushed, tokenRange, conf)
+  private var rows: Iterator[InternalRow] = Iterator.empty
+  private var current: InternalRow = _
+  private var mRows = 0L
+  private val maxRows: Long = limit.map(_.toLong).getOrElse(Long.MaxValue)
+
+  override def next(): Boolean = {
+    if (mRows >= maxRows) return false // pushed limit: stop opening groups
+    while (!rows.hasNext) {
+      val seg = core.nextSegment()
+      if (seg == null) return false
+      rows = rowsOf(seg)
+    }
+    current = rows.next()
+    mRows += 1
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = core.close()
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    core.metricsValues(mRows)
+
+  private def rowsOf(seg: DecodedSegment): Iterator[InternalRow] = {
     var pos = 0
-    (0 until nRows).iterator.map { i =>
+    (0 until seg.nRows).iterator.map { i =>
       val row = new GenericInternalRow(required.length)
       var f = 0
       required.fieldNames.foreach { name =>
         name match {
-          case "doc_id" => row.update(f, UTF8String.fromString(docIds(i)))
+          case "doc_id" => row.update(f, UTF8String.fromString(seg.docIds(i)))
           case "tokens" =>
-            val len = tokLens(i).toInt
+            val len = seg.tokLens(i).toInt
             val t = new Array[Int](len)
             var j = 0
-            while (j < len) { t(j) = flat(pos + j).toInt; j += 1 }
+            while (j < len) { t(j) = seg.flat(pos + j).toInt; j += 1 }
             pos += len
             row.update(f, new GenericArrayData(t))
-          case "n_tok" => row.setInt(f, nToks(i).toInt)
-          case "source" => row.update(f, UTF8String.fromString(sources(i)))
+          case "n_tok" => row.setInt(f, seg.nToks(i).toInt)
+          case "source" => row.update(f, UTF8String.fromString(seg.sources(i)))
         }
         f += 1
       }
       row
     }
+  }
+}
+
+/** Columnar reader: one [[ColumnarBatch]] per decoded segment, built on
+  * [[OnHeapColumnVector]]s — the Spark-native rendering of the reference's
+  * Arrow `RecordBatch` stream (/root/reference/src/opener.rs:308-358; its
+  * DEFAULT_BATCH_SIZE 8192 ≈ our segment row counts). Downstream, Spark
+  * fuses the batches into whole-stage codegen via ColumnarToRow, skipping
+  * the per-row object allocation of the row path; token arrays land as one
+  * bulk `putInts` into the child vector per segment. */
+class GraftColumnarPartitionReader(file: String, required: StructType,
+                                   pushed: Array[Filter], limit: Option[Int],
+                                   tokenRange: Option[(Long, Long)],
+                                   conf: Configuration)
+    extends PartitionReader[ColumnarBatch] {
+
+  private val core = new SegmentScanCore(file, required, pushed, tokenRange, conf)
+  private var batch: ColumnarBatch = _
+  private var mRows = 0L
+  private val maxRows: Long = limit.map(_.toLong).getOrElse(Long.MaxValue)
+  private val utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  override def next(): Boolean = {
+    if (batch != null) { batch.close(); batch = null }
+    if (mRows >= maxRows) return false
+    val seg = core.nextSegment()
+    if (seg == null) return false
+    // a pushed limit truncates the final batch (validity of the emitted
+    // rows is unaffected; Spark still applies the exact global limit)
+    val n = math.min(seg.nRows.toLong, maxRows - mRows).toInt
+    batch = toBatch(seg, n)
+    mRows += n
+    true
+  }
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = {
+    if (batch != null) { batch.close(); batch = null }
+    core.close()
+  }
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    core.metricsValues(mRows)
+
+  private def toBatch(seg: DecodedSegment, n: Int): ColumnarBatch = {
+    val vectors = OnHeapColumnVector.allocateColumns(n, required)
+    var f = 0
+    required.fieldNames.foreach { name =>
+      val v = vectors(f)
+      name match {
+        case "doc_id" =>
+          var i = 0
+          while (i < n) { v.putByteArray(i, seg.docIds(i).getBytes(utf8)); i += 1 }
+        case "source" =>
+          var i = 0
+          while (i < n) { v.putByteArray(i, seg.sources(i).getBytes(utf8)); i += 1 }
+        case "n_tok" =>
+          var i = 0
+          while (i < n) { v.putInt(i, seg.nToks(i).toInt); i += 1 }
+        case "tokens" =>
+          // total token count of the emitted rows (== full flat length
+          // unless the limit truncated the batch)
+          var total = 0
+          var i = 0
+          while (i < n) { total += seg.tokLens(i).toInt; i += 1 }
+          val ints = new Array[Int](total)
+          var j = 0
+          while (j < total) { ints(j) = seg.flat(j).toInt; j += 1 }
+          val child = v.arrayData()
+          child.reserve(total)
+          child.putInts(0, total, ints, 0)
+          var off = 0
+          i = 0
+          while (i < n) {
+            val len = seg.tokLens(i).toInt
+            v.putArray(i, off, len)
+            off += len
+            i += 1
+          }
+      }
+      f += 1
+    }
+    new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]], n)
   }
 }

@@ -129,6 +129,34 @@ object GraftLayout {
     Some(pairs.toSet)
   }
 
+  /** Committed snapshot ids from the ledger (None = no ledger). The write
+    * path allocates `max + 1` for a fresh batch commit and the streaming
+    * sink uses membership for epoch-replay idempotence. */
+  def committedSnapshots(path: String, conf: Configuration): Option[Set[Long]] = {
+    val ldir = new HPath(path, "lineage")
+    val fs = ldir.getFileSystem(conf)
+    if (!fs.exists(ldir)) return None
+    val snaps = scala.collection.mutable.Set.empty[Long]
+    val it = fs.listFiles(ldir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
+        val reader = openPruned(f.getPath.toString, conf,
+          top = Set("snapshotId", "status"), chunkFields = Set.empty)
+        try {
+          var g = reader.read()
+          while (g != null) {
+            if (g.getString("status", 0) == "committed")
+              snaps += g.getLong("snapshotId", 0)
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+    }
+    Some(snaps.toSet)
+  }
+
   /** Open a parquet file with a name-pruned requested schema: keep only the
     * `top`-level fields, and inside the `cols` LIST elements only
     * `chunkFields`. Pruning from the FILE's actual schema (rather than a

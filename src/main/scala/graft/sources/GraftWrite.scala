@@ -1,0 +1,442 @@
+package graft.sources
+
+import java.util.UUID
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, INT32, INT64}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Expression => VExpression}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType, StructType}
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.codec.CodecConf
+import graft.engine.{BucketedRow, GraftConf, GraftEncoder, Segment}
+
+/** The write half of the graft connector: `df.write.format("graft")
+  * .mode("append").save(dir)` and `df.writeStream.format("graft")` run the
+  * engine's encode pipeline through Spark's standard DSv2 write surface.
+  *
+  * The reference leaves its writer as an explicit TODO stub
+  * (/root/reference/src/writer.rs:18-23) — our engine IS the writer, and
+  * this class is what makes it reachable without any graft-specific API:
+  *
+  *  - **the one shuffle is declared, not hand-rolled**:
+  *    [[RequiresDistributionAndOrdering]] asks Spark to cluster the input
+  *    by `doc_id` into exactly `buckets` partitions, so the bucket exchange
+  *    the engine would do itself ([[GraftEncoder.encodeBucketed]]) becomes
+  *    part of the write plan — visible in `.explain`, AQE-aware, and not
+  *    duplicated when the upstream query already ends in a compatible
+  *    exchange. The bucket id is the writer's partition id: a pure function
+  *    of doc_id (Spark's deterministic hash clustering), preserving the
+  *    determinism the lineage protocol keys on;
+  *  - **encode is the task**: each [[GraftSegmentWriter]] buffers its
+  *    bucket (the engine's explicit memory contract: size buckets so one
+  *    fits in task memory), runs the same [[GraftEncoder.encodePartition]]
+  *    kernel as the batch path, and writes its segments as ONE parquet
+  *    part-file via the parquet example API — no Spark session, no second
+  *    job, byte-compatible with files the Spark writer produces (same
+  *    3-level LIST structure the read side walks);
+  *  - **commit is atomic through the lineage ledger**: writers stage under
+  *    `dir/_staging/<queryId>/`, the driver's `commit()` moves exactly the
+  *    files named in the commit messages into
+  *    `data/snapshotId=S/bucket=B/` and only then appends the ledger rows
+  *    — the commit point. A crash at ANY earlier moment leaves data the
+  *    ledger never mentions, which the ledger-aware readers
+  *    ([[GraftLayout.listDataFiles]], [[graft.lineage.SegmentStore]])
+  *    never surface: Iceberg-snapshot visibility semantics with zero new
+  *    reader machinery. Speculative/retried task attempts stage under
+  *    distinct taskIds and only the attempt the commit coordinator accepted
+  *    is moved;
+  *  - **streaming is the same writer**: `toStreaming` commits each epoch as
+  *    its own snapshot (`snapshotId = epochId`, the
+  *    [[graft.streaming.StreamingEncode]] convention). A replayed epoch
+  *    finds its snapshot already in the ledger and drops its staged files —
+  *    checkpoint replay + ledger idempotence compose to exactly-once.
+  *
+  * Write options: `buckets` (bucket/partition count, default
+  * [[GraftWriteBuilder.DefaultBuckets]]), `tokensPerChunk`, and the
+  * `graft.codec.*` keys accepted by [[GraftConf]] (e.g.
+  * `graft.codec.zlibLevel`) — same knobs, same parsing, as the
+  * session-conf path.
+  */
+class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
+                        hconf: SerializableConfiguration)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = {
+    val schema = info.schema()
+    GraftWriteBuilder.validateSchema(schema)
+    val opts = info.options()
+    val buckets = Option(opts.get("buckets")).map(_.toInt)
+      .getOrElse(GraftWriteBuilder.DefaultBuckets)
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    val conf = {
+      val m = scala.collection.mutable.Map.empty[String, String]
+      val it = opts.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); if (e.getKey.startsWith("graft.")) m += e.getKey -> e.getValue }
+      GraftConf.fromMap(m.toMap)
+    }
+    val tokensPerChunk = Option(opts.get("tokensPerChunk")).map(_.toInt)
+      .getOrElse(conf.tokensPerChunk)
+    new GraftWrite(path, schema, buckets, tokensPerChunk, conf.codec,
+      truncateFirst, info.queryId(), hconf)
+  }
+}
+
+object GraftWriteBuilder {
+  /** Matches the engine's local-mode test default; a real deployment sizes
+    * this as totalTokens / (128-256 MiB of tokens) per the capacity plan. */
+  final val DefaultBuckets = 16
+
+  def validateSchema(s: StructType): Unit = {
+    def has(n: String)(ok: PartialFunction[org.apache.spark.sql.types.DataType, Boolean]): Boolean =
+      s.fields.exists(f => f.name == n && ok.applyOrElse(f.dataType, (_: org.apache.spark.sql.types.DataType) => false))
+    require(has("doc_id") { case StringType => true } &&
+      has("tokens") { case ArrayType(IntegerType, _) => true } &&
+      has("n_tok") { case IntegerType => true } &&
+      has("source") { case StringType => true } && s.length == 4,
+      s"graft write requires (doc_id string, tokens array<int>, n_tok int, source string), got ${s.simpleString}")
+  }
+}
+
+/** One committed writer task's contribution: its bucket's staged file (None
+  * when the bucket was empty) plus the lineage stats the ledger records. */
+final case class GraftCommitMessage(
+    bucket: Int,
+    stagedFile: Option[String],
+    nSegments: Long,
+    nRows: Long,
+    nTokens: Long,
+    bytesIn: Long,
+    bytesOut: Long,
+    firstChunk: String,
+    lastChunk: String,
+    codecs: String) extends WriterCommitMessage
+
+class GraftWrite(path: String, schema: StructType, buckets: Int,
+                 tokensPerChunk: Int, codecConf: CodecConf,
+                 truncateFirst: Boolean, queryId: String,
+                 hconf: SerializableConfiguration)
+    extends Write with RequiresDistributionAndOrdering {
+
+  // Cluster by doc_id into exactly `buckets` partitions: the engine's one
+  // explicit shuffle, expressed declaratively so Catalyst plans (or elides)
+  // the exchange. Hash clustering on doc_id keeps the bucket a pure
+  // function of the row's identity — long-token docs spread uniformly
+  // (the north_rule's skew clause), independent of input partitioning.
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array[VExpression](Expressions.column("doc_id")))
+  override def requiredNumPartitions(): Int = buckets
+  // No required ordering: encodePartition sorts its bucket in task memory,
+  // skipping Spark's external-sorter serialize/spill layer (measured
+  // map-side GC win, see GraftEncoder.partitionForEncode).
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+  private def stagingDir = s"$path/_staging/$queryId"
+
+  override def toBatch: BatchWrite = new GraftBatchWrite(
+    path, stagingDir, schema, tokensPerChunk, codecConf, truncateFirst, hconf)
+
+  override def toStreaming: StreamingWrite = new GraftStreamingWrite(
+    path, stagingDir, schema, tokensPerChunk, codecConf, hconf)
+
+  override def description(): String =
+    s"GraftWrite buckets=$buckets tokensPerChunk=$tokensPerChunk" +
+      (if (truncateFirst) " truncate" else "")
+}
+
+class GraftBatchWrite(path: String, stagingDir: String, schema: StructType,
+                      tokensPerChunk: Int, codecConf: CodecConf,
+                      truncateFirst: Boolean, hconf: SerializableConfiguration)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftWriterFactory(stagingDir, schema, tokensPerChunk, codecConf, hconf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = hconf.value
+    if (truncateFirst) {
+      val fs = new HPath(path).getFileSystem(conf)
+      fs.delete(new HPath(path, "data"), true)
+      fs.delete(new HPath(path, "lineage"), true)
+    }
+    // Snapshot id chosen at commit time so concurrent/successive appends
+    // monotonically stack (the Iceberg "new snapshot per commit" stance).
+    val snapshotId = GraftLayout.committedSnapshots(path, conf)
+      .fold(0L)(s => if (s.isEmpty) 0L else s.max) + 1L
+    GraftWriteCommit.publish(path, stagingDir, snapshotId,
+      messages.map(_.asInstanceOf[GraftCommitMessage]), conf)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftWriteCommit.dropStaging(stagingDir, hconf.value)
+}
+
+/** Streaming sink: each epoch commits as its own ledgered snapshot
+  * (snapshotId = epochId). Exactly-once = checkpoint replay x ledger
+  * idempotence: a replayed epoch sees its snapshot already committed and
+  * discards its staged files instead of double-publishing. */
+class GraftStreamingWrite(path: String, stagingDir: String, schema: StructType,
+                          tokensPerChunk: Int, codecConf: CodecConf,
+                          hconf: SerializableConfiguration)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GraftWriterFactory(stagingDir, schema, tokensPerChunk, codecConf, hconf)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = hconf.value
+    val already = GraftLayout.committedSnapshots(path, conf)
+      .exists(_.contains(epochId))
+    if (already) GraftWriteCommit.dropStaging(stagingDir, conf)
+    else GraftWriteCommit.publish(path, stagingDir, epochId,
+      messages.map(_.asInstanceOf[GraftCommitMessage]), conf)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftWriteCommit.dropStaging(stagingDir, hconf.value)
+}
+
+/** Driver-side publish: move exactly the staged files the commit messages
+  * name into their snapshot/bucket dirs, THEN append the lineage rows —
+  * the ledger append is the commit point; everything before it is
+  * invisible to ledger-aware readers. */
+object GraftWriteCommit {
+
+  def publish(path: String, stagingDir: String, snapshotId: Long,
+              messages: Array[GraftCommitMessage], conf: Configuration): Unit = {
+    val fs = new HPath(path).getFileSystem(conf)
+    messages.foreach { m =>
+      m.stagedFile.foreach { staged =>
+        val dest = new HPath(s"$path/data/snapshotId=$snapshotId/bucket=${m.bucket}")
+        fs.mkdirs(dest)
+        val src = new HPath(staged)
+        if (!fs.rename(src, new HPath(dest, src.getName)))
+          throw new java.io.IOException(s"graft commit: rename failed for $staged")
+      }
+    }
+    writeLineage(path, snapshotId, messages, conf)
+    dropStaging(stagingDir, conf)
+  }
+
+  def dropStaging(stagingDir: String, conf: Configuration): Unit = {
+    val p = new HPath(stagingDir)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    // remove _staging itself when this was its last query
+    val parent = p.getParent
+    if (fs.exists(parent) && !fs.listFiles(parent, false).hasNext) fs.delete(parent, false)
+  }
+
+  /** Flat lineage schema — parquet-level twin of
+    * [[graft.lineage.LineageRow]], so Spark's `readLineage` sees one merged
+    * table across ledger files written by either path. */
+  private val LineageSchema: MessageType = {
+    val str = LogicalTypeAnnotation.stringType()
+    new MessageType("graft_lineage",
+      Types.optional(INT64).named("snapshotId"),
+      Types.optional(INT32).named("bucket"),
+      Types.optional(INT64).named("nSegments"),
+      Types.optional(INT64).named("nRows"),
+      Types.optional(INT64).named("nTokens"),
+      Types.optional(INT64).named("bytesIn"),
+      Types.optional(INT64).named("bytesOut"),
+      Types.optional(BINARY).as(str).named("firstChunk"),
+      Types.optional(BINARY).as(str).named("lastChunk"),
+      Types.optional(BINARY).as(str).named("codecs"),
+      Types.optional(BINARY).as(str).named("status"))
+  }
+
+  private def writeLineage(path: String, snapshotId: Long,
+                           messages: Array[GraftCommitMessage], conf: Configuration): Unit = {
+    val file = new HPath(s"$path/lineage/part-graft-${UUID.randomUUID()}.parquet")
+    val writer = ExampleParquetWriter.builder(file)
+      .withConf(conf).withType(LineageSchema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    val f = new SimpleGroupFactory(LineageSchema)
+    try {
+      messages.sortBy(_.bucket).foreach { m =>
+        val g = f.newGroup()
+        g.add("snapshotId", snapshotId)
+        g.add("bucket", m.bucket)
+        g.add("nSegments", m.nSegments)
+        g.add("nRows", m.nRows)
+        g.add("nTokens", m.nTokens)
+        g.add("bytesIn", m.bytesIn)
+        g.add("bytesOut", m.bytesOut)
+        g.add("firstChunk", m.firstChunk)
+        g.add("lastChunk", m.lastChunk)
+        g.add("codecs", m.codecs)
+        g.add("status", graft.lineage.SegmentStore.Committed)
+        writer.write(g)
+      }
+    } finally writer.close()
+  }
+}
+
+/** Serves both the batch and streaming writer surfaces (the epoch id is
+  * commit-time information; the writer itself is identical). */
+final case class GraftWriterFactory(stagingDir: String, schema: StructType,
+                                    tokensPerChunk: Int, codecConf: CodecConf,
+                                    hconf: SerializableConfiguration)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftSegmentWriter(stagingDir, schema, partitionId, taskId,
+      tokensPerChunk, codecConf, hconf.value)
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId)
+}
+
+object GraftSegmentWriter {
+  /** Physical schema of a segment part-file, minus the snapshotId/bucket
+    * partition columns (they live in the directory path, exactly as
+    * `partitionBy("snapshotId","bucket")` lays them out) — the standard
+    * 3-level LIST shape Spark writes and both read paths walk. */
+  val SegmentFileSchema: MessageType = {
+    val str = LogicalTypeAnnotation.stringType()
+    val element = Types.optionalGroup()
+      .addField(Types.optional(BINARY).as(str).named("col"))
+      .addField(Types.optional(INT32).named("codecId"))
+      .addField(Types.optional(BINARY).as(str).named("codecName"))
+      .addField(Types.optional(INT64).named("nValues"))
+      .addField(Types.optional(INT64).named("bytesIn"))
+      .addField(Types.optional(INT64).named("bytesOut"))
+      .addField(Types.optional(INT64).named("minV"))
+      .addField(Types.optional(INT64).named("maxV"))
+      .addField(Types.optional(BINARY).as(str).named("minS"))
+      .addField(Types.optional(BINARY).as(str).named("maxS"))
+      .addField(Types.optional(BINARY).named("payload"))
+      .named("element")
+    val cols = Types.optionalGroup().as(LogicalTypeAnnotation.listType())
+      .addField(Types.repeatedGroup().addField(element).named("list"))
+      .named("cols")
+    new MessageType("spark_schema",
+      Types.optional(BINARY).as(str).named("segmentId"),
+      Types.optional(BINARY).as(str).named("source"),
+      Types.optional(INT32).named("partitionId"),
+      Types.optional(INT32).named("chunkIdx"),
+      Types.optional(INT32).named("nRows"),
+      Types.optional(INT64).named("nTokens"),
+      Types.optional(INT64).named("bytesIn"),
+      Types.optional(INT64).named("bytesOut"),
+      cols)
+  }
+}
+
+/** Buffers one bucket's rows (the engine's explicit task-memory contract),
+  * encodes them with the shared [[GraftEncoder.encodePartition]] kernel at
+  * commit, and writes the segments as one staged parquet part-file. */
+class GraftSegmentWriter(stagingDir: String, schema: StructType,
+                         partitionId: Int, taskId: Long,
+                         tokensPerChunk: Int, codecConf: CodecConf,
+                         conf: Configuration)
+    extends DataWriter[InternalRow] {
+
+  private val iDoc = schema.fieldIndex("doc_id")
+  private val iTok = schema.fieldIndex("tokens")
+  private val iN = schema.fieldIndex("n_tok")
+  private val iSrc = schema.fieldIndex("source")
+  private val rows = ArrayBuffer.empty[BucketedRow]
+  private val stagedFile = s"$stagingDir/part-$partitionId-$taskId.parquet"
+
+  override def write(row: InternalRow): Unit =
+    rows += BucketedRow(
+      row.getUTF8String(iDoc).toString,
+      row.getArray(iTok).toIntArray(),
+      row.getInt(iN),
+      row.getUTF8String(iSrc).toString,
+      partitionId)
+
+  override def commit(): WriterCommitMessage = {
+    if (rows.isEmpty)
+      return GraftCommitMessage(partitionId, None, 0L, 0L, 0L, 0L, 0L, "", "", "")
+    val segments = GraftEncoder.encodePartition(rows.iterator, tokensPerChunk, codecConf)
+    val s = GraftSegmentWriter.SegmentFileSchema
+    val writer: ParquetWriter[Group] = ExampleParquetWriter.builder(new HPath(stagedFile))
+      .withConf(conf).withType(s)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    val f = new SimpleGroupFactory(s)
+    var nSegments = 0L
+    var nRows = 0L
+    var nTokens = 0L
+    var bytesIn = 0L
+    var bytesOut = 0L
+    var firstChunk: String = null
+    var lastChunk: String = null
+    val codecCounts = scala.collection.mutable.Map.empty[String, Long]
+    try {
+      segments.foreach { seg =>
+        writer.write(toGroup(f, seg))
+        nSegments += 1
+        nRows += seg.nRows
+        nTokens += seg.nTokens
+        bytesIn += seg.bytesIn
+        bytesOut += seg.bytesOut
+        if (firstChunk == null || seg.segmentId < firstChunk) firstChunk = seg.segmentId
+        if (lastChunk == null || seg.segmentId > lastChunk) lastChunk = seg.segmentId
+        seg.cols.foreach { c =>
+          val k = s"${c.col}:${c.codecName}"
+          codecCounts.update(k, codecCounts.getOrElse(k, 0L) + 1L)
+        }
+      }
+    } finally writer.close()
+    // "col:codec=n,..." sorted — the SegmentStore ledger convention
+    val codecs = codecCounts.toSeq.sorted.map { case (k, n) => s"$k=$n" }.mkString(",")
+    GraftCommitMessage(partitionId, Some(stagedFile), nSegments, nRows, nTokens,
+      bytesIn, bytesOut, firstChunk, lastChunk, codecs)
+  }
+
+  private def toGroup(f: SimpleGroupFactory, seg: Segment): Group = {
+    val g = f.newGroup()
+    g.add("segmentId", seg.segmentId)
+    g.add("source", seg.source)
+    g.add("partitionId", seg.partitionId)
+    g.add("chunkIdx", seg.chunkIdx)
+    g.add("nRows", seg.nRows)
+    g.add("nTokens", seg.nTokens)
+    g.add("bytesIn", seg.bytesIn)
+    g.add("bytesOut", seg.bytesOut)
+    val cols = g.addGroup("cols")
+    seg.cols.foreach { c =>
+      val el = cols.addGroup("list").addGroup("element")
+      el.add("col", c.col)
+      el.add("codecId", c.codecId)
+      el.add("codecName", c.codecName)
+      el.add("nValues", c.nValues)
+      el.add("bytesIn", c.bytesIn)
+      el.add("bytesOut", c.bytesOut)
+      el.add("minV", c.minV)
+      el.add("maxV", c.maxV)
+      el.add("minS", c.minS)
+      el.add("maxS", c.maxS)
+      el.add("payload", Binary.fromConstantByteArray(c.payload))
+    }
+    g
+  }
+
+  override def abort(): Unit = {
+    val p = new HPath(stagedFile)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, false)
+  }
+
+  override def close(): Unit = rows.clear()
+}

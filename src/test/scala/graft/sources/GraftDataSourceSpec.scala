@@ -88,6 +88,36 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("columnar batches: default read plans ColumnarToRow, equals the row reader exactly") {
+    import spark.implicits._
+    val colDf = spark.read.format("graft").load(bare)
+    colDf.collect()
+    // default is the columnar reader: the executed plan fuses the batches
+    // through ColumnarToRow into whole-stage codegen
+    assert(colDf.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "columnar read did not plan ColumnarToRow")
+    val rowDf = spark.read.format("graft").option("columnar", "false").load(bare)
+    rowDf.collect()
+    assert(!rowDf.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "columnar=false still planned a columnar scan")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.as[graft.engine.TokenRow].collect()
+        .map(r => (r.doc_id, r.tokens.toSeq, r.n_tok, r.source)).sortBy(_._1).toSeq
+    assert(key(colDf) === key(rowDf))
+    // limit truncates the final batch without corrupting values
+    val lim = spark.read.format("graft").load(bare).limit(7)
+      .as[graft.engine.TokenRow].collect()
+    assert(lim.length === 7)
+    val exp = TokenTables.synthetic(spark, nDocs = 400, seed = 42L)
+      .collect().map(r => r.doc_id -> r).toMap
+    lim.foreach(g => assert(g.tokens.sameElements(exp(g.doc_id).tokens)))
+    // filters stay exact through the columnar residual re-filter
+    val f = spark.read.format("graft").load(bare).filter($"n_tok" > 100)
+    val fr = spark.read.format("graft").option("columnar", "false").load(bare)
+      .filter($"n_tok" > 100)
+    assert(key(f) === key(fr))
+  }
+
   test("SegmentStore layout reads ONLY ledger-committed partitions") {
     val dir = tmp()
     val input = TokenTables.synthetic(spark, nDocs = 200, seed = 7L)
