@@ -15,12 +15,23 @@ package graft.codec
   *                       deflate, the best-compression point)
   * @param dictThreshold  distinct/total ratio bound for dictionary encoding
   *                       (ORC `orc.dictionary.key.threshold` default 0.8)
+  * @param bloomColumns   column streams that get a per-chunk split-block
+  *                       bloom filter ([[SegmentBloom]]). Mirrors ORC's
+  *                       `orc.bloom.filter.columns` contract: OPT-IN per
+  *                       column, because a token-stream bloom costs up to
+  *                       [[SegmentBloom.MaxBytes]] per chunk (~10% of the
+  *                       encoded token payload) while a doc_id bloom is
+  *                       ~2 B/row (<1% of stored bytes) — so doc_id is the
+  *                       one default, and point-lookup-heavy tables add
+  *                       `tokens` explicitly
   */
 final case class CodecConf(
     zlibLevel: Int = 6,
     deflateMinGain: Double = 0.0,
-    dictThreshold: Double = 0.8)
+    dictThreshold: Double = 0.8,
+    bloomColumns: Set[String] = CodecConf.DefaultBloomColumns)
 
 object CodecConf {
+  val DefaultBloomColumns: Set[String] = Set("doc_id")
   val Default: CodecConf = CodecConf()
 }

@@ -17,13 +17,18 @@ import org.apache.spark.sql.SparkSession
   *                       compressor skips the full deflate pass
   * @param dictThreshold  distinct/total ratio bound for dictionary encoding
   *                       (ORC `orc.dictionary.key.threshold` analog)
+  * @param bloomColumns   streams carrying a per-chunk bloom filter (ORC
+  *                       `orc.bloom.filter.columns` analog: opt-in per
+  *                       column; doc_id by default — see
+  *                       [[graft.codec.CodecConf.bloomColumns]])
   */
 final case class GraftConf(
     tokensPerChunk: Int = GraftEncoder.DefaultTokensPerChunk,
     buckets: Int = 256,
     zlibLevel: Int = 6,
     deflateMinGain: Double = graft.codec.BlockCompression.MinSampledGain,
-    dictThreshold: Double = graft.select.CodecSelector.DictThreshold) {
+    dictThreshold: Double = graft.select.CodecSelector.DictThreshold,
+    bloomColumns: Set[String] = graft.codec.CodecConf.DefaultBloomColumns) {
   require(tokensPerChunk > 0, s"${GraftConf.TokensPerChunk} must be > 0, got $tokensPerChunk")
   require(buckets > 0, s"${GraftConf.Buckets} must be > 0, got $buckets")
   require(zlibLevel >= 0 && zlibLevel <= 9, s"${GraftConf.ZlibLevel} must be in [0,9], got $zlibLevel")
@@ -31,11 +36,13 @@ final case class GraftConf(
     s"${GraftConf.DeflateMinGain} must be in [0,1], got $deflateMinGain")
   require(dictThreshold >= 0 && dictThreshold <= 1,
     s"${GraftConf.DictThreshold} must be in [0,1], got $dictThreshold")
+  require(bloomColumns.subsetOf(GraftConf.BloomableColumns),
+    s"${GraftConf.BloomColumns} must be a subset of ${GraftConf.BloomableColumns.toSeq.sorted.mkString(",")}, got ${bloomColumns.mkString(",")}")
 
   /** The kernel-facing slice, threaded through every codec call as an
     * immutable value (never global state — see [[graft.codec.CodecConf]]). */
   def codec: graft.codec.CodecConf =
-    graft.codec.CodecConf(zlibLevel, deflateMinGain, dictThreshold)
+    graft.codec.CodecConf(zlibLevel, deflateMinGain, dictThreshold, bloomColumns)
 }
 
 object GraftConf {
@@ -44,6 +51,11 @@ object GraftConf {
   final val ZlibLevel = "graft.codec.zlibLevel"
   final val DeflateMinGain = "graft.codec.deflateMinGain"
   final val DictThreshold = "graft.codec.dictThreshold"
+  final val BloomColumns = "graft.codec.bloomColumns"
+
+  /** Streams a bloom can be requested on (the five encoded streams). */
+  final val BloomableColumns: Set[String] =
+    Set("doc_id", "source", "tokens", "n_tok", "tok_len")
 
   private def parseInt(key: String, v: String): Int =
     try v.trim.toInt
@@ -63,7 +75,10 @@ object GraftConf {
       buckets = m.get(Buckets).map(parseInt(Buckets, _)).getOrElse(d.buckets),
       zlibLevel = m.get(ZlibLevel).map(parseInt(ZlibLevel, _)).getOrElse(d.zlibLevel),
       deflateMinGain = m.get(DeflateMinGain).map(parseDouble(DeflateMinGain, _)).getOrElse(d.deflateMinGain),
-      dictThreshold = m.get(DictThreshold).map(parseDouble(DictThreshold, _)).getOrElse(d.dictThreshold))
+      dictThreshold = m.get(DictThreshold).map(parseDouble(DictThreshold, _)).getOrElse(d.dictThreshold),
+      bloomColumns = m.get(BloomColumns)
+        .map(_.split(',').iterator.map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(d.bloomColumns))
   }
 
   /** Read every `graft.*` key from the session conf. */

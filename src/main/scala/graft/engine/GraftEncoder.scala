@@ -12,7 +12,10 @@ import graft.select.CodecSelector
   * (SURVEY §1.4; /root/reference/src/lib.rs:30 reads these back via
   * orc-rust). min/max double as the chunk's data-skipping index, the role
   * ORC ROW_INDEX entries play for the reference's stripe pruning
-  * (/root/reference/src/predicate.rs:53-245). */
+  * (/root/reference/src/predicate.rs:53-245). `bloom` is the optional
+  * per-chunk split-block bloom filter ([[graft.codec.SegmentBloom]], the
+  * ORC BLOOM_FILTER stream analog; empty = none — readers degrade to
+  * may-contain, so pre-bloom files stay readable). */
 final case class ColChunk(
     col: String,
     codecId: Int,
@@ -24,7 +27,8 @@ final case class ColChunk(
     maxV: Long,
     minS: String,
     maxS: String,
-    payload: Array[Byte])
+    payload: Array[Byte],
+    bloom: Array[Byte] = Array.emptyByteArray)
 
 /** A segment = one horizontal chunk of rows, all columns encoded. The unit
   * of encode work, lineage, and decode-side skipping.
@@ -304,9 +308,11 @@ object GraftEncoder {
         k += 1
       }
       if (values.isEmpty) { minV = 0; maxV = 0 }
+      val bloom = if (codecConf.bloomColumns.contains(col))
+        SegmentBloom.buildFromLongs(values) else Array.emptyByteArray
       ColChunk(col, codec.id, codec.name, values.length.toLong,
         values.length.toLong * bytesInPerValue, payload.length.toLong,
-        minV, maxV, "", "", payload)
+        minV, maxV, "", "", payload, bloom)
     }
     // String chunks carry real min/max STRING stats (ORC keeps string
     // column min/max in its statistics; the reference converts utf8
@@ -325,8 +331,10 @@ object GraftEncoder {
         if (compareUtf8(values(k), maxS) > 0) maxS = values(k)
         k += 1
       }
+      val bloom = if (codecConf.bloomColumns.contains(col))
+        SegmentBloom.buildFromStrings(values) else Array.emptyByteArray
       ColChunk(col, codec.id, codec.name, values.length.toLong, bytesIn,
-        payload.length.toLong, 0L, 0L, minS, maxS, payload)
+        payload.length.toLong, 0L, 0L, minS, maxS, payload, bloom)
     }
 
     val cols = Seq(
@@ -441,6 +449,39 @@ object GraftEncoder {
         c.getField("col") === lit("doc_id") &&
           c.getField("minS") <= lit(hi) && c.getField("maxS") >= lit(lo)))
       .flatMap(decodeSegment _)
+  }
+
+  /** Point-lookup decode via the per-chunk bloom filters: decode only
+    * segments whose `col` chunk bloom may contain the value (the ORC
+    * BLOOM_FILTER pushdown shape — min/max interval stats prune point
+    * predicates ~never on hash-distributed ids, a 1%-FPP bloom prunes them
+    * ~always). INEXACT like every chunk skip: bloom false-positives (and
+    * pre-bloom chunks, which answer may-contain) survive, callers
+    * re-filter exactly. Min/max is checked first — it is free and proves
+    * the definite misses the bloom could false-positive on. */
+  def decodeWhereTokenEquals(segments: Dataset[Segment], v: Long): Dataset[TokenRow] = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    segments.flatMap { seg =>
+      val ok = seg.cols.find(_.col == "tokens").forall { c =>
+        c.minV <= v && v <= c.maxV && SegmentBloom.mightContainLong(c.bloom, v)
+      }
+      if (ok) decodeSegment(seg) else Iterator.empty
+    }
+  }
+
+  /** String point-lookup via the doc_id chunk blooms (see
+    * [[decodeWhereTokenEquals]]); same inexact contract. */
+  def decodeWhereDocIdEquals(segments: Dataset[Segment], v: String): Dataset[TokenRow] = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    segments.flatMap { seg =>
+      val ok = seg.cols.find(_.col == "doc_id").forall { c =>
+        compareUtf8(c.minS, v) <= 0 && compareUtf8(v, c.maxS) <= 0 &&
+          SegmentBloom.mightContainString(c.bloom, v)
+      }
+      if (ok) decodeSegment(seg) else Iterator.empty
+    }
   }
 
   /** Pure segment decode (unit-tested without Spark). */

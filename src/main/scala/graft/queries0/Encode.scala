@@ -397,6 +397,41 @@ object Encode {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** Point-lookup pushdown through the per-chunk BLOOM FILTERS (the ORC
+    * BLOOM_FILTER stream analog, opt-in per column like
+    * `orc.bloom.filter.columns`): the table is written through the DSv2
+    * write path with `graft.codec.bloomColumns=doc_id,tokens`, and an
+    * `array_contains(tokens, t)` point predicate reaches the tokens-chunk
+    * bloom via the token-range rule (a degenerate [t, t] range). The probe
+    * token is the corpus word "dup" (FNV-1a id 29499, ~5% of docs at every
+    * sf), so skip, bloom and exact re-filter paths all do real work.
+    * Oracle-exact: DuckDB replays the word hash. Pruning COUNTS (bloom
+    * beats min/max on full-range chunks) are pinned in
+    * GraftDataSourceSpec; this entry pins cross-engine exactness. */
+  def dsv2Bloom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val probe = 29499 // stableHash("dup")
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-bloom-q").toString
+    try {
+      graft.sources.GraftTokenRangePushdown.install(spark)
+      val input = TokenTables.fromDocuments(spark, dir)
+      input.toDF("doc_id", "tokens", "n_tok", "source")
+        .write.format("graft").option("buckets", "8")
+        .option("graft.codec.bloomColumns", "doc_id,tokens")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(base)
+      val hits = spark.read.format("graft").load(base)
+        .filter(array_contains($"tokens", probe))
+      require(hits.queryExecution.executedPlan.toString
+        .contains(s"PushedTokenRange: [$probe, $probe]"),
+        "point token predicate did not reach the graft scan")
+      val row = hits
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum($"n_tok"), lit(0L)).cast("long").as("sum_tokens"))
+        .collect()(0)
+      Seq((row.getLong(0), row.getLong(1))).toDF("n_docs", "sum_tokens")
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
   /** The DSv2 WRITE path end-to-end: `df.write.format("graft")` (the
     * standard Spark write surface — no graft-specific API) encodes under
     * the declared doc_id-clustered distribution, commits atomically through
@@ -439,6 +474,39 @@ object Encode {
           org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("sum_tokens", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("n_mismatch", org.apache.spark.sql.types.LongType))))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
+  /** Snapshot TIME TRAVEL through the lineage ledger (the Iceberg
+    * `snapshot-id` read-option analog, north_rule's "writes them back to
+    * Iceberg with per-partition lineage rows" surface): the corpus lands
+    * in two committed snapshots (even-token-count docs then odd), and a
+    * `.option("snapshotId", 1)` read must see EXACTLY the first commit —
+    * no snapshot-2 rows, no partial data — while the default read sees the
+    * union. Both halves are SQL-expressible (token-count parity replays in
+    * DuckDB), so the whole as-of contract is oracle-checked. */
+  def dsv2TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-tt-q").toString
+    try {
+      val input = TokenTables.fromDocuments(spark, dir)
+      val even = input.filter(_.n_tok % 2 == 0)
+      val odd = input.filter(_.n_tok % 2 == 1)
+      even.toDF("doc_id", "tokens", "n_tok", "source")
+        .write.format("graft").option("buckets", "4")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(base)
+      odd.toDF("doc_id", "tokens", "n_tok", "source")
+        .write.format("graft").option("buckets", "4")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(base)
+      val asOf = spark.read.format("graft").option("snapshotId", "1").load(base)
+      require(asOf.queryExecution.executedPlan.toString.contains("AsOfSnapshot: 1"),
+        "snapshotId option did not reach the graft scan")
+      val a = asOf.agg(count(lit(1)).as("n"),
+        coalesce(sum($"n_tok"), lit(0L)).cast("long").as("t")).collect()(0)
+      val f = spark.read.format("graft").load(base).agg(count(lit(1)).as("n"),
+        coalesce(sum($"n_tok"), lit(0L)).cast("long").as("t")).collect()(0)
+      Seq((a.getLong(0), a.getLong(1), f.getLong(0), f.getLong(1)))
+        .toDF("asof_docs", "asof_tokens", "full_docs", "full_tokens")
     } finally deleteRecursively(new java.io.File(base))
   }
 
@@ -514,6 +582,38 @@ object Encode {
       """SELECT CAST(LEAST(13, COUNT(*)) AS BIGINT) AS n_rows,
         |       CAST(LEAST(13, COUNT(*)) AS BIGINT) AS n_valid
         |FROM documents""".stripMargin,
+    "encode_dsv2_timetravel" ->
+      """WITH tok AS (
+        |  SELECT len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |             x -> x <> '')) AS n_tok
+        |  FROM documents
+        |)
+        |SELECT
+        |  CAST(COUNT(*) FILTER (n_tok % 2 = 0) AS BIGINT) AS asof_docs,
+        |  CAST(COALESCE(SUM(n_tok) FILTER (n_tok % 2 = 0), 0) AS BIGINT) AS asof_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS full_docs,
+        |  CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS full_tokens
+        |FROM tok""".stripMargin,
+    "encode_dsv2_bloom" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+        |  FROM documents
+        |),
+        |words AS (SELECT doc_id, len(ws) AS n_tok, unnest(ws) AS w FROM docs),
+        |tok AS (
+        |  SELECT doc_id, n_tok,
+        |    (list_reduce(
+        |       list_prepend(CAST(2166136261 AS BIGINT),
+        |         list_transform(string_split(w, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |       (h, c) -> ((xor(h, c) * 16777619) % 4294967296)) % 2147483648) % 50257 AS t
+        |  FROM words
+        |),
+        |hits AS (SELECT doc_id, ANY_VALUE(n_tok) AS n_tok FROM tok
+        |         WHERE t = 29499 GROUP BY doc_id)
+        |SELECT COUNT(*) AS n_docs,
+        |       CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS sum_tokens
+        |FROM hits""".stripMargin,
     "encode_dsv2_tokenrange" ->
       """WITH docs AS (
         |  SELECT doc_id,
@@ -541,6 +641,8 @@ object Encode {
     "encode_dsv2_scan" -> (dsv2Scan _),
     "encode_dsv2_limit" -> (dsv2Limit _),
     "encode_dsv2_tokenrange" -> (dsv2TokenRange _),
+    "encode_dsv2_bloom" -> (dsv2Bloom _),
+    "encode_dsv2_timetravel" -> (dsv2TimeTravel _),
     "encode_projected_scan" -> (projectedScan _),
     "encode_sql_decode" -> (sqlDecode _),
     "encode_streaming_incremental" -> (streamingIncremental _),

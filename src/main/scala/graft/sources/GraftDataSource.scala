@@ -16,10 +16,11 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources.{And => SAnd, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or => SOr}
 import org.apache.spark.sql.types._
@@ -28,7 +29,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.codec.{IntCodecs, StringCodecs}
+import graft.codec.{IntCodecs, SegmentBloom, StringCodecs}
 
 /** `spark.read.format("graft").load(tableDir)` — a DataSource V2 connector
   * over the stored segment table, the Spark-native analog of the
@@ -69,9 +70,26 @@ import graft.codec.{IntCodecs, StringCodecs}
   *    session on the executor path, under the session's Hadoop conf
   *    (credentials/filesystem settings reach executors via
   *    [[SerializableConfiguration]]);
+  *  - **bloom-filter pushdown**: point predicates (EqualTo/In on id
+  *    columns, `array_contains` token lookups) consult the per-chunk
+  *    split-block bloom filters ([[graft.codec.SegmentBloom]], the ORC
+  *    BLOOM_FILTER stream analog) after the interval stats — the prune
+  *    that works where min/max can't (hash-distributed ids);
+  *  - **file-level planning skip**: part-files whose header-folded column
+  *    stats can't match the predicate tree are never scheduled as tasks
+  *    (one [[StatPredicate]] tree serves file and segment granularity);
+  *  - **runtime (dynamic) filtering**: `SupportsRuntimeV2Filtering` —
+  *    join-derived IN sets arrive at execution time, re-plan the
+  *    partitions and ride to the readers, the Spark-native analog of
+  *    DataFusion's dynamic filter pushdown; advisory-only (the join
+  *    re-checks keys), so inexact pruning stays sound;
+  *  - **snapshot time travel**: `.option("snapshotId", N)` reads the table
+  *    as of a committed lineage-ledger snapshot (the Iceberg `snapshot-id`
+  *    read-option analog); ledgerless layouts fail fast;
   *  - **metrics** (§2.A.14): per-query DSv2 `CustomMetric`s (segments
-  *    decoded/pruned, payload bytes decoded/pruned, rows emitted) — the
-  *    Spark-native rendering of the reference's ExecutionPlanMetricsSet
+  *    decoded/pruned by stats/token-range/bloom, payload bytes
+  *    decoded/pruned, rows emitted, files planned/pruned at planning) —
+  *    the Spark-native rendering of the reference's ExecutionPlanMetricsSet
   *    counters (/root/reference/src/metrics.rs:57-218), visible in the SQL
   *    UI and isolated per execution (no cross-query statics).
   *
@@ -110,9 +128,17 @@ class GraftTable(path: String) extends Table with SupportsRead with SupportsWrit
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
   private def sessionConf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // `snapshotId` = Iceberg-style time travel over the lineage ledger:
+    // read the table as of that committed snapshot (inclusive upper bound)
+    val asOf = Option(options.get("snapshotId")).map { s =>
+      try s.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"invalid snapshotId option: '$s'") }
+    }
     new GraftScanBuilder(path, sessionConf,
-      options.getBoolean("columnar", GraftScan.ColumnarDefault))
+      options.getBoolean("columnar", GraftScan.ColumnarDefault), asOf)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, info, sessionConf)
 }
@@ -126,7 +152,8 @@ object AggSpec {
 }
 
 class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
-                       columnar: Boolean = GraftScan.ColumnarDefault)
+                       columnar: Boolean = GraftScan.ColumnarDefault,
+                       asOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -186,8 +213,8 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
   }
 
   override def build(): Scan =
-    if (aggSpecs.nonEmpty) new GraftAggScan(path, aggSpecs, hconf)
-    else new GraftScan(path, required, pushed, limit, None, hconf, columnar)
+    if (aggSpecs.nonEmpty) new GraftAggScan(path, aggSpecs, hconf, asOf)
+    else new GraftScan(path, required, pushed, limit, None, hconf, columnar, asOf)
 }
 
 object GraftScan {
@@ -225,8 +252,64 @@ object GraftScan {
     * the task metrics the readers emit. */
   def customMetrics: Array[CustomMetric] = Array(
     new SegmentsDecodedMetric, new SegmentsPrunedMetric,
-    new SegmentsPrunedTokenRangeMetric, new PayloadBytesDecodedMetric,
-    new PayloadBytesPrunedMetric, new RowsEmittedMetric)
+    new SegmentsPrunedTokenRangeMetric, new SegmentsPrunedBloomMetric,
+    new PayloadBytesDecodedMetric,
+    new PayloadBytesPrunedMetric, new RowsEmittedMetric,
+    new FilesPlannedMetric, new FilesPrunedPlanningMetric)
+
+  /** Execution-time V2 predicates (runtime filtering hands us IN/EqualTo
+    * sets derived from the selective side of a join) → the source Filter
+    * shapes the stat/bloom skip machinery already evaluates. Unconvertible
+    * predicates are dropped — runtime filters are advisory, dropping one
+    * only loses pruning. */
+  def v2ToSourceFilter(p: VPredicate): Option[Filter] = {
+    def field(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames().length == 1 => Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    def value(e: org.apache.spark.sql.connector.expressions.Expression): Option[Any] =
+      e match {
+        case l: Literal[_] => l.dataType() match {
+          case StringType => Some(if (l.value() == null) null else l.value().toString)
+          case IntegerType => Some(l.value())
+          case _ => None
+        }
+        case _ => None
+      }
+    p.name() match {
+      case "IN" if p.children().length >= 2 =>
+        for {
+          a <- field(p.children()(0))
+          vs <- {
+            val conv = p.children().drop(1).map(value)
+            if (conv.forall(_.isDefined)) Some(conv.map(_.get)) else None
+          }
+        } yield In(a, vs)
+      case "=" if p.children().length == 2 =>
+        for {
+          a <- field(p.children()(0))
+          v <- value(p.children()(1))
+        } yield EqualTo(a, v)
+      case "AND" =>
+        p.children() match {
+          case Array(l: VPredicate, r: VPredicate) =>
+            (v2ToSourceFilter(l), v2ToSourceFilter(r)) match {
+              case (Some(a), Some(b)) => Some(SAnd(a, b))
+              // AND may drop one side soundly (fewer constraints = less pruning)
+              case (a, b) => a.orElse(b)
+            }
+          case _ => None
+        }
+      case "OR" =>
+        p.children() match {
+          case Array(l: VPredicate, r: VPredicate) =>
+            for { a <- v2ToSourceFilter(l); b <- v2ToSourceFilter(r) } yield SOr(a, b)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 }
 
 /** DSv2 custom metrics (driver side): each is instantiated reflectively by
@@ -239,9 +322,12 @@ sealed abstract class GraftSumMetric(n: String) extends CustomSumMetric {
 final class SegmentsDecodedMetric extends GraftSumMetric("graft segments decoded")
 final class SegmentsPrunedMetric extends GraftSumMetric("graft segments pruned (filter stats)")
 final class SegmentsPrunedTokenRangeMetric extends GraftSumMetric("graft segments pruned (token range)")
+final class SegmentsPrunedBloomMetric extends GraftSumMetric("graft segments pruned (bloom)")
 final class PayloadBytesDecodedMetric extends GraftSumMetric("graft payload bytes decoded")
 final class PayloadBytesPrunedMetric extends GraftSumMetric("graft payload bytes pruned")
 final class RowsEmittedMetric extends GraftSumMetric("graft rows emitted")
+final class FilesPlannedMetric extends GraftSumMetric("graft files planned")
+final class FilesPrunedPlanningMetric extends GraftSumMetric("graft files pruned (planning)")
 
 final case class GraftTaskMetric(metricName: String, metricValue: Long) extends CustomTaskMetric {
   override def name(): String = metricName
@@ -250,9 +336,12 @@ final case class GraftTaskMetric(metricName: String, metricValue: Long) extends 
 
 final case class GraftInputPartition(file: String) extends InputPartition
 
-/** Per-chunk stats + payload pulled from one parquet Group. */
+/** Per-chunk stats + payload pulled from one parquet Group. `bloom` is
+  * empty on pre-bloom/foreign files — membership tests then answer
+  * may-contain (sound degradation). */
 final case class ChunkStats(minV: Long, maxV: Long, minS: String,
-                            maxS: String, payload: Array[Byte])
+                            maxS: String, payload: Array[Byte],
+                            bloom: Array[Byte] = Array.emptyByteArray)
 
 class GraftScan(
     val path: String,
@@ -261,26 +350,60 @@ class GraftScan(
     limit: Option[Int],
     val tokenRange: Option[(Long, Long)],
     hconf: SerializableConfiguration,
-    columnar: Boolean = GraftScan.ColumnarDefault)
-    extends Scan with Batch with SupportsReportStatistics {
+    columnar: Boolean = GraftScan.ColumnarDefault,
+    asOf: Option[Long] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       limit.map(n => s", PushedLimit: $n").getOrElse("") +
-      tokenRange.map { case (lo, hi) => s", PushedTokenRange: [$lo, $hi]" }.getOrElse("")
+      tokenRange.map { case (lo, hi) => s", PushedTokenRange: [$lo, $hi]" }.getOrElse("") +
+      asOf.map(n => s", AsOfSnapshot: $n").getOrElse("")
 
   override def supportedCustomMetrics(): Array[CustomMetric] = GraftScan.customMetrics
 
   /** Used by [[GraftTokenRangePushdown]] once per scan (guarded by
     * `tokenRange.isEmpty`); the listing is re-derived lazily in the copy. */
   def withTokenRange(lo: Long, hi: Long): GraftScan =
-    new GraftScan(path, required, pushed, limit, Some((lo, hi)), hconf, columnar)
+    new GraftScan(path, required, pushed, limit, Some((lo, hi)), hconf, columnar, asOf)
 
-  /** Committed part-files of the table, sorted (deterministic partition
-    * order). Listed once per scan and shared by planning and statistics. */
-  protected lazy val files: Seq[String] = GraftLayout.listDataFiles(path, hconf.value)
+  /** Committed part-files of the table (as-of the requested snapshot),
+    * sorted (deterministic partition order). Listed once per scan and
+    * shared by planning and statistics. */
+  protected lazy val files: Seq[String] = GraftLayout.listDataFiles(path, hconf.value, asOf)
+
+  // ---- runtime filtering (DSv2 dynamic pruning) ---------------------------
+  // Spark derives IN-set predicates from the selective side of a join at
+  // execution time and hands them here BEFORE re-planning partitions — the
+  // Spark-native analog of DataFusion's dynamic filter pushdown. They join
+  // the pushed filters for file-level skipping below AND ride to the
+  // readers for segment-level stat/bloom skipping; exactness is untouched
+  // (runtime filters only ever narrow a join's probe side).
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  // Only columns that survived projection pruning may be offered: Spark
+  // resolves these against the scan OUTPUT, and a pruned-away column fails
+  // analysis ("Unable to resolve source given [doc_id,n_tok]").
+  override def filterAttributes(): Array[NamedReference] =
+    Array("doc_id", "source", "n_tok")
+      .filter(required.fieldNames.contains)
+      .map(Expressions.column)
+
+  override def filter(predicates: Array[VPredicate]): Unit =
+    runtimeFilters = predicates.flatMap(GraftScan.v2ToSourceFilter)
+
+  /** All filters active at execution: negotiated + runtime. */
+  private def effectiveFilters: Array[Filter] = pushed ++ runtimeFilters
+
+  // planning-time file skip telemetry, reported as driver metrics
+  @volatile private var mFilesPlanned = 0L
+  @volatile private var mFilesPrunedPlanning = 0L
+  override def reportDriverMetrics(): Array[CustomTaskMetric] = Array(
+    GraftTaskMetric("graft files planned", mFilesPlanned),
+    GraftTaskMetric("graft files pruned (planning)", mFilesPrunedPlanning))
 
   /** Planning-time statistics from the segment headers: exact row count
     * (the same header sum the COUNT(*) path reads) and decoded size = the
@@ -309,28 +432,43 @@ class GraftScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    val conf = hconf.value
+    val active = effectiveFilters
+    // FILE-level skip on the header-folded column stats: a part-file whose
+    // [min,max] provably can't match is never scheduled as a task (at
+    // 10^12 rows the dominant cost is tasks launched, not segments skipped
+    // inside a task). Same predicate tree as the segment skip; headers are
+    // memoized per immutable file, so this is a map lookup after first use.
+    val afterPrune =
+      if (active.isEmpty && tokenRange.isEmpty) files
+      else files.filter { f =>
+        val get = GraftLayout.header(f, conf).ranges.get _
+        active.forall(StatPredicate.mayMatch(get, _)) &&
+          tokenRange.forall { case (lo, hi) => StatPredicate.tokenRangeMayMatch(get, lo, hi) }
+      }
+    mFilesPrunedPlanning = (files.length - afterPrune.length).toLong
     // With a pushed limit and nothing to prune reader-side, part-files past
     // the limit are not even planned: walk headers in order until the row
     // sums cover it (typically one file — header-only driver reads).
     val chosen = limit match {
-      case Some(n) if pushed.isEmpty && tokenRange.isEmpty =>
-        val conf = hconf.value
+      case Some(n) if active.isEmpty && tokenRange.isEmpty =>
         val out = ArrayBuffer.empty[String]
         var seen = 0L
-        val it = files.iterator
+        val it = afterPrune.iterator
         while (seen < n && it.hasNext) {
           val f = it.next()
           out += f
           seen += GraftLayout.header(f, conf).rows
         }
         out.toSeq
-      case _ => files
+      case _ => afterPrune
     }
+    mFilesPlanned = chosen.length.toLong
     chosen.map(f => GraftInputPartition(f): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, pushed, limit, tokenRange, hconf, columnar)
+    new GraftReaderFactory(required, effectiveFilters, limit, tokenRange, hconf, columnar)
 }
 
 class GraftReaderFactory(required: StructType, pushed: Array[Filter],
@@ -349,8 +487,14 @@ class GraftReaderFactory(required: StructType, pushed: Array[Filter],
 
 /** Header-only aggregate scan: COUNT(*)/MIN/MAX partials per part-file from
   * segment headers; payload pages are never requested from parquet. */
-class GraftAggScan(path: String, specs: Seq[AggSpec], hconf: SerializableConfiguration)
-    extends GraftScan(path, GraftTable.TokenSchema, Array.empty, None, None, hconf) {
+class GraftAggScan(path: String, specs: Seq[AggSpec], hconf: SerializableConfiguration,
+                   asOf: Option[Long] = None)
+    extends GraftScan(path, GraftTable.TokenSchema, Array.empty, None, None, hconf,
+      asOf = asOf) {
+  // A pushed aggregate's partials are computed straight from the headers;
+  // a runtime filter narrowing them would change the RESULT, not just prune
+  // work — so the agg scan opts out of runtime filtering entirely.
+  override def filterAttributes(): Array[NamedReference] = Array.empty
   override def readSchema(): StructType = StructType(specs.map {
     case AggSpec.CountAll => StructField("count(*)", LongType, nullable = false)
     case AggSpec.MinOf("n_tok") => StructField("min(n_tok)", IntegerType, nullable = false)
@@ -442,6 +586,45 @@ class GraftAggReader(file: String, specs: Seq[AggSpec], conf: Configuration)
   override def close(): Unit = ()
 }
 
+/** Sound may-match evaluation of pushed filters against [min, max] column
+  * stats — shared by the per-segment skip (chunk stats) and the planner's
+  * per-FILE skip (header-folded stats): the same predicate tree prunes at
+  * both granularities, the way the reference applies one converted
+  * predicate to file AND stripe stats (predicate.rs:53-166). Absent
+  * columns answer may-match (foreign/evolved layouts degrade, never
+  * throw). String order is UTF-8 byte order to match the writer's stats
+  * (GraftEncoder.compareUtf8 — Spark SQL's UTF8String comparison). */
+private[sources] object StatPredicate {
+  import GraftLayout.ColRange
+
+  private def leS(a: String, b: String): Boolean =
+    graft.engine.GraftEncoder.compareUtf8(a, b) <= 0
+  private def ltS(a: String, b: String): Boolean =
+    graft.engine.GraftEncoder.compareUtf8(a, b) < 0
+
+  def mayMatch(get: String => Option[ColRange], f: Filter): Boolean = f match {
+    case EqualTo(a, v: String) => get(a).forall(s => leS(s.minS, v) && leS(v, s.maxS))
+    case GreaterThan(a, v: String) => get(a).forall(s => ltS(v, s.maxS))
+    case GreaterThanOrEqual(a, v: String) => get(a).forall(s => leS(v, s.maxS))
+    case LessThan(a, v: String) => get(a).forall(s => ltS(s.minS, v))
+    case LessThanOrEqual(a, v: String) => get(a).forall(s => leS(s.minS, v))
+    case EqualTo("n_tok", v: Int) => get("n_tok").forall(s => s.minV <= v && v <= s.maxV)
+    case GreaterThan("n_tok", v: Int) => get("n_tok").forall(_.maxV > v)
+    case GreaterThanOrEqual("n_tok", v: Int) => get("n_tok").forall(_.maxV >= v)
+    case LessThan("n_tok", v: Int) => get("n_tok").forall(_.minV < v)
+    case LessThanOrEqual("n_tok", v: Int) => get("n_tok").forall(_.minV <= v)
+    case In(a, vs) => get(a).forall(s =>
+      vs.exists { case v: String => leS(s.minS, v) && leS(v, s.maxS); case _ => true })
+    case SAnd(l, r) => mayMatch(get, l) && mayMatch(get, r)
+    case SOr(l, r) => mayMatch(get, l) || mayMatch(get, r)
+    case _ => true
+  }
+
+  /** A [lo, hi] token range may have matches in stats `s`. */
+  def tokenRangeMayMatch(get: String => Option[ColRange], lo: Long, hi: Long): Boolean =
+    get("tokens").forall(s => s.minV <= hi && s.maxV >= lo)
+}
+
 /** One decoded segment's projected column arrays (null = not projected). */
 private[sources] final class DecodedSegment(
     val nRows: Int,
@@ -467,6 +650,7 @@ private[sources] final class SegmentScanCore(
   var mSegsDecoded = 0L
   var mSegsPruned = 0L
   var mSegsPrunedTok = 0L
+  var mSegsPrunedBloom = 0L
   var mBytesDecoded = 0L
   var mBytesPruned = 0L
 
@@ -492,6 +676,7 @@ private[sources] final class SegmentScanCore(
     GraftTaskMetric("graft segments decoded", mSegsDecoded),
     GraftTaskMetric("graft segments pruned (filter stats)", mSegsPruned),
     GraftTaskMetric("graft segments pruned (token range)", mSegsPrunedTok),
+    GraftTaskMetric("graft segments pruned (bloom)", mSegsPrunedBloom),
     GraftTaskMetric("graft payload bytes decoded", mBytesDecoded),
     GraftTaskMetric("graft payload bytes pruned", mBytesPruned),
     GraftTaskMetric("graft rows emitted", rowsEmitted))
@@ -501,50 +686,49 @@ private[sources] final class SegmentScanCore(
     val n = wrapper.getFieldRepetitionCount(0)
     (0 until n).map { i =>
       val el = wrapper.getGroup(0, i).getGroup(0, 0) // repeated "list" -> "element"
+      // pre-bloom files lack the field entirely; present-but-unset is
+      // possible on foreign writers — both degrade to "no filter"
+      val bloom =
+        if (el.getType.containsField("bloom") && el.getFieldRepetitionCount("bloom") > 0)
+          el.getBinary("bloom", 0).getBytes
+        else Array.emptyByteArray
       el.getString("col", 0) -> ChunkStats(
         el.getLong("minV", 0), el.getLong("maxV", 0),
         el.getString("minS", 0), el.getString("maxS", 0),
-        el.getBinary("payload", 0).getBytes)
+        el.getBinary("payload", 0).getBytes, bloom)
     }.toMap
   }
 
   /** May this segment match the pushed filters? Sound, inexact — false
-    * only when the chunk stats PROVE no row matches. AND/OR recurse with
-    * may-match semantics (an upper bound composed of upper bounds). */
-  private def mayMatch(c: Map[String, ChunkStats]): Boolean =
-    pushed.forall(f => mayMatchOne(c, f))
+    * only when the chunk stats PROVE no row matches ([[StatPredicate]],
+    * the same tree the planner runs against file-folded stats). */
+  private def mayMatch(c: Map[String, ChunkStats]): Boolean = {
+    val get = (col: String) => c.get(col).map(s =>
+      GraftLayout.ColRange(s.minV, s.maxV, s.minS, s.maxS))
+    pushed.forall(f => StatPredicate.mayMatch(get, f))
+  }
 
-  // Chunk minS/maxS were written in UTF-8 byte order (GraftEncoder
-  // .compareUtf8, matching Spark SQL's UTF8String comparisons); the skip
-  // tests must use the SAME order — Java String's UTF-16 code-unit order
-  // disagrees for supplementary-plane characters and would make pruning
-  // unsound there.
-  private def leS(a: String, b: String): Boolean =
-    graft.engine.GraftEncoder.compareUtf8(a, b) <= 0
-  private def ltS(a: String, b: String): Boolean =
-    graft.engine.GraftEncoder.compareUtf8(a, b) < 0
+  /** Second prune phase: point predicates against the per-chunk bloom
+    * filters (the ORC BLOOM_FILTER pushdown shape — interval stats can't
+    * prune equality on hash-distributed ids, a bloom can). Evaluated
+    * separately from the stats phase; running two sound may-match passes
+    * under the same AND/OR recursion only loses precision, never
+    * soundness. Chunks without a filter answer may-contain. */
+  private def bloomMayMatch(c: Map[String, ChunkStats]): Boolean =
+    pushed.forall(f => bloomOne(c, f))
 
-  // Every case is guarded by c.contains so a part-file whose segments lack
-  // the chunk (foreign or evolved layout) degrades to may-match=true
-  // instead of throwing.
-  private def mayMatchOne(c: Map[String, ChunkStats], f: Filter): Boolean = f match {
+  private def bloomOne(c: Map[String, ChunkStats], f: Filter): Boolean = f match {
     case EqualTo(a, v: String) if c.contains(a) =>
-      val s = c(a); leS(s.minS, v) && leS(v, s.maxS)
-    case GreaterThan(a, v: String) if c.contains(a) => ltS(v, c(a).maxS)
-    case GreaterThanOrEqual(a, v: String) if c.contains(a) => leS(v, c(a).maxS)
-    case LessThan(a, v: String) if c.contains(a) => ltS(c(a).minS, v)
-    case LessThanOrEqual(a, v: String) if c.contains(a) => leS(c(a).minS, v)
+      SegmentBloom.mightContainString(c(a).bloom, v)
     case EqualTo("n_tok", v: Int) if c.contains("n_tok") =>
-      val s = c("n_tok"); s.minV <= v && v <= s.maxV
-    case GreaterThan("n_tok", v: Int) if c.contains("n_tok") => c("n_tok").maxV > v
-    case GreaterThanOrEqual("n_tok", v: Int) if c.contains("n_tok") => c("n_tok").maxV >= v
-    case LessThan("n_tok", v: Int) if c.contains("n_tok") => c("n_tok").minV < v
-    case LessThanOrEqual("n_tok", v: Int) if c.contains("n_tok") => c("n_tok").minV <= v
+      SegmentBloom.mightContainLong(c("n_tok").bloom, v.toLong)
     case In(a, vs) if c.contains(a) =>
-      val s = c(a)
-      vs.exists { case v: String => leS(s.minS, v) && leS(v, s.maxS); case _ => true }
-    case SAnd(l, r) => mayMatchOne(c, l) && mayMatchOne(c, r)
-    case SOr(l, r) => mayMatchOne(c, l) || mayMatchOne(c, r)
+      vs.exists {
+        case v: String => SegmentBloom.mightContainString(c(a).bloom, v)
+        case _ => true
+      }
+    case SAnd(l, r) => bloomOne(c, l) && bloomOne(c, r)
+    case SOr(l, r) => bloomOne(c, l) || bloomOne(c, r)
     case _ => true
   }
 
@@ -558,13 +742,24 @@ private[sources] final class SegmentScanCore(
       mBytesPruned += payloadBytes(byCol)
       return null
     }
+    if (!bloomMayMatch(byCol)) {
+      mSegsPrunedBloom += 1
+      mBytesPruned += payloadBytes(byCol)
+      return null
+    }
     // token-range skip on the tokens chunk min/max — the engine's flagship
     // chunk skip (GraftEncoder.decodeWhereTokenRange), reachable from SQL
-    // through GraftTokenRangePushdown; inexact, Spark re-filters.
+    // through GraftTokenRangePushdown; inexact, Spark re-filters. A point
+    // range (array_contains) additionally consults the tokens-chunk bloom.
     tokenRange match {
       case Some((lo, hi)) if byCol.contains("tokens") &&
         (byCol("tokens").minV > hi || byCol("tokens").maxV < lo) =>
         mSegsPrunedTok += 1
+        mBytesPruned += payloadBytes(byCol)
+        return null
+      case Some((lo, hi)) if lo == hi && byCol.contains("tokens") &&
+        !SegmentBloom.mightContainLong(byCol("tokens").bloom, lo) =>
+        mSegsPrunedBloom += 1
         mBytesPruned += payloadBytes(byCol)
         return null
       case _ => ()

@@ -23,11 +23,20 @@ import org.apache.parquet.schema.MessageType
   */
 object GraftLayout {
 
+  /** File-level [min, max] of one column stream, folded over the file's
+    * chunk stats — the partition-skipping index (int columns use
+    * minV/maxV, string columns minS/maxS in UTF-8 byte order). */
+  final case class ColRange(minV: Long, maxV: Long, minS: String, maxS: String)
+
   /** Payload-free per-file header sums. `bytesIn` is the header-recorded
     * UNENCODED byte count per column stream — i.e. the measured decoded
     * size of this very file, which planning uses instead of a constant
-    * expansion factor. */
-  final case class FileHeader(rows: Long, bytesIn: Map[String, Long])
+    * expansion factor. `ranges` lets the planner skip WHOLE part-files
+    * before scheduling a task for them (the file-granularity analog of the
+    * reference's per-file stripe pruning — at 10^12 rows most of the win
+    * is tasks never launched, not segments skipped inside a task). */
+  final case class FileHeader(rows: Long, bytesIn: Map[String, Long],
+                              ranges: Map[String, ColRange])
 
   private val headerCache = new java.util.concurrent.ConcurrentHashMap[String, FileHeader]
 
@@ -36,9 +45,12 @@ object GraftLayout {
 
   private def readHeader(file: String, conf: Configuration): FileHeader = {
     val reader = openPruned(file, conf,
-      top = Set("nRows", "cols"), chunkFields = Set("col", "bytesIn"))
+      top = Set("nRows", "cols"),
+      chunkFields = Set("col", "bytesIn", "minV", "maxV", "minS", "maxS"))
     var rows = 0L
     val bytes = scala.collection.mutable.Map.empty[String, Long]
+    val ranges = scala.collection.mutable.Map.empty[String, ColRange]
+    val cmp = graft.engine.GraftEncoder.compareUtf8 _
     try {
       var g = reader.read()
       while (g != null) {
@@ -50,12 +62,21 @@ object GraftLayout {
           val el = wrapper.getGroup(0, i).getGroup(0, 0)
           val c = el.getString("col", 0)
           bytes.updateWith(c)(v => Some(v.getOrElse(0L) + el.getLong("bytesIn", 0)))
+          val r = ColRange(el.getLong("minV", 0), el.getLong("maxV", 0),
+            el.getString("minS", 0), el.getString("maxS", 0))
+          ranges.updateWith(c) {
+            case None => Some(r)
+            case Some(p) => Some(ColRange(
+              math.min(p.minV, r.minV), math.max(p.maxV, r.maxV),
+              if (cmp(r.minS, p.minS) < 0) r.minS else p.minS,
+              if (cmp(r.maxS, p.maxS) > 0) r.maxS else p.maxS))
+          }
           i += 1
         }
         g = reader.read()
       }
     } finally reader.close()
-    FileHeader(rows, bytes.toMap)
+    FileHeader(rows, bytes.toMap, ranges.toMap)
   }
 
   /** List the data part-files of a graft table, ledger-filtered and sorted.
@@ -68,8 +89,15 @@ object GraftLayout {
     * overwritten by a retry is read exactly once (read-committed, the
     * Iceberg-snapshot stance the lineage layer emulates). A `data` dir
     * with no ledger at all falls back to reading everything (foreign
-    * writer). */
-  def listDataFiles(path: String, conf: Configuration): Seq[String] = {
+    * writer).
+    *
+    * `asOf` = time travel (the Iceberg `snapshot-id` read option analog):
+    * only partitions whose ledgered snapshotId is <= the bound are
+    * visible — snapshots are append increments, so "as of N" is the union
+    * of snapshots 1..N. Requires a ledger: a bare dump has no snapshot
+    * history to travel through. */
+  def listDataFiles(path: String, conf: Configuration,
+                    asOf: Option[Long] = None): Seq[String] = {
     val dataDir = new HPath(path, "data")
     val fs = dataDir.getFileSystem(conf)
     val root = if (fs.exists(dataDir)) dataDir else new HPath(path)
@@ -82,14 +110,19 @@ object GraftLayout {
         files += f.getPath.toString
     }
     val committed = committedPairs(path, conf)
+    if (asOf.isDefined && committed.isEmpty)
+      throw new IllegalArgumentException(
+        s"snapshotId time travel requires a lineage ledger; $path has none")
     val kept = committed match {
       case None => files.toSeq
-      case Some(pairs) => files.toSeq.filter { f =>
-        partitionOf(f) match {
-          case Some(sb) => pairs.contains(sb)
-          case None => true // not a ledgered layout path: tolerate
+      case Some(pairs0) =>
+        val pairs = asOf.fold(pairs0)(n => pairs0.filter(_._1 <= n))
+        files.toSeq.filter { f =>
+          partitionOf(f) match {
+            case Some(sb) => pairs.contains(sb)
+            case None => asOf.isEmpty // unledgered path: tolerate unless time traveling
+          }
         }
-      }
     }
     kept.sorted
   }

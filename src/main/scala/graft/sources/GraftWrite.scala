@@ -323,6 +323,7 @@ object GraftSegmentWriter {
       .addField(Types.optional(BINARY).as(str).named("minS"))
       .addField(Types.optional(BINARY).as(str).named("maxS"))
       .addField(Types.optional(BINARY).named("payload"))
+      .addField(Types.optional(BINARY).named("bloom"))
       .named("element")
     val cols = Types.optionalGroup().as(LogicalTypeAnnotation.listType())
       .addField(Types.repeatedGroup().addField(element).named("list"))
@@ -428,6 +429,7 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
       el.add("minS", c.minS)
       el.add("maxS", c.maxS)
       el.add("payload", Binary.fromConstantByteArray(c.payload))
+      el.add("bloom", Binary.fromConstantByteArray(c.bloom))
     }
     g
   }

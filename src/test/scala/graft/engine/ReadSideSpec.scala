@@ -99,4 +99,34 @@ class ReadSideSpec extends AnyFunSuite {
     val rows = df.collect().map(r => (r.getString(0), r.getInt(1), Option(r.getString(2))))
     assert(rows.toSet === Set(("a", 1, None), ("b", 2, Some("web"))))
   }
+
+  test("bloom point-lookup decode: exact results, and the filter actually skips chunks") {
+    import spark.implicits._
+    // every doc spans [0, 50256] so token min/max can't discriminate; one
+    // doc carries the probe token — only the chunk bloom tells them apart
+    val probe = 49999
+    val rows = (0 until 32).map { i =>
+      val base = Array.tabulate(500)(j => (i * 13 + j * 3) % 800) :+ 50256 :+ 0
+      val tokens = if (i == 9) base :+ probe else base
+      TokenRow(f"doc_$i%04d", tokens, tokens.length, "s")
+    }
+    val conf = graft.codec.CodecConf(bloomColumns = Set("doc_id", "tokens"))
+    val segs = GraftEncoder.encode(spark.createDataset(rows), buckets = 4,
+      tokensPerChunk = 2048, codecConf = conf).persist()
+    try {
+      // exactness: survivors re-filtered by the caller (inexact contract)
+      val hits = GraftEncoder.decodeWhereTokenEquals(segs, probe.toLong)
+        .collect().filter(_.tokens.contains(probe)).map(_.doc_id)
+      assert(hits.toSeq === Seq("doc_0009"))
+      // the skip is real: bloom-filtered decode touches fewer segments than
+      // a full decode (count docs emitted before the exact re-filter)
+      val decodedDocs = GraftEncoder.decodeWhereTokenEquals(segs, probe.toLong).count()
+      assert(decodedDocs < 32L, s"bloom skipped nothing: decoded $decodedDocs of 32 docs")
+      // doc_id point lookup on the hash layout (ranges overlap, blooms don't)
+      val byId = GraftEncoder.decodeWhereDocIdEquals(segs, "doc_0017")
+      assert(byId.collect().map(_.doc_id).contains("doc_0017"))
+      assert(GraftEncoder.decodeWhereDocIdEquals(segs, "doc_0017x").count() === 0L,
+        "absent mid-range key should decode nothing")
+    } finally segs.unpersist()
+  }
 }

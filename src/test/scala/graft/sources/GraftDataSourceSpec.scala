@@ -290,4 +290,144 @@ class GraftDataSourceSpec extends AnyFunSuite {
       .collect().filter(r => r.tokens.contains(50256) && r.n_tok >= 8).map(_.doc_id).toSet
     assert(contains.collect().map(_.getString(0)).toSet === expected2)
   }
+
+  test("doc_id point lookup prunes via the chunk bloom where min/max cannot (hash layout)") {
+    import spark.implicits._
+    // `bare` is hash-bucketed: each chunk holds a random ~quarter of the
+    // sequential ids, so a MID-RANGE point lookup falls inside ~every
+    // chunk's doc_id [min,max] and interval stats prune it ~never — the
+    // exact gap the default doc_id bloom (ORC BLOOM_FILTER analog) closes.
+    val target = "doc_000000000200"
+    val (rows, m) = runWithScanMetrics(
+      spark.read.format("graft").load(bare).filter($"doc_id" === target))
+    assert(rows.length === 1 && rows.head.getString(0) === target)
+    assert(m.getOrElse("graft segments pruned (bloom)", 0L) > 0L,
+      s"expected bloom-pruned segments on the hash layout, metrics=$m")
+    // absent mid-range key (sorts between two live ids, inside chunk
+    // ranges): bloom prunes everything, zero rows, zero decodes
+    val (none, m2) = runWithScanMetrics(
+      spark.read.format("graft").load(bare).filter($"doc_id" === "doc_000000000200x"))
+    assert(none.isEmpty)
+    assert(m2.getOrElse("graft segments decoded", Long.MaxValue) === 0L,
+      s"absent-key lookup should decode nothing: $m2")
+  }
+
+  test("tokens bloom (opt-in) prunes array_contains point lookups min/max cannot") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftTokenRangePushdown.install(spark)
+    // every doc spans the full token range [0, 50256] (min/max useless);
+    // exactly one doc contains the probe token 49999 — only the bloom can
+    // tell the chunks apart
+    val probe = 49999
+    val rows = (0 until 64).map { i =>
+      val base = Array.tabulate(1000)(j => (i * 31 + j * 7) % 1000) :+ 50256 :+ 0
+      val tokens = if (i == 17) base :+ probe else base
+      graft.engine.TokenRow(f"doc_$i%04d", tokens, tokens.length, "s")
+    }
+    val dir = tmp()
+    val conf = graft.codec.CodecConf(bloomColumns = Set("doc_id", "tokens"))
+    GraftEncoder.encode(spark.createDataset(rows), buckets = 8,
+      tokensPerChunk = 4096, codecConf = conf).write.parquet(s"$dir/segs")
+    val df = spark.read.format("graft").load(s"$dir/segs")
+      .filter(array_contains($"tokens", probe))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(s"PushedTokenRange: [$probe, $probe]"), plan)
+    val (got, m) = runWithScanMetrics(df)
+    assert(got.map(_.getString(0)) === Seq("doc_0017"))
+    assert(m.getOrElse("graft segments pruned (bloom)", 0L) > 0L,
+      s"expected tokens-bloom pruning, metrics=$m")
+    assert(m.getOrElse("graft segments pruned (token range)", 0L) === 0L,
+      s"min/max must NOT be the discriminator in this layout: $m")
+    // without the opt-in, the same lookup decodes every segment (correct,
+    // just unpruned) — pinning that the knob is the difference
+    val dir2 = tmp()
+    GraftEncoder.encode(spark.createDataset(rows), buckets = 8,
+      tokensPerChunk = 4096).write.parquet(s"$dir2/segs")
+    val (got2, m2) = runWithScanMetrics(
+      spark.read.format("graft").load(s"$dir2/segs")
+        .filter(array_contains($"tokens", probe)))
+    assert(got2.map(_.getString(0)) === Seq("doc_0017"))
+    assert(m2.getOrElse("graft segments pruned (bloom)", 0L) === 0L, s"$m2")
+  }
+
+  test("file-level pruning: non-matching part-files are never planned as tasks") {
+    import spark.implicits._
+    // `clustered` holds 8 part-files, each one doc_id range — a point
+    // lookup must prune 7 of them AT PLANNING (no task scheduled), visible
+    // via the driver metrics
+    val input = TokenTables.synthetic(spark, nDocs = 400, seed = 42L)
+    val target = input.collect()(123).doc_id
+    val (rows, m) = runWithScanMetrics(
+      spark.read.format("graft").load(clustered).filter($"doc_id" === target))
+    assert(rows.length === 1 && rows.head.getString(0) === target)
+    assert(m.getOrElse("graft files pruned (planning)", 0L) > 0L,
+      s"expected planning-time file pruning on the range layout: $m")
+    assert(m.getOrElse("graft files planned", 0L) >= 1L,
+      s"the matching file must still be planned: $m")
+    // unfiltered scan plans every file, prunes none
+    val (_, m2) = runWithScanMetrics(spark.read.format("graft").load(clustered))
+    assert(m2.getOrElse("graft files pruned (planning)", -1L) === 0L, s"$m2")
+  }
+
+  test("runtime V2 filtering: join-derived IN sets prune files and segments") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
+    import spark.implicits._
+    val input = TokenTables.synthetic(spark, nDocs = 400, seed = 42L)
+    val target = input.collect()(207).doc_id
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    // the execution-time contract Spark drives: filter() arrives, partitions
+    // are re-planned, non-matching files disappear
+    val scan = new GraftScan(clustered, GraftTable.TokenSchema,
+      Array.empty, None, None, hconf)
+    val before = scan.planInputPartitions().length
+    scan.filter(Array(new VPredicate("IN",
+      Array[org.apache.spark.sql.connector.expressions.Expression](
+        Expressions.column("doc_id"), Expressions.literal(target)))))
+    val after = scan.planInputPartitions().length
+    assert(after < before, s"runtime IN must prune part-files: $before -> $after")
+    // results stay exact end-to-end through a selective join (runtime
+    // filters only narrow the probe side; the join re-checks keys)
+    val dim = Seq(target).toDF("doc_id")
+    val joined = spark.read.format("graft").load(clustered)
+      .join(dim, Seq("doc_id")).select($"doc_id", $"n_tok")
+    assert(joined.collect().map(_.getString(0)).toSeq === Seq(target))
+    // unconvertible predicates are dropped, not thrown
+    scan.filter(Array(new VPredicate("ALWAYS_TRUE",
+      Array.empty[org.apache.spark.sql.connector.expressions.Expression])))
+    assert(scan.planInputPartitions().length === before)
+  }
+
+  test("snapshotId time travel: as-of reads see exactly the committed prefix") {
+    import spark.implicits._
+    val dir = tmp()
+    val a = TokenTables.synthetic(spark, nDocs = 100, seed = 1L)
+    val b = TokenTables.synthetic(spark, nDocs = 60, seed = 2L)
+      .map(r => r.copy(doc_id = "b_" + r.doc_id))
+    a.toDF("doc_id", "tokens", "n_tok", "source").write.format("graft")
+      .option("buckets", "2").mode("append").save(dir)
+    b.toDF("doc_id", "tokens", "n_tok", "source").write.format("graft")
+      .option("buckets", "2").mode("append").save(dir)
+    val full = spark.read.format("graft").load(dir)
+    assert(full.count() === 160L)
+    val asOf1 = spark.read.format("graft").option("snapshotId", "1").load(dir)
+    assert(asOf1.queryExecution.executedPlan.toString.contains("AsOfSnapshot: 1"))
+    assert(asOf1.count() === 100L)
+    assert(asOf1.filter($"doc_id".startsWith("b_")).count() === 0L,
+      "snapshot 2 rows leaked into the as-of-1 read")
+    assert(spark.read.format("graft").option("snapshotId", "2").load(dir).count() === 160L)
+    // snapshot 0 predates every commit: empty, not an error
+    assert(spark.read.format("graft").option("snapshotId", "0").load(dir).count() === 0L)
+    // aggregate pushdown respects the bound too (header sums as-of)
+    val cnt = asOf1.agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1))).collect()(0).getLong(0)
+    assert(cnt === 100L)
+    // bare layout has no history: fail fast, naming the problem
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("snapshotId", "1").load(bare).count()
+    }
+    assert(e.getMessage.contains("lineage ledger"))
+  }
 }
