@@ -117,4 +117,22 @@ class MultimodalSpec extends AnyFunSuite {
       assert(sumSq === expect, s"sample decode mismatch for id=$id")
     }
   }
+
+  test("JPEG round-trip through the JDK codec: real entropy decode, bounded error") {
+    for (id <- Seq(0L, 1L, 5L, 42L, 997L)) {
+      val bytes = Multimodal.jpegGray(id)
+      // our own header walk agrees with the encoder's SOF dims
+      val meta = Multimodal.parseHeader(bytes)
+      assert(meta.format === "jpeg")
+      val (w, h, n, meanErr) = Multimodal.decodeJpegGray(bytes, id)
+      assert(meta.width === w && meta.height === h)
+      assert(w === (8 + (id % 4) * 4).toInt && h === (6 + (id % 3) * 2).toInt)
+      assert(n === w.toLong * h)
+      // the smooth ramp reconstructs tightly; garbage or a header-only
+      // "decode" sits near 60 mean abs error on this source
+      assert(meanErr < 8.0, s"id=$id meanErr=$meanErr")
+    }
+    // determinism within a JVM (the batch shape the query relies on)
+    assert(java.util.Arrays.equals(Multimodal.jpegGray(7L), Multimodal.jpegGray(7L)))
+  }
 }

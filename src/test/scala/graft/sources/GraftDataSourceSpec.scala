@@ -400,6 +400,38 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(scan.planInputPartitions().length === before)
   }
 
+  test("dynamic pruning end-to-end: Spark injects the runtime IN filter, files prune at execution") {
+    import spark.implicits._
+    val dir = tmp()
+    val input = TokenTables.synthetic(spark, nDocs = 400, seed = 42L)
+    val rangeBuckets = 8
+    val bucketed = input.map { r =>
+      val id = r.doc_id.filter(_.isDigit).toLong
+      val b = math.min(rangeBuckets - 1, (id * rangeBuckets / 400L).toInt)
+      graft.engine.BucketedRow(r.doc_id, r.tokens, r.n_tok, r.source, b)
+    }
+    GraftEncoder.encodeBucketed(bucketed, rangeBuckets, tokensPerChunk = 4096)
+      .write.parquet(s"$dir/segs")
+    // dim categories are CONTIGUOUS id ranges (cat = id / 50), so a
+    // selective dim filter maps to one range bucket = one part-file
+    val dim = (0 until 400).map(i => (f"doc_$i%012d", i / 50)).toDF("doc_id", "cat")
+    dim.write.parquet(s"$dir/dim")
+    val fact = spark.read.format("graft").load(s"$dir/segs")
+    val sel = spark.read.parquet(s"$dir/dim").filter($"cat" === 3)
+    val j = fact.join(sel, Seq("doc_id")).select($"doc_id", $"n_tok", $"cat")
+    val (rows, m) = runWithScanMetrics(j)
+    assert(rows.length === 50)
+    assert(rows.forall(_.getInt(2) === 3))
+    // Spark planned the dynamic filter onto OUR scan...
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruningexpression(doc_id"),
+      s"no dynamic pruning on the graft scan:\n${plan.take(2000)}")
+    // ...and at execution it reached planInputPartitions: non-matching
+    // part-files were never scheduled
+    assert(m.getOrElse("graft files pruned (planning)", 0L) > 0L,
+      s"join-derived runtime filter pruned no files: $m")
+  }
+
   test("snapshotId time travel: as-of reads see exactly the committed prefix") {
     import spark.implicits._
     val dir = tmp()
