@@ -54,6 +54,19 @@ object SegmentStore {
 
   final val Committed = "committed"
 
+  /** Supersede marker written by [[compact]]: a ledger row with
+    * `snapshotId = S, bucket = b, status = "superseded@C"` hides the
+    * committed (S, b) partition for every read AT OR AFTER compaction
+    * snapshot C, while a time-travel read as of N < C still sees it —
+    * Iceberg's snapshot-isolation stance (old snapshots stay readable at
+    * their own point in history until expired). */
+  final val SupersededPrefix = "superseded@"
+
+  def supersededBy(status: String): Option[Long] =
+    if (status != null && status.startsWith(SupersededPrefix))
+      status.stripPrefix(SupersededPrefix).toLongOption
+    else None
+
   def dataDir(tableDir: String): String = s"$tableDir/data"
   def lineageDir(tableDir: String): String = s"$tableDir/lineage"
 
@@ -84,7 +97,22 @@ object SegmentStore {
                    snapshotId: Long,
                    buckets: Int,
                    tokensPerChunk: Int = GraftEncoder.DefaultTokensPerChunk,
-                   maxBucketsPerRun: Int = Int.MaxValue): Set[Int] = {
+                   maxBucketsPerRun: Int = Int.MaxValue): Set[Int] =
+    encodeCommitWith(input, tableDir, snapshotId, buckets, tokensPerChunk,
+      maxBucketsPerRun, Nil)
+
+  /** [[encodeCommit]] plus extra ledger rows carried in the SAME atomic
+    * append as the commit rows — the mechanism [[compact]] uses to make
+    * "new snapshot becomes visible" and "old snapshots become superseded"
+    * one indivisible ledger event (a crash can lose both, never leave
+    * both generations visible). */
+  private def encodeCommitWith(input: Dataset[TokenRow],
+                               tableDir: String,
+                               snapshotId: Long,
+                               buckets: Int,
+                               tokensPerChunk: Int,
+                               maxBucketsPerRun: Int,
+                               extraLedger: Seq[LineageRow]): Set[Int] = {
     val spark = input.sparkSession
     import spark.implicits._
 
@@ -120,11 +148,67 @@ object SegmentStore {
     val emptyRows = (pendingSet -- withData).toSeq.sorted.map { b =>
       LineageRow(snapshotId, b, 0L, 0L, 0L, 0L, 0L, "", "", "", Committed)
     }
+    val extra = emptyRows ++ extraLedger
     val ledger =
-      if (emptyRows.isEmpty) fromData
-      else fromData.unionByName(spark.createDataset(emptyRows))
-    ledger.write.mode(SaveMode.Append).parquet(lineageDir(tableDir))
+      if (extra.isEmpty) fromData
+      else fromData.unionByName(spark.createDataset(extra))
+    // ONE append = one commit event: repartition(1) keeps the commit rows
+    // (and any supersede markers) in a single ledger file so visibility
+    // flips atomically at the file move
+    ledger.repartition(1).write.mode(SaveMode.Append).parquet(lineageDir(tableDir))
     pendingSet
+  }
+
+  /** Compact every visible snapshot ≤ `upTo` into ONE fresh snapshot —
+    * the table-maintenance half of the streaming path (one ledgered
+    * snapshot per micro-batch is exactly-once but accretes small
+    * part-files and under-filled chunks; at the 10^12-sequence scale the
+    * small-file problem dominates scan cost long before data volume does).
+    *
+    * Decode → re-encode through the standard kernel, so compaction also
+    * RE-CHUNKS to full token budgets and re-runs codec selection over the
+    * merged value distributions; the result is byte-for-byte what a
+    * single batch encode of the same rows would have produced (segment
+    * determinism contract).
+    *
+    * Atomicity: the compacted snapshot's commit rows and the
+    * `superseded@C` markers for the old snapshots land in one ledger
+    * append. A crash before it leaves the new data files invisible (the
+    * standard crash-window stance); there is no window where both
+    * generations are readable. Time travel to a snapshot before C still
+    * reads the pre-compaction layout ([[SupersededPrefix]]).
+    *
+    * Returns the compaction snapshot id, or None if nothing was visible
+    * to compact. */
+  def compact(spark: SparkSession,
+              tableDir: String,
+              upTo: Long,
+              buckets: Int,
+              tokensPerChunk: Int = GraftEncoder.DefaultTokensPerChunk): Option[Long] = {
+    import spark.implicits._
+    val ledger = readLineage(spark, tableDir).collect()
+    val committed = ledger.collect {
+      case r if r.status == Committed && r.snapshotId <= upTo => (r.snapshotId, r.bucket)
+    }.toSet
+    val superseded = ledger.collect {
+      case r if supersededBy(r.status).isDefined => (r.snapshotId, r.bucket)
+    }.toSet
+    val visible = committed -- superseded
+    if (visible.isEmpty) return None
+    val compactionId = ledger.map(_.snapshotId).max + 1
+    // localCheckpoint breaks the plan's file lineage: the re-encode WRITES
+    // under dataDir while the decode READS it (disjoint partitions, but
+    // Spark's overwrite-while-reading guard keys on the root path), and it
+    // bounds the maintenance op to one decode pass
+    val input = GraftEncoder.decode(readSegmentsVisible(spark, tableDir, Some(upTo)))
+      .localCheckpoint()
+    val markers = visible.toSeq.sorted.map { case (s, b) =>
+      LineageRow(s, b, 0L, 0L, 0L, 0L, 0L, "", "", "",
+        s"$SupersededPrefix$compactionId")
+    }
+    encodeCommitWith(input, tableDir, compactionId, buckets, tokensPerChunk,
+      Int.MaxValue, markers)
+    Some(compactionId)
   }
 
   private def lineageFromData(spark: SparkSession, tableDir: String,
@@ -176,10 +260,35 @@ object SegmentStore {
   /** Read segments across ALL snapshots (the incremental-encode view: each
     * micro-batch is its own snapshot and the table is their disjoint union,
     * because a snapshot never clobbers another — partitionBy(snapshotId,
-    * bucket) above). */
-  def readSegmentsAll(spark: SparkSession, tableDir: String): Dataset[Segment] = {
+    * bucket) above). Ledger-aware since r3: only committed, non-superseded
+    * partitions are visible (same read-committed stance as the connector),
+    * so crash-window data and pre-compaction generations never
+    * double-count. */
+  def readSegmentsAll(spark: SparkSession, tableDir: String): Dataset[Segment] =
+    readSegmentsVisible(spark, tableDir, None)
+
+  /** Segments of every (snapshot, bucket) partition VISIBLE at `asOf`
+    * (None = now): committed in the ledger, minus partitions superseded by
+    * a compaction at or before the bound. Visibility is decided by a
+    * broadcast semi-join against the (metadata-scale) ledger — no driver
+    * collect of data. */
+  def readSegmentsVisible(spark: SparkSession, tableDir: String,
+                          asOf: Option[Long]): Dataset[Segment] = {
     import spark.implicits._
-    spark.read.parquet(dataDir(tableDir))
+    val all = spark.read.parquet(dataDir(tableDir))
+    if (!new java.io.File(lineageDir(tableDir)).exists())
+      return all.drop($"snapshotId").as[Segment] // bare layout: no ledger to consult
+    val ledger = readLineage(spark, tableDir)
+    val bound = asOf.getOrElse(Long.MaxValue)
+    val committed = ledger
+      .filter($"status" === Committed && $"snapshotId" <= bound)
+      .select($"snapshotId", $"bucket")
+    val superseded = ledger
+      .filter($"status".startsWith(SupersededPrefix) &&
+        substring_index($"status", "@", -1).cast("long") <= bound)
+      .select($"snapshotId", $"bucket")
+    val visible = committed.except(superseded)
+    all.join(broadcast(visible), Seq("snapshotId", "bucket"), "left_semi")
       .drop($"snapshotId")
       .as[Segment]
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{GraftEncoder, TokenTables}
 import graft.lineage.SegmentStore
+import graft.sources.GraftLayout
 
 /** Engine-facing queries: encode/decode round-trips and codec telemetry.
   * Non-SQL-expressible (no DuckDB oracle) — the driver records rows-only
@@ -510,6 +511,70 @@ object Encode {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** Snapshot COMPACTION (table maintenance for the streaming path: one
+    * ledgered snapshot per micro-batch is exactly-once but accretes small
+    * part-files and under-filled chunks — at 10^12 sequences the
+    * small-file problem dominates scan cost): the corpus lands in three
+    * snapshots split by token-count residue, `SegmentStore.compact` folds
+    * them into ONE (decode → re-chunk → re-encode, old generations
+    * superseded in the same atomic ledger append), and the entry asserts
+    * in-query that (a) exactly one generation is visible afterwards,
+    * (b) part-file count strictly dropped, (c) a time-travel read to
+    * snapshot 2 still sees the PRE-compaction world (snapshot isolation
+    * across compaction). The output is the per-source round-trip audit —
+    * compaction must be invisible to readers — which DuckDB replays from
+    * the raw documents. */
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-q").toString
+    try {
+      val input = TokenTables.fromDocuments(spark, dir)
+      for (r <- 0 until 3)
+        SegmentStore.encodeCommit(input.filter(_.n_tok % 3 == r), base,
+          snapshotId = r + 1L, buckets = 4)
+      def files() = GraftLayout.listDataFiles(base,
+        spark.sessionState.newHadoopConf())
+      val filesBefore = files().length
+      val asOf2Before = spark.read.format("graft").option("snapshotId", "2")
+        .load(base).count()
+      val compactionId = SegmentStore.compact(spark, base, upTo = 3L, buckets = 4)
+      require(compactionId.contains(4L), s"expected compaction snapshot 4, got $compactionId")
+      val filesAfter = files().length
+      require(filesAfter < filesBefore,
+        s"compaction must shrink the part-file count: $filesBefore -> $filesAfter")
+      val visibleSnapshots = SegmentStore.readLineage(spark, base).collect()
+        .filter(_.status == SegmentStore.Committed).map(_.snapshotId).toSet --
+        SegmentStore.readLineage(spark, base).collect()
+          .flatMap(r => SegmentStore.supersededBy(r.status).map(_ => r.snapshotId)).toSet
+      require(visibleSnapshots == Set(4L),
+        s"exactly the compacted generation must be visible, got $visibleSnapshots")
+      require(spark.read.format("graft").option("snapshotId", "2").load(base)
+        .count() == asOf2Before,
+        "time travel to a pre-compaction snapshot must see the old world")
+      val back = spark.read.format("graft").load(base)
+        .toDF("doc_id", "tokens_dec", "n_tok_dec", "source_dec")
+      val rows = input.toDF("doc_id", "tokens", "n_tok", "source")
+        .join(back, Seq("doc_id"), "full_outer")
+        .withColumn("ok",
+          $"tokens" === $"tokens_dec" && $"n_tok" === $"n_tok_dec" &&
+            $"source" === $"source_dec")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tok").cast("long").as("sum_tokens"),
+          sum(when(coalesce($"ok", lit(false)), 0L).otherwise(1L)).as("n_mismatch"))
+        .orderBy($"source")
+        .collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum_tokens", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_mismatch", org.apache.spark.sql.types.LongType))))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
   /** The DSv2 STREAMING sink end-to-end: the token table lands as 4 input
     * files, `writeStream.format("graft")` drains them with
     * maxFilesPerTrigger=1 (one ledgered snapshot per epoch,
@@ -582,6 +647,11 @@ object Encode {
       """SELECT CAST(LEAST(13, COUNT(*)) AS BIGINT) AS n_rows,
         |       CAST(LEAST(13, COUNT(*)) AS BIGINT) AS n_valid
         |FROM documents""".stripMargin,
+    "encode_compaction" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> ''))) AS BIGINT) AS sum_tokens,
+        |  CAST(0 AS BIGINT) AS n_mismatch
+        |FROM documents GROUP BY source""".stripMargin,
     "encode_dsv2_timetravel" ->
       """WITH tok AS (
         |  SELECT len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -643,6 +713,7 @@ object Encode {
     "encode_dsv2_tokenrange" -> (dsv2TokenRange _),
     "encode_dsv2_bloom" -> (dsv2Bloom _),
     "encode_dsv2_timetravel" -> (dsv2TimeTravel _),
+    "encode_compaction" -> (compaction _),
     "encode_projected_scan" -> (projectedScan _),
     "encode_sql_decode" -> (sqlDecode _),
     "encode_streaming_incremental" -> (streamingIncremental _),

@@ -115,8 +115,17 @@ object GraftLayout {
         s"snapshotId time travel requires a lineage ledger; $path has none")
     val kept = committed match {
       case None => files.toSeq
-      case Some(pairs0) =>
-        val pairs = asOf.fold(pairs0)(n => pairs0.filter(_._1 <= n))
+      case Some(lp) =>
+        // visible at the bound = committed by then, minus partitions a
+        // compaction at or before the bound superseded (a later compaction
+        // does NOT hide them from an earlier as-of read — snapshot
+        // isolation across compaction, same stance as Iceberg)
+        val bound = asOf.getOrElse(Long.MaxValue)
+        // iterator.collect, NOT Map.collect: a collect on the Map whose
+        // results are pairs would rebuild a Map and collapse the per-bucket
+        // entries to one per snapshot
+        val pairs = lp.committed.filter(_._1 <= bound) --
+          lp.superseded.iterator.collect { case (sb, c) if c <= bound => sb }
         files.toSeq.filter { f =>
           partitionOf(f) match {
             case Some(sb) => pairs.contains(sb)
@@ -134,14 +143,21 @@ object GraftLayout {
     case _ => None
   }
 
-  /** Committed (snapshotId, bucket) pairs from the lineage ledger, read
-    * driver-side with a plain parquet reader (3 projected columns, no
-    * Spark job). None = no ledger present (bare layout). */
-  def committedPairs(path: String, conf: Configuration): Option[Set[(Long, Int)]] = {
+  /** The ledger's visibility facts: committed (snapshotId, bucket) pairs
+    * and, per superseded pair, the compaction snapshot that superseded it
+    * ([[graft.lineage.SegmentStore.SupersededPrefix]]). */
+  final case class LedgerPairs(committed: Set[(Long, Int)],
+                               superseded: Map[(Long, Int), Long])
+
+  /** Committed/superseded (snapshotId, bucket) pairs from the lineage
+    * ledger, read driver-side with a plain parquet reader (3 projected
+    * columns, no Spark job). None = no ledger present (bare layout). */
+  def committedPairs(path: String, conf: Configuration): Option[LedgerPairs] = {
     val ldir = new HPath(path, "lineage")
     val fs = ldir.getFileSystem(conf)
     if (!fs.exists(ldir)) return None
     val pairs = scala.collection.mutable.Set.empty[(Long, Int)]
+    val sup = scala.collection.mutable.Map.empty[(Long, Int), Long]
     val it = fs.listFiles(ldir, true)
     while (it.hasNext) {
       val f = it.next()
@@ -152,14 +168,20 @@ object GraftLayout {
         try {
           var g = reader.read()
           while (g != null) {
-            if (g.getString("status", 0) == "committed")
-              pairs += ((g.getLong("snapshotId", 0), g.getInteger("bucket", 0)))
+            val status = g.getString("status", 0)
+            val sb = (g.getLong("snapshotId", 0), g.getInteger("bucket", 0))
+            if (status == "committed") pairs += sb
+            else graft.lineage.SegmentStore.supersededBy(status).foreach { c =>
+              // earliest superseding compaction wins (re-compaction only
+              // moves the horizon later)
+              sup.updateWith(sb)(p => Some(p.fold(c)(math.min(_, c))))
+            }
             g = reader.read()
           }
         } finally reader.close()
       }
     }
-    Some(pairs.toSet)
+    Some(LedgerPairs(pairs.toSet, sup.toMap))
   }
 
   /** Committed snapshot ids from the ledger (None = no ledger). The write

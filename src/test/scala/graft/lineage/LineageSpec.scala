@@ -129,4 +129,50 @@ class LineageSpec extends AnyFunSuite {
     assert(viaPruned === exact, "pruning is inexact-but-superset by contract")
     segs.unpersist()
   }
+
+  test("compaction: N snapshots fold into one, old generation superseded, bytes deterministic") {
+    import spark.implicits._
+    val input = TokenTables.synthetic(spark, nDocs = 300, seed = 11L)
+    val dir = tmp()
+    // three small snapshots (the streaming-accretion shape)
+    for (r <- 0 until 3)
+      SegmentStore.encodeCommit(input.filter(_.n_tok % 3 == r), dir,
+        snapshotId = r + 1L, buckets = 4, tokensPerChunk = 4096)
+    val beforeRows = SegmentStore.readSegmentsAll(spark, dir)
+      .transform(GraftEncoder.decode).collect().map(r => r.doc_id -> r).toMap
+    assert(beforeRows.size === 300)
+
+    val cid = SegmentStore.compact(spark, dir, upTo = 3L, buckets = 4,
+      tokensPerChunk = 4096)
+    assert(cid === Some(4L))
+
+    // visible world is unchanged for readers...
+    val afterRows = SegmentStore.readSegmentsAll(spark, dir)
+      .transform(GraftEncoder.decode).collect()
+    assert(afterRows.length === 300)
+    afterRows.foreach { r =>
+      val e = beforeRows(r.doc_id)
+      assert(r.tokens.sameElements(e.tokens) && r.source == e.source)
+    }
+    // ...but is served by the single compacted generation
+    val ledger = SegmentStore.readLineage(spark, dir).collect()
+    val sup = ledger.flatMap(r => SegmentStore.supersededBy(r.status)
+      .map(c => (r.snapshotId, r.bucket) -> c)).toMap
+    assert(sup.nonEmpty && sup.values.forall(_ == 4L))
+    val visible = ledger.filter(_.status == SegmentStore.Committed)
+      .map(r => (r.snapshotId, r.bucket)).toSet -- sup.keySet
+    assert(visible.forall(_._1 == 4L), s"old generation still visible: $visible")
+
+    // compacted bytes == what one direct batch encode of the same rows
+    // produces (segment determinism contract survives the maintenance op)
+    val direct = GraftEncoder.encode(input, buckets = 4, tokensPerChunk = 4096)
+      .collect().map(s => s.segmentId -> s.cols.map(_.payload.toSeq)).toMap
+    val compacted = SegmentStore.readSegments(spark, dir, 4L)
+      .collect().map(s => s.segmentId -> s.cols.map(_.payload.toSeq)).toMap
+    assert(compacted.keySet === direct.keySet)
+    compacted.foreach { case (id, payloads) => assert(payloads === direct(id), id) }
+
+    // re-compacting the already-compacted horizon is a no-op
+    assert(SegmentStore.compact(spark, dir, upTo = 3L, buckets = 4).isEmpty)
+  }
 }
