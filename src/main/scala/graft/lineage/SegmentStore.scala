@@ -244,6 +244,36 @@ object SegmentStore {
       .as[LineageRow]
   }
 
+  /** Delete the data files of superseded (snapshot, bucket) partitions —
+    * the `expire_snapshots` half of the maintenance story ([[compact]]
+    * supersedes logically but keeps bytes so time travel still works;
+    * expire reclaims the storage and, with it, as-of readability of the
+    * expired generations — the same trade Iceberg's expire makes). The
+    * ledger keeps the superseded rows as history; a time-travel read that
+    * needs an expired partition fails fast naming the snapshot
+    * ([[graft.sources.GraftLayout.listDataFiles]]) instead of silently
+    * returning partial data. Returns the number of partition directories
+    * removed. */
+  def expireSuperseded(spark: SparkSession, tableDir: String): Long = {
+    val ledger = readLineage(spark, tableDir).collect()
+    val superseded = ledger.collect {
+      case r if supersededBy(r.status).isDefined => (r.snapshotId, r.bucket)
+    }.toSet
+    var removed = 0L
+    superseded.foreach { case (s, b) =>
+      val dir = new java.io.File(s"${dataDir(tableDir)}/snapshotId=$s/bucket=$b")
+      if (dir.isDirectory) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+        removed += 1
+      }
+    }
+    removed
+  }
+
   /** Read the committed segment table back as typed segments. */
   def readSegments(spark: SparkSession, tableDir: String, snapshotId: Long): Dataset[Segment] = {
     import spark.implicits._

@@ -575,6 +575,50 @@ object Encode {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** STORAGE-PARTITIONED JOIN through [[graft.sources.GraftCatalog]]: two
+    * graft tables bucketed the same way (the engine's one shuffle is
+    * `bucket(n, doc_id)` — the stored layout IS a KeyGroupedPartitioning)
+    * join on doc_id with ZERO exchanges on either side, asserted on the
+    * executed plan in-query. At 10^12 rows the elided bucket exchange is
+    * the single largest data movement a graft⋈graft join (self-join,
+    * incremental-vs-base dedup, snapshot diff) would otherwise pay. The
+    * join result is SQL-expressible, so DuckDB replays it exactly. */
+  def dsv2Spj(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-spj-q").toString
+    try {
+      spark.conf.set("spark.sql.catalog.gcat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val input = TokenTables.fromDocuments(spark, dir)
+      SegmentStore.encodeCommit(input, s"$base/a", snapshotId = 1L, buckets = 8)
+      SegmentStore.encodeCommit(input.filter(_.n_tok % 2 == 0), s"$base/b",
+        snapshotId = 1L, buckets = 8)
+      val a = spark.table(s"gcat.`$base/a`").select($"doc_id", $"n_tok", $"source")
+      val b = spark.table(s"gcat.`$base/b`").select($"doc_id")
+      val j = a.join(b, Seq("doc_id"))
+      val rows = j.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("sum_tokens"))
+        .orderBy($"source")
+        .collect().toSeq
+      // the JOIN itself must be exchange-free (the group-by above it may
+      // shuffle its few aggregation rows; assert on the join subtree)
+      val plan = j.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"storage-partitioned join planned a shuffle:\n${plan.take(1500)}")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum_tokens", org.apache.spark.sql.types.LongType))))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      deleteRecursively(new java.io.File(base))
+    }
+  }
+
   /** The DSv2 STREAMING sink end-to-end: the token table lands as 4 input
     * files, `writeStream.format("graft")` drains them with
     * maxFilesPerTrigger=1 (one ledgered snapshot per epoch,
@@ -647,6 +691,16 @@ object Encode {
       """SELECT CAST(LEAST(13, COUNT(*)) AS BIGINT) AS n_rows,
         |       CAST(LEAST(13, COUNT(*)) AS BIGINT) AS n_valid
         |FROM documents""".stripMargin,
+    "encode_dsv2_spj" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> x <> '')) AS n_tok
+        |  FROM documents
+        |)
+        |SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+        |FROM tok WHERE n_tok % 2 = 0 GROUP BY source""".stripMargin,
     "encode_compaction" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> ''))) AS BIGINT) AS sum_tokens,
@@ -714,6 +768,7 @@ object Encode {
     "encode_dsv2_bloom" -> (dsv2Bloom _),
     "encode_dsv2_timetravel" -> (dsv2TimeTravel _),
     "encode_compaction" -> (compaction _),
+    "encode_dsv2_spj" -> (dsv2Spj _),
     "encode_projected_scan" -> (projectedScan _),
     "encode_sql_decode" -> (sqlDecode _),
     "encode_streaming_incremental" -> (streamingIncremental _),

@@ -20,7 +20,8 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedRe
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources.{And => SAnd, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or => SOr}
 import org.apache.spark.sql.types._
@@ -120,7 +121,8 @@ object GraftTable {
     StructField("source", StringType, nullable = false)))
 }
 
-class GraftTable(path: String) extends Table with SupportsRead with SupportsWrite {
+class GraftTable(path: String, catalogBacked: Boolean = false)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft:$path"
   override def schema(): StructType = GraftTable.TokenSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -128,6 +130,28 @@ class GraftTable(path: String) extends Table with SupportsRead with SupportsWrit
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
   private def sessionConf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
+  /** Bucket count of a fully-ledgered table (encodeCommit writes a ledger
+    * row for every bucket 0..n-1, including empty ones, so max+1 is the
+    * write-time bucket count). None for bare/unledgered layouts. */
+  private lazy val ledgerBuckets: Option[Int] =
+    GraftLayout.committedPairs(path, sessionConf.value)
+      .filter(_.committed.nonEmpty)
+      .map(_.committed.iterator.map(_._2).max + 1)
+
+  /** The stored layout IS bucket(n, doc_id)-partitioned (the engine's one
+    * shuffle, GraftEncoder.bucketed). Declared ONLY for catalog-backed
+    * loads: Spark resolves the transform's `bucket` function against the
+    * owning catalog ([[GraftCatalog]]); a path-based format("graft") read
+    * has no function catalog and the declaration could not resolve. */
+  override def partitioning(): Array[Transform] =
+    if (catalogBacked)
+      ledgerBuckets.map(n => Expressions.bucket(n, "doc_id")).toArray[Transform]
+    else Array.empty
+
+  /** Storage-partitioned-join bucket count, when declared. */
+  private[sources] def spjBuckets: Option[Int] =
+    if (catalogBacked) ledgerBuckets else None
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // `snapshotId` = Iceberg-style time travel over the lineage ledger:
     // read the table as of that committed snapshot (inclusive upper bound)
@@ -137,7 +161,8 @@ class GraftTable(path: String) extends Table with SupportsRead with SupportsWrit
         throw new IllegalArgumentException(s"invalid snapshotId option: '$s'") }
     }
     new GraftScanBuilder(path, sessionConf,
-      options.getBoolean("columnar", GraftScan.ColumnarDefault), asOf)
+      options.getBoolean("columnar", GraftScan.ColumnarDefault), asOf,
+      if (asOf.isEmpty) spjBuckets else None) // as-of reads may see fewer buckets
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, info, sessionConf)
@@ -153,7 +178,8 @@ object AggSpec {
 
 class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
                        columnar: Boolean = GraftScan.ColumnarDefault,
-                       asOf: Option[Long] = None)
+                       asOf: Option[Long] = None,
+                       spjBuckets: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -214,7 +240,8 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
 
   override def build(): Scan =
     if (aggSpecs.nonEmpty) new GraftAggScan(path, aggSpecs, hconf, asOf)
-    else new GraftScan(path, required, pushed, limit, None, hconf, columnar, asOf)
+    else new GraftScan(path, required, pushed, limit, None, hconf, columnar, asOf,
+      spjBuckets)
 }
 
 object GraftScan {
@@ -336,6 +363,23 @@ final case class GraftTaskMetric(metricName: String, metricValue: Long) extends 
 
 final case class GraftInputPartition(file: String) extends InputPartition
 
+object GraftInputPartition {
+  /** Part-file behind either partition shape. */
+  def fileOf(p: InputPartition): String = p match {
+    case GraftInputPartition(f) => f
+    case KeyedGraftInputPartition(f, _) => f
+    case other => throw new IllegalArgumentException(s"not a graft partition: $other")
+  }
+}
+
+/** An input partition that knows its storage bucket — the unit Spark's
+  * key-grouped planning clusters (all files of one bucket -> one task). */
+final case class KeyedGraftInputPartition(file: String, bucket: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
 /** Per-chunk stats + payload pulled from one parquet Group. `bloom` is
   * empty on pre-bloom/foreign files — membership tests then answer
   * may-contain (sound degradation). */
@@ -351,9 +395,10 @@ class GraftScan(
     val tokenRange: Option[(Long, Long)],
     hconf: SerializableConfiguration,
     columnar: Boolean = GraftScan.ColumnarDefault,
-    asOf: Option[Long] = None)
+    asOf: Option[Long] = None,
+    spjBuckets: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -368,7 +413,25 @@ class GraftScan(
   /** Used by [[GraftTokenRangePushdown]] once per scan (guarded by
     * `tokenRange.isEmpty`); the listing is re-derived lazily in the copy. */
   def withTokenRange(lo: Long, hi: Long): GraftScan =
-    new GraftScan(path, required, pushed, limit, Some((lo, hi)), hconf, columnar, asOf)
+    new GraftScan(path, required, pushed, limit, Some((lo, hi)), hconf, columnar, asOf,
+      spjBuckets)
+
+  /** Storage-partitioned joins: a catalog-backed ledgered table IS
+    * KeyGroupedPartitioning over `bucket(n, doc_id)` — every part-file
+    * carries its bucket in the partition path, the planner groups files of
+    * one bucket into one task ([[KeyedGraftInputPartition]]), and a join
+    * whose keys cover doc_id against another table bucketed the same way
+    * runs WITHOUT a shuffle on either side (the elided bucket exchange is
+    * the largest data movement a graft⋈graft join would otherwise pay at
+    * the 10^12-row scale). Non-catalog scans report unknown — the bucket
+    * function could not resolve without [[GraftCatalog]]. */
+  override def outputPartitioning(): Partitioning = spjBuckets match {
+    case Some(n) =>
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(n, "doc_id")),
+        files.flatMap(GraftLayout.partitionOf).map(_._2).distinct.length)
+    case None => new UnknownPartitioning(0)
+  }
 
   /** Committed part-files of the table (as-of the requested snapshot),
     * sorted (deterministic partition order). Listed once per scan and
@@ -464,7 +527,20 @@ class GraftScan(
       case _ => afterPrune
     }
     mFilesPlanned = chosen.length.toLong
-    chosen.map(f => GraftInputPartition(f): InputPartition).toArray
+    spjBuckets match {
+      case Some(_) =>
+        // keyed partitions: Spark groups same-bucket files into one task
+        // under KeyGroupedPartitioning (ledgered layout => every file has
+        // a bucket in its partition path)
+        chosen.map { f =>
+          val b = GraftLayout.partitionOf(f).map(_._2).getOrElse(
+            throw new IllegalStateException(
+              s"bucket-partitioned table has an unpartitioned file: $f"))
+          KeyedGraftInputPartition(f, b): InputPartition
+        }.toArray
+      case None =>
+        chosen.map(f => GraftInputPartition(f): InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -477,11 +553,11 @@ class GraftReaderFactory(required: StructType, pushed: Array[Filter],
                          columnar: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition].file,
+    new GraftPartitionReader(GraftInputPartition.fileOf(partition),
       required, pushed, limit, tokenRange, hconf.value)
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
-    new GraftColumnarPartitionReader(partition.asInstanceOf[GraftInputPartition].file,
+    new GraftColumnarPartitionReader(GraftInputPartition.fileOf(partition),
       required, pushed, limit, tokenRange, hconf.value)
 }
 
@@ -513,7 +589,7 @@ class GraftAggScan(path: String, specs: Seq[AggSpec], hconf: SerializableConfigu
     val sp = specs
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new GraftAggReader(partition.asInstanceOf[GraftInputPartition].file, sp, hc.value)
+        new GraftAggReader(GraftInputPartition.fileOf(partition), sp, hc.value)
     }
   }
 }

@@ -126,12 +126,25 @@ object GraftLayout {
         // entries to one per snapshot
         val pairs = lp.committed.filter(_._1 <= bound) --
           lp.superseded.iterator.collect { case (sb, c) if c <= bound => sb }
-        files.toSeq.filter { f =>
+        val kept = files.toSeq.filter { f =>
           partitionOf(f) match {
             case Some(sb) => pairs.contains(sb)
             case None => asOf.isEmpty // unledgered path: tolerate unless time traveling
           }
         }
+        // a time-travel read that needs a non-empty partition whose files
+        // were expired (SegmentStore.expireSuperseded) must fail fast,
+        // not silently return partial history
+        if (asOf.isDefined) {
+          val present = kept.flatMap(partitionOf).toSet
+          val missing = pairs.filter(sb => lp.rows.getOrElse(sb, 0L) > 0L && !present(sb))
+          if (missing.nonEmpty)
+            throw new IllegalStateException(
+              s"snapshot ${asOf.get} references expired partitions " +
+                s"(run of snapshots ${missing.map(_._1).toSeq.sorted.distinct.mkString(",")} " +
+                s"was removed by expireSuperseded); time travel to it is no longer possible")
+        }
+        kept
     }
     kept.sorted
   }
@@ -144,10 +157,12 @@ object GraftLayout {
   }
 
   /** The ledger's visibility facts: committed (snapshotId, bucket) pairs
-    * and, per superseded pair, the compaction snapshot that superseded it
+    * with their row counts, and, per superseded pair, the compaction
+    * snapshot that superseded it
     * ([[graft.lineage.SegmentStore.SupersededPrefix]]). */
   final case class LedgerPairs(committed: Set[(Long, Int)],
-                               superseded: Map[(Long, Int), Long])
+                               superseded: Map[(Long, Int), Long],
+                               rows: Map[(Long, Int), Long])
 
   /** Committed/superseded (snapshotId, bucket) pairs from the lineage
     * ledger, read driver-side with a plain parquet reader (3 projected
@@ -158,20 +173,23 @@ object GraftLayout {
     if (!fs.exists(ldir)) return None
     val pairs = scala.collection.mutable.Set.empty[(Long, Int)]
     val sup = scala.collection.mutable.Map.empty[(Long, Int), Long]
+    val rows = scala.collection.mutable.Map.empty[(Long, Int), Long]
     val it = fs.listFiles(ldir, true)
     while (it.hasNext) {
       val f = it.next()
       val n = f.getPath.getName
       if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
         val reader = openPruned(f.getPath.toString, conf,
-          top = Set("snapshotId", "bucket", "status"), chunkFields = Set.empty)
+          top = Set("snapshotId", "bucket", "status", "nRows"), chunkFields = Set.empty)
         try {
           var g = reader.read()
           while (g != null) {
             val status = g.getString("status", 0)
             val sb = (g.getLong("snapshotId", 0), g.getInteger("bucket", 0))
-            if (status == "committed") pairs += sb
-            else graft.lineage.SegmentStore.supersededBy(status).foreach { c =>
+            if (status == "committed") {
+              pairs += sb
+              rows(sb) = g.getLong("nRows", 0)
+            } else graft.lineage.SegmentStore.supersededBy(status).foreach { c =>
               // earliest superseding compaction wins (re-compaction only
               // moves the horizon later)
               sup.updateWith(sb)(p => Some(p.fold(c)(math.min(_, c))))
@@ -181,7 +199,7 @@ object GraftLayout {
         } finally reader.close()
       }
     }
-    Some(LedgerPairs(pairs.toSet, sup.toMap))
+    Some(LedgerPairs(pairs.toSet, sup.toMap, rows.toMap))
   }
 
   /** Committed snapshot ids from the ledger (None = no ledger). The write

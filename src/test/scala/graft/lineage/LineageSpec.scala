@@ -174,5 +174,23 @@ class LineageSpec extends AnyFunSuite {
 
     // re-compacting the already-compacted horizon is a no-op
     assert(SegmentStore.compact(spark, dir, upTo = 3L, buckets = 4).isEmpty)
+
+    // ---- expire: reclaim the superseded generations ----
+    val conf = spark.sessionState.newHadoopConf()
+    // pre-expire, time travel to the old world still works
+    assert(spark.read.format("graft").option("snapshotId", "2").load(dir).count() > 0L)
+    val removed = SegmentStore.expireSuperseded(spark, dir)
+    assert(removed > 0L, "expire should reclaim superseded partition dirs")
+    // current read is untouched (served by the compacted generation)...
+    assert(SegmentStore.readSegmentsAll(spark, dir)
+      .transform(GraftEncoder.decode).count() === 300L)
+    assert(spark.read.format("graft").load(dir).count() === 300L)
+    // ...but time travel to the expired generation fails fast, by name
+    val e = intercept[IllegalStateException] {
+      spark.read.format("graft").option("snapshotId", "2").load(dir).count()
+    }
+    assert(e.getMessage.contains("expired"))
+    // expire is idempotent
+    assert(SegmentStore.expireSuperseded(spark, dir) === 0L)
   }
 }
