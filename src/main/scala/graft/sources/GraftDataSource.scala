@@ -86,7 +86,13 @@ import graft.codec.{IntCodecs, SegmentBloom, StringCodecs}
   *    re-checks keys), so inexact pruning stays sound;
   *  - **snapshot time travel**: `.option("snapshotId", N)` reads the table
   *    as of a committed lineage-ledger snapshot (the Iceberg `snapshot-id`
-  *    read-option analog); ledgerless layouts fail fast;
+  *    read-option analog); ledgerless layouts fail fast, and a snapshot
+  *    whose data files were reclaimed (SegmentStore.expireSuperseded)
+  *    fails fast by name instead of returning partial history;
+  *  - **storage-partitioned joins**: catalog-backed loads
+  *    ([[GraftCatalog]]) declare the stored `bucket(n, doc_id)` layout as
+  *    KeyGroupedPartitioning — two graft tables bucketed the same way
+  *    join with zero exchanges;
   *  - **metrics** (§2.A.14): per-query DSv2 `CustomMetric`s (segments
   *    decoded/pruned by stats/token-range/bloom, payload bytes
   *    decoded/pruned, rows emitted, files planned/pruned at planning) —
