@@ -67,17 +67,24 @@ object GraftConf {
     catch { case _: NumberFormatException =>
       throw new IllegalArgumentException(s"invalid number for $key: '$v'") }
 
-  /** Parse from raw key/value pairs (unit-testable without Spark). */
+  /** Parse from raw key/value pairs (unit-testable without Spark). Keys
+    * match case-INSENSITIVELY: the DSv2 write path hands options through
+    * `CaseInsensitiveStringMap`, which lower-cases every key — a
+    * case-sensitive lookup would silently ignore every `graft.*` write
+    * option (`.option("graft.codec.bloomColumns", ...)` arrives as
+    * `graft.codec.bloomcolumns`). */
   def fromMap(m: Map[String, String]): GraftConf = {
+    val norm = m.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    def get(key: String): Option[String] = norm.get(key.toLowerCase(java.util.Locale.ROOT))
     val d = GraftConf()
     GraftConf(
-      tokensPerChunk = m.get(TokensPerChunk).map(parseInt(TokensPerChunk, _)).getOrElse(d.tokensPerChunk),
-      buckets = m.get(Buckets).map(parseInt(Buckets, _)).getOrElse(d.buckets),
-      zlibLevel = m.get(ZlibLevel).map(parseInt(ZlibLevel, _)).getOrElse(d.zlibLevel),
-      deflateMinGain = m.get(DeflateMinGain).map(parseDouble(DeflateMinGain, _)).getOrElse(d.deflateMinGain),
-      dictThreshold = m.get(DictThreshold).map(parseDouble(DictThreshold, _)).getOrElse(d.dictThreshold),
-      bloomColumns = m.get(BloomColumns)
-        .map(_.split(',').iterator.map(_.trim).filter(_.nonEmpty).toSet)
+      tokensPerChunk = get(TokensPerChunk).map(parseInt(TokensPerChunk, _)).getOrElse(d.tokensPerChunk),
+      buckets = get(Buckets).map(parseInt(Buckets, _)).getOrElse(d.buckets),
+      zlibLevel = get(ZlibLevel).map(parseInt(ZlibLevel, _)).getOrElse(d.zlibLevel),
+      deflateMinGain = get(DeflateMinGain).map(parseDouble(DeflateMinGain, _)).getOrElse(d.deflateMinGain),
+      dictThreshold = get(DictThreshold).map(parseDouble(DictThreshold, _)).getOrElse(d.dictThreshold),
+      bloomColumns = get(BloomColumns)
+        .map(_.split(',').iterator.map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty).toSet)
         .getOrElse(d.bloomColumns))
   }
 

@@ -34,7 +34,8 @@ final case class ColChunk(
   * of encode work, lineage, and decode-side skipping.
   *
   * Determinism contract (the basis of idempotent restart, north_rule):
-  * `bucket` is a pure function of doc_id (pmod(xxhash64(doc_id), buckets)),
+  * `bucket` is a pure function of doc_id (pmod(hash(doc_id), buckets) —
+  * Spark's Murmur3 seed 42, the same function HashPartitioning applies),
   * rows are chunked in (source, doc_id) sorted order within their bucket,
   * so segment content and segmentId depend only on the input data — a task
   * retry or a full job replay rewrites byte-identical files. */
@@ -143,11 +144,20 @@ object GraftEncoder {
     * encode job. The bucket is a pure function of doc_id (NOT the physical
     * partition id), so restart filtering and replay idempotency hold no
     * matter how Spark schedules tasks; long-token documents spread
-    * uniformly across buckets (skew clause). */
+    * uniformly across buckets (skew clause).
+    *
+    * The function is `pmod(hash(doc_id), n)` — Spark's Murmur3 (seed 42),
+    * DELIBERATELY the same function `HashPartitioning` uses: a
+    * `Distributions.clustered(doc_id)` exchange with n partitions (the
+    * DSv2 write path) then lands every row in the partition EQUAL to its
+    * bucket, so both write paths produce one canonical layout and the
+    * catalog's declared `bucket(n, doc_id)` transform
+    * ([[graft.sources.GraftBucketFunction]]) is true for every graft
+    * table — the storage-partitioned-join contract. */
   def bucketed(ds: Dataset[TokenRow], buckets: Int): Dataset[BucketedRow] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.withColumn("bucket", pmod(xxhash64($"doc_id"), lit(buckets.toLong)).cast("int"))
+    ds.withColumn("bucket", pmod(hash($"doc_id"), lit(buckets)))
       .as[BucketedRow]
   }
 

@@ -70,9 +70,29 @@ object SegmentStore {
   def dataDir(tableDir: String): String = s"$tableDir/data"
   def lineageDir(tableDir: String): String = s"$tableDir/lineage"
 
+  /** Explicit read schema of the stored segment table (the Segment encoder
+    * schema + the on-disk partition columns). Reading with an explicit
+    * schema keeps two contracts: empty data dirs don't fail inference, and
+    * files written BEFORE a schema addition (e.g. the r3 `bloom` field)
+    * surface the missing field as null instead of failing `.as[Segment]`
+    * — the "pre-bloom files stay readable" stance on the engine path. */
+  private def segmentTableSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.Encoders.product[Segment].schema
+        .filterNot(_.name == "bucket"))
+      .add("snapshotId", "long").add("bucket", "int")
+
+  /** Hadoop-FS existence check — `java.io.File` would be blind to any
+    * non-local filesystem (hdfs://, s3a://) and silently skip ledger
+    * awareness there. */
+  private def hExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   def readLineage(spark: SparkSession, tableDir: String): Dataset[LineageRow] = {
     import spark.implicits._
-    if (!new java.io.File(lineageDir(tableDir)).exists())
+    if (!hExists(spark, lineageDir(tableDir)))
       spark.emptyDataset[LineageRow]
     else spark.read.parquet(lineageDir(tableDir)).as[LineageRow]
   }
@@ -196,11 +216,17 @@ object SegmentStore {
     val visible = committed -- superseded
     if (visible.isEmpty) return None
     val compactionId = ledger.map(_.snapshotId).max + 1
+    // Decode EXACTLY the pair set this compaction supersedes — NOT the
+    // historical as-of view: readSegmentsVisible(asOf = upTo) would
+    // resurrect partitions a LATER compaction already superseded (its
+    // markers carry C > upTo and the as-of bound ignores them), silently
+    // duplicating their rows into the new snapshot while the earlier
+    // compaction's copy stays visible.
     // localCheckpoint breaks the plan's file lineage: the re-encode WRITES
     // under dataDir while the decode READS it (disjoint partitions, but
     // Spark's overwrite-while-reading guard keys on the root path), and it
     // bounds the maintenance op to one decode pass
-    val input = GraftEncoder.decode(readSegmentsVisible(spark, tableDir, Some(upTo)))
+    val input = GraftEncoder.decode(readSegmentsOf(spark, tableDir, visible))
       .localCheckpoint()
     val markers = visible.toSeq.sorted.map { case (s, b) =>
       LineageRow(s, b, 0L, 0L, 0L, 0L, 0L, "", "", "",
@@ -214,14 +240,10 @@ object SegmentStore {
   private def lineageFromData(spark: SparkSession, tableDir: String,
                               snapshotId: Long, only: Set[Int]): Dataset[LineageRow] = {
     import spark.implicits._
-    // Explicit schema: a run whose pending buckets were ALL empty leaves a
-    // part-file-less data dir, where schema inference would throw. `bucket`
-    // is a partition column on disk, so it moves to the end of the schema.
-    val segSchema = org.apache.spark.sql.types.StructType(
-      implicitly[org.apache.spark.sql.Encoder[Segment]].schema
-        .filterNot(_.name == "bucket"))
-      .add("snapshotId", "long").add("bucket", "int")
-    val segs = spark.read.schema(segSchema).parquet(dataDir(tableDir))
+    // Explicit schema ([[segmentTableSchema]]): a run whose pending buckets
+    // were ALL empty leaves a part-file-less data dir, where schema
+    // inference would throw.
+    val segs = spark.read.schema(segmentTableSchema).parquet(dataDir(tableDir))
       .filter($"snapshotId" === snapshotId && $"bucket".isin(only.toSeq.map(Int.box): _*))
     val codecAgg = segs
       .select($"bucket", explode($"cols").as("c"))
@@ -260,14 +282,13 @@ object SegmentStore {
       case r if supersededBy(r.status).isDefined => (r.snapshotId, r.bucket)
     }.toSet
     var removed = 0L
+    val conf = spark.sessionState.newHadoopConf()
     superseded.foreach { case (s, b) =>
-      val dir = new java.io.File(s"${dataDir(tableDir)}/snapshotId=$s/bucket=$b")
-      if (dir.isDirectory) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(dir)
+      val dir = new org.apache.hadoop.fs.Path(
+        s"${dataDir(tableDir)}/snapshotId=$s/bucket=$b")
+      val fs = dir.getFileSystem(conf)
+      if (fs.exists(dir)) {
+        fs.delete(dir, true)
         removed += 1
       }
     }
@@ -277,7 +298,7 @@ object SegmentStore {
   /** Read the committed segment table back as typed segments. */
   def readSegments(spark: SparkSession, tableDir: String, snapshotId: Long): Dataset[Segment] = {
     import spark.implicits._
-    spark.read.parquet(dataDir(tableDir))
+    spark.read.schema(segmentTableSchema).parquet(dataDir(tableDir))
       .filter($"snapshotId" === snapshotId)
       .drop($"snapshotId")
       .as[Segment]
@@ -297,6 +318,18 @@ object SegmentStore {
   def readSegmentsAll(spark: SparkSession, tableDir: String): Dataset[Segment] =
     readSegmentsVisible(spark, tableDir, None)
 
+  /** Segments of an EXPLICIT (snapshot, bucket) pair set — the compaction
+    * input reader (the pairs being superseded, no more, no less). */
+  private def readSegmentsOf(spark: SparkSession, tableDir: String,
+                             pairs: Set[(Long, Int)]): Dataset[Segment] = {
+    import spark.implicits._
+    val wanted = spark.createDataset(pairs.toSeq).toDF("snapshotId", "bucket")
+    spark.read.schema(segmentTableSchema).parquet(dataDir(tableDir))
+      .join(broadcast(wanted), Seq("snapshotId", "bucket"), "left_semi")
+      .drop($"snapshotId")
+      .as[Segment]
+  }
+
   /** Segments of every (snapshot, bucket) partition VISIBLE at `asOf`
     * (None = now): committed in the ledger, minus partitions superseded by
     * a compaction at or before the bound. Visibility is decided by a
@@ -305,9 +338,9 @@ object SegmentStore {
   def readSegmentsVisible(spark: SparkSession, tableDir: String,
                           asOf: Option[Long]): Dataset[Segment] = {
     import spark.implicits._
-    val all = spark.read.parquet(dataDir(tableDir))
-    if (!new java.io.File(lineageDir(tableDir)).exists())
-      return all.drop($"snapshotId").as[Segment] // bare layout: no ledger to consult
+    if (!hExists(spark, lineageDir(tableDir))) // bare layout: no ledger to consult
+      return spark.read.parquet(dataDir(tableDir)).drop($"snapshotId").as[Segment]
+    val all = spark.read.schema(segmentTableSchema).parquet(dataDir(tableDir))
     val ledger = readLineage(spark, tableDir)
     val bound = asOf.getOrElse(Long.MaxValue)
     val committed = ledger

@@ -197,15 +197,22 @@ object Dedup {
 
   private[graft] def ngramJaccardOn(docs: DataFrame, dfCap: Option[Int]): DataFrame = {
     val spark = docs.sparkSession
-    val (flat, sizes) = ngramIndex(docs, dfCap)
-    ngramCandidates(flat)
-      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
-      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
-      .withColumn("jaccard", col("i").cast("double") / (col("n1") + col("n2") - col("i")))
-      .filter(col("jaccard") >= 0.5)
-      .agg(
-        count(lit(1)).as("n_pairs"),
-        sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("n_strong"))
+    val (flat0, sizes) = ngramIndex(docs, dfCap)
+    // `flat` feeds the self-join twice plus the sizes aggregation; with a
+    // df cap its plan carries the hot-set groupBy + anti-join, so an
+    // unpersisted plan would redo that full-shuffle pipeline ~3x
+    val flat = flat0.persist()
+    try {
+      ngramCandidates(flat)
+        .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+        .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+        .withColumn("jaccard", col("i").cast("double") / (col("n1") + col("n2") - col("i")))
+        .filter(col("jaccard") >= 0.5)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("n_strong"))
+        .localCheckpoint() // materialize (1 row) before the cache is released
+    } finally flat.unpersist()
   }
 
   /** Inverted index (doc_id, shingle) + per-doc kept-shingle counts, with

@@ -26,9 +26,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * pipeline would otherwise pay.
   *
   * The bound function REPLAYS the engine's bucket assignment exactly
-  * (GraftEncoder.bucketed: `pmod(xxhash64(doc_id), n)`, Spark's XXH64 with
-  * seed 42 over the UTF-8 bytes) — one definition of "bucket of a doc",
-  * written once in the engine and mirrored here for the planner. */
+  * (GraftEncoder.bucketed: `pmod(hash(doc_id), n)`, Spark's Murmur3 with
+  * seed 42 over the UTF-8 bytes — the same function HashPartitioning
+  * applies, so the DSv2 write path's clustered exchange produces the
+  * identical layout) — one definition of "bucket of a doc", written once
+  * in the engine and mirrored here for the planner. */
 class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog {
 
   private var catalogName: String = "graft"
@@ -68,13 +70,15 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog 
 }
 
 /** The canonical graft bucket function: `bucket(n, doc_id)` =
-  * `pmod(xxhash64(doc_id), n)` — identical to the engine's shuffle key
-  * (GraftEncoder.bucketed), so the stored layout IS a valid
-  * KeyGroupedPartitioning under this function. */
+  * `pmod(hash(doc_id), n)` (Murmur3 seed 42) — identical to the engine's
+  * shuffle key (GraftEncoder.bucketed) AND to what a
+  * `Distributions.clustered(doc_id)` write exchange computes, so the
+  * stored layout of BOTH write paths is a valid KeyGroupedPartitioning
+  * under this function. */
 object GraftBucketFunction extends UnboundFunction {
   override def name(): String = "bucket"
   override def description(): String =
-    "bucket(n, doc_id) = pmod(xxhash64(doc_id), n) — the graft storage bucket"
+    "bucket(n, doc_id) = pmod(hash(doc_id), n) — the graft storage bucket (Murmur3 seed 42)"
 
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.fields.length == 2 &&
@@ -93,11 +97,11 @@ object GraftBucketFunction extends UnboundFunction {
     override def produceResult(input: InternalRow): Int = {
       val n = input.getInt(0)
       val s = input.getUTF8String(1)
-      // Spark SQL xxhash64: XXH64 over the UTF-8 bytes, seed 42
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      // Spark SQL hash() == HashPartitioning: Murmur3 over UTF-8 bytes, seed 42
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(s, StringType, 42L).toInt
       val m = h % n
-      (if (m < 0) m + n else m).toInt
+      if (m < 0) m + n else m
     }
   }
 }

@@ -577,12 +577,16 @@ class GraftAggScan(path: String, specs: Seq[AggSpec], hconf: SerializableConfigu
   // a runtime filter narrowing them would change the RESULT, not just prune
   // work — so the agg scan opts out of runtime filtering entirely.
   override def filterAttributes(): Array[NamedReference] = Array.empty
+  // min/max partials are nullable: a segment-free file still emits a
+  // partial row (count 0, null extrema) — with NO partial rows at all,
+  // Spark's merge would compute sum(counts) over empty input and a pushed
+  // COUNT(*) on an empty table would return null instead of 0
   override def readSchema(): StructType = StructType(specs.map {
     case AggSpec.CountAll => StructField("count(*)", LongType, nullable = false)
-    case AggSpec.MinOf("n_tok") => StructField("min(n_tok)", IntegerType, nullable = false)
-    case AggSpec.MaxOf("n_tok") => StructField("max(n_tok)", IntegerType, nullable = false)
-    case AggSpec.MinOf(c) => StructField(s"min($c)", StringType, nullable = false)
-    case AggSpec.MaxOf(c) => StructField(s"max($c)", StringType, nullable = false)
+    case AggSpec.MinOf("n_tok") => StructField("min(n_tok)", IntegerType, nullable = true)
+    case AggSpec.MaxOf("n_tok") => StructField("max(n_tok)", IntegerType, nullable = true)
+    case AggSpec.MinOf(c) => StructField(s"min($c)", StringType, nullable = true)
+    case AggSpec.MaxOf(c) => StructField(s"max($c)", StringType, nullable = true)
   })
   override def description(): String =
     "GraftScan PushedAggregation: [" + specs.map {
@@ -616,7 +620,6 @@ class GraftAggReader(file: String, specs: Seq[AggSpec], conf: Configuration)
       top = if (needChunks) Set("nRows", "cols") else Set("nRows"),
       chunkFields = if (needChunks) Set("col", "minV", "maxV", "minS", "maxS") else Set.empty)
     var count = 0L
-    var nSegs = 0L
     val minV = scala.collection.mutable.Map.empty[String, Long]
     val maxV = scala.collection.mutable.Map.empty[String, Long]
     val minS = scala.collection.mutable.Map.empty[String, String]
@@ -624,7 +627,6 @@ class GraftAggReader(file: String, specs: Seq[AggSpec], conf: Configuration)
     try {
       var g = reader.read()
       while (g != null) {
-        nSegs += 1
         count += g.getInteger("nRows", 0)
         if (needChunks) {
           val wrapper = g.getGroup("cols", 0)
@@ -652,14 +654,19 @@ class GraftAggReader(file: String, specs: Seq[AggSpec], conf: Configuration)
         g = reader.read()
       }
     } finally reader.close()
-    if (nSegs == 0L) return false // no partial from an empty file
+    // a segment-free file still contributes (count 0, null extrema) —
+    // see GraftAggScan.readSchema
     val out = new GenericInternalRow(specs.length)
     specs.zipWithIndex.foreach {
       case (AggSpec.CountAll, i) => out.setLong(i, count)
-      case (AggSpec.MinOf("n_tok"), i) => out.setInt(i, minV("n_tok").toInt)
-      case (AggSpec.MaxOf("n_tok"), i) => out.setInt(i, maxV("n_tok").toInt)
-      case (AggSpec.MinOf(c), i) => out.update(i, UTF8String.fromString(minS(c)))
-      case (AggSpec.MaxOf(c), i) => out.update(i, UTF8String.fromString(maxS(c)))
+      case (AggSpec.MinOf("n_tok"), i) =>
+        minV.get("n_tok").fold(out.setNullAt(i))(v => out.setInt(i, v.toInt))
+      case (AggSpec.MaxOf("n_tok"), i) =>
+        maxV.get("n_tok").fold(out.setNullAt(i))(v => out.setInt(i, v.toInt))
+      case (AggSpec.MinOf(c), i) =>
+        minS.get(c).fold(out.setNullAt(i))(v => out.update(i, UTF8String.fromString(v)))
+      case (AggSpec.MaxOf(c), i) =>
+        maxS.get(c).fold(out.setNullAt(i))(v => out.update(i, UTF8String.fromString(v)))
     }
     row = out
     true

@@ -38,10 +38,27 @@ object GraftLayout {
   final case class FileHeader(rows: Long, bytesIn: Map[String, Long],
                               ranges: Map[String, ColRange])
 
-  private val headerCache = new java.util.concurrent.ConcurrentHashMap[String, FileHeader]
+  /** Bounded LRU: a process-lifetime unbounded map keyed by part-file path
+    * would retain a FileHeader for every file ever planned — a driver OOM
+    * vector at millions of part-files (and a leak across the temp tables
+    * every Verify/Bench run creates and deletes). 64k entries ≈ a few
+    * hundred MB worst case, far above any single query's working set. */
+  private final val HeaderCacheMax = 64 * 1024
+  private val headerCache =
+    new java.util.LinkedHashMap[String, FileHeader](1024, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, FileHeader]): Boolean =
+        size() > HeaderCacheMax
+    }
 
-  def header(file: String, conf: Configuration): FileHeader =
-    headerCache.computeIfAbsent(file, _ => readHeader(file, conf))
+  def header(file: String, conf: Configuration): FileHeader = {
+    headerCache.synchronized {
+      val hit = headerCache.get(file)
+      if (hit != null) return hit
+    }
+    val h = readHeader(file, conf)
+    headerCache.synchronized { headerCache.put(file, h) }
+    h
+  }
 
   private def readHeader(file: String, conf: Configuration): FileHeader = {
     val reader = openPruned(file, conf,
@@ -202,33 +219,13 @@ object GraftLayout {
     Some(LedgerPairs(pairs.toSet, sup.toMap, rows.toMap))
   }
 
-  /** Committed snapshot ids from the ledger (None = no ledger). The write
-    * path allocates `max + 1` for a fresh batch commit and the streaming
-    * sink uses membership for epoch-replay idempotence. */
-  def committedSnapshots(path: String, conf: Configuration): Option[Set[Long]] = {
-    val ldir = new HPath(path, "lineage")
-    val fs = ldir.getFileSystem(conf)
-    if (!fs.exists(ldir)) return None
-    val snaps = scala.collection.mutable.Set.empty[Long]
-    val it = fs.listFiles(ldir, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val n = f.getPath.getName
-      if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
-        val reader = openPruned(f.getPath.toString, conf,
-          top = Set("snapshotId", "status"), chunkFields = Set.empty)
-        try {
-          var g = reader.read()
-          while (g != null) {
-            if (g.getString("status", 0) == "committed")
-              snaps += g.getLong("snapshotId", 0)
-            g = reader.read()
-          }
-        } finally reader.close()
-      }
-    }
-    Some(snaps.toSet)
-  }
+  /** Committed snapshot ids from the ledger (None = no ledger) — a
+    * projection of [[committedPairs]] (one ledger walk, one set of parsing
+    * rules). Includes SUPERSEDED snapshots deliberately: the write path
+    * allocates `max + 1`, and a compacted-away id must never be reused;
+    * the streaming sink uses membership for epoch-replay idempotence. */
+  def committedSnapshots(path: String, conf: Configuration): Option[Set[Long]] =
+    committedPairs(path, conf).map(_.committed.map(_._1))
 
   /** Open a parquet file with a name-pruned requested schema: keep only the
     * `top`-level fields, and inside the `cols` LIST elements only

@@ -137,9 +137,13 @@ class GraftWrite(path: String, schema: StructType, buckets: Int,
 
   // Cluster by doc_id into exactly `buckets` partitions: the engine's one
   // explicit shuffle, expressed declaratively so Catalyst plans (or elides)
-  // the exchange. Hash clustering on doc_id keeps the bucket a pure
-  // function of the row's identity — long-token docs spread uniformly
-  // (the north_rule's skew clause), independent of input partitioning.
+  // the exchange. HashPartitioning computes pmod(Murmur3Hash(doc_id, 42),
+  // buckets) — the ENGINE'S OWN bucket function (GraftEncoder.bucketed
+  // uses Spark's hash() deliberately so the two coincide): the partition
+  // id each writer task receives IS the canonical bucket of every row it
+  // holds, both write paths produce one layout, and the catalog's
+  // bucket(n, doc_id) declaration stays true for SPJ. Long-token docs
+  // spread uniformly (the north_rule's skew clause).
   override def requiredDistribution(): Distribution =
     Distributions.clustered(Array[VExpression](Expressions.column("doc_id")))
   override def requiredNumPartitions(): Int = buckets
@@ -178,8 +182,17 @@ class GraftBatchWrite(path: String, stagingDir: String, schema: StructType,
     }
     // Snapshot id chosen at commit time so concurrent/successive appends
     // monotonically stack (the Iceberg "new snapshot per commit" stance).
+    // Batch ids live BELOW StreamEpochBase: the streaming sink derives its
+    // snapshot ids from epoch ids, and the two spaces must stay disjoint —
+    // a batch commit landing on a future epoch's id would make that
+    // epoch's replay check misfire and silently DROP the epoch's data.
     val snapshotId = GraftLayout.committedSnapshots(path, conf)
-      .fold(0L)(s => if (s.isEmpty) 0L else s.max) + 1L
+      .fold(0L)(s => {
+        val batchIds = s.filter(_ < GraftWriteCommit.StreamEpochBase)
+        if (batchIds.isEmpty) 0L else batchIds.max
+      }) + 1L
+    require(snapshotId < GraftWriteCommit.StreamEpochBase,
+      s"batch snapshot-id space exhausted at $snapshotId")
     GraftWriteCommit.publish(path, stagingDir, snapshotId,
       messages.map(_.asInstanceOf[GraftCommitMessage]), conf)
   }
@@ -189,9 +202,14 @@ class GraftBatchWrite(path: String, stagingDir: String, schema: StructType,
 }
 
 /** Streaming sink: each epoch commits as its own ledgered snapshot
-  * (snapshotId = epochId). Exactly-once = checkpoint replay x ledger
-  * idempotence: a replayed epoch sees its snapshot already committed and
-  * discards its staged files instead of double-publishing. */
+  * (snapshotId = StreamEpochBase + epochId — its own id space: a batch
+  * append allocating max+1 in a SHARED space could land on a future
+  * epoch's id, and that epoch's replay check would then discard real data
+  * as a duplicate). Exactly-once = checkpoint replay x ledger idempotence:
+  * a replayed epoch sees its snapshot already committed and discards its
+  * staged files instead of double-publishing. As-of time travel orders by
+  * snapshot id — a LOGICAL clock per id space, not wall time; mixed
+  * batch+streaming tables time-travel consistently within each space. */
 class GraftStreamingWrite(path: String, stagingDir: String, schema: StructType,
                           tokensPerChunk: Int, codecConf: CodecConf,
                           hconf: SerializableConfiguration)
@@ -202,10 +220,11 @@ class GraftStreamingWrite(path: String, stagingDir: String, schema: StructType,
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val conf = hconf.value
+    val snapshotId = GraftWriteCommit.StreamEpochBase + epochId
     val already = GraftLayout.committedSnapshots(path, conf)
-      .exists(_.contains(epochId))
+      .exists(_.contains(snapshotId))
     if (already) GraftWriteCommit.dropStaging(stagingDir, conf)
-    else GraftWriteCommit.publish(path, stagingDir, epochId,
+    else GraftWriteCommit.publish(path, stagingDir, snapshotId,
       messages.map(_.asInstanceOf[GraftCommitMessage]), conf)
   }
 
@@ -218,6 +237,12 @@ class GraftStreamingWrite(path: String, stagingDir: String, schema: StructType,
   * the ledger append is the commit point; everything before it is
   * invisible to ledger-aware readers. */
 object GraftWriteCommit {
+
+  /** Floor of the streaming sink's snapshot-id space (snapshot =
+    * StreamEpochBase + epochId); batch appends allocate strictly below it
+    * so the replay-idempotence check can never collide with a batch
+    * commit. */
+  final val StreamEpochBase: Long = 1L << 40
 
   def publish(path: String, stagingDir: String, snapshotId: Long,
               messages: Array[GraftCommitMessage], conf: Configuration): Unit = {

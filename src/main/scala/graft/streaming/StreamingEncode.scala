@@ -15,9 +15,12 @@ import graft.lineage.SegmentStore
   * incremental one with ZERO new commit machinery:
   *
   *  - each micro-batch commits through [[SegmentStore.encodeCommit]] with
-  *    `snapshotId = batchId`, so every batch is its own ledgered snapshot
-  *    (input files -> snapshot id is recorded by the checkpoint's offset log,
-  *    chunk/codec/byte stats by our lineage ledger);
+  *    `snapshotId = StreamEpochBase + batchId` (the streaming id space —
+  *    disjoint from batch appends' max+1 allocation, so an interleaved
+  *    batch write can never land on a future epoch's id and trip the
+  *    replay skip into dropping real data), so every batch is its own
+  *    ledgered snapshot (input files -> snapshot id is recorded by the
+  *    checkpoint's offset log, chunk/codec/byte stats by our ledger);
   *  - after a crash, Structured Streaming REPLAYS the last uncommitted batch
   *    with the SAME batchId; `encodeCommit` then skips buckets already in
   *    the ledger and rewrites the rest byte-identically (Segment
@@ -56,7 +59,9 @@ object StreamingEncode {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[TokenRow], batchId: Long) =>
-        SegmentStore.encodeCommit(batch, tableDir, snapshotId = batchId, buckets = buckets)
+        SegmentStore.encodeCommit(batch, tableDir,
+          snapshotId = graft.sources.GraftWriteCommit.StreamEpochBase + batchId,
+          buckets = buckets)
         () // value discarded: commit evidence lives in the lineage ledger
       }
       .trigger(

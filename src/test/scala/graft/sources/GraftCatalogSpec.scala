@@ -64,8 +64,8 @@ class GraftCatalogSpec extends AnyFunSuite {
     val ids = TokenTables.synthetic(spark, nDocs = 50, seed = 42L)
       .collect().map(_.doc_id)
     val engine = spark.createDataset(ids.toSeq).toDF("doc_id")
-      .selectExpr("doc_id", "pmod(xxhash64(doc_id), 8) as b")
-      .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+      .selectExpr("doc_id", "pmod(hash(doc_id), 8) as b")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     ids.foreach { id =>
       val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](8, org.apache.spark.unsafe.types.UTF8String.fromString(id)))
@@ -89,6 +89,31 @@ class GraftCatalogSpec extends AnyFunSuite {
         .collect().filter(_.n_tok % 2 == 0).map(_.doc_id).toSet
       assert(rows.map(_.getString(0)).toSet === expected)
       assert(rows.length === expected.size)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("both write paths produce ONE layout: encodeCommit ⋈ df.write SPJ, zero exchanges, no lost rows") {
+    import spark.implicits._
+    // the discriminating scenario: if the DSv2 write path bucketed with a
+    // different hash than the engine, same-doc rows would sit in
+    // different bucket numbers and the co-partitioned join would silently
+    // LOSE matches — correctness, not just performance
+    val dirC = tmp()
+    val subset = TokenTables.synthetic(spark, nDocs = 400, seed = 42L)
+      .filter(_.n_tok % 3 == 0)
+    subset.toDF("doc_id", "tokens", "n_tok", "source")
+      .write.format("graft").option("buckets", "8").mode("append").save(dirC)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.table(s"gcat.`$dirA`").select($"doc_id", $"n_tok")
+      val c = spark.table(s"gcat.`$dirC`").select($"doc_id", $"source")
+      val j = a.join(c, Seq("doc_id"))
+      val rows = j.collect()
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "cross-write-path SPJ must not shuffle")
+      val expected = subset.collect().map(_.doc_id).toSet
+      assert(rows.map(_.getString(0)).toSet === expected,
+        "co-partitioned join lost rows: the write paths bucket differently")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
