@@ -67,6 +67,11 @@ object SegmentStore {
       status.stripPrefix(SupersededPrefix).toLongOption
     else None
 
+  /** Floor of the compaction snapshot-id space — above the batch space
+    * ([1, StreamEpochBase)) and the streaming epoch space
+    * ([StreamEpochBase, CompactionBase)), see [[compact]]. */
+  final val CompactionBase: Long = 1L << 50
+
   def dataDir(tableDir: String): String = s"$tableDir/data"
   def lineageDir(tableDir: String): String = s"$tableDir/lineage"
 
@@ -215,7 +220,15 @@ object SegmentStore {
     }.toSet
     val visible = committed -- superseded
     if (visible.isEmpty) return None
-    val compactionId = ledger.map(_.snapshotId).max + 1
+    // Compaction ids live in their OWN space above both batch ids and
+    // streaming epoch ids (a max-over-everything+1 on a streaming table
+    // would allocate the NEXT EPOCH's id — that epoch's replay check would
+    // then discard its own data as a duplicate). Logically a compaction is
+    // "after" everything it supersedes, so the highest space also keeps
+    // time travel consistent: as-of any pre-compaction snapshot id, both
+    // the markers and the compacted snapshot are invisible.
+    val compactionId =
+      math.max(CompactionBase - 1L, ledger.map(_.snapshotId).max) + 1L
     // Decode EXACTLY the pair set this compaction supersedes — NOT the
     // historical as-of view: readSegmentsVisible(asOf = upTo) would
     // resurrect partitions a LATER compaction already superseded (its

@@ -101,6 +101,42 @@ object Encode {
     f.delete()
   }
 
+  /** Per-source bit-exact round-trip audit shared by the write-path
+    * entries: full-outer join of input vs read-back (un-matched rows on
+    * either side count as mismatches), per-source doc totals and the
+    * mismatch count that must be 0. Materialized before return so callers
+    * can delete their temp table dirs. `back` must carry
+    * (doc_id, tokens_dec, n_tok_dec, source_dec). */
+  private def roundTripAudit(spark: SparkSession,
+                             input: org.apache.spark.sql.Dataset[graft.engine.TokenRow],
+                             back: DataFrame,
+                             withTokens: Boolean): DataFrame = {
+    import spark.implicits._
+    val joined = input.toDF("doc_id", "tokens", "n_tok", "source")
+      .join(back, Seq("doc_id"), "full_outer")
+      .withColumn("ok",
+        $"tokens" === $"tokens_dec" && $"n_tok" === $"n_tok_dec" &&
+          $"source" === $"source_dec")
+      .groupBy($"source")
+    val agg =
+      if (withTokens) joined.agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").cast("long").as("sum_tokens"),
+        sum(when(coalesce($"ok", lit(false)), 0L).otherwise(1L)).as("n_mismatch"))
+      else joined.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(coalesce($"ok", lit(false)), 0L).otherwise(1L)).as("n_mismatch"))
+    val rows = agg.orderBy($"source").collect().toSeq
+    val fields = Seq(
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType)) ++
+      (if (withTokens) Seq(org.apache.spark.sql.types.StructField("sum_tokens",
+        org.apache.spark.sql.types.LongType)) else Nil) ++
+      Seq(org.apache.spark.sql.types.StructField("n_mismatch", org.apache.spark.sql.types.LongType))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(fields))
+  }
+
   /** Both token-pruned-scan entries run on the zipf-skewed SYNTHETIC table:
     * min/max stats only prune values the data makes rare per-chunk, which
     * holds for the cube-zipf token mixture (top ids ~5e-5/token) but NOT
@@ -454,27 +490,10 @@ object Encode {
       val nCommitted = SegmentStore.readLineage(spark, base)
         .filter($"status" === SegmentStore.Committed).count()
       require(nCommitted == 8L, s"expected 8 committed bucket rows, got $nCommitted")
-      val back = spark.read.format("graft").load(base)
-        .toDF("doc_id", "tokens_dec", "n_tok_dec", "source_dec")
-      val rows = input.toDF("doc_id", "tokens", "n_tok", "source")
-        .join(back, Seq("doc_id"), "full_outer")
-        .withColumn("ok",
-          $"tokens" === $"tokens_dec" && $"n_tok" === $"n_tok_dec" &&
-            $"source" === $"source_dec")
-        .groupBy($"source")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum($"n_tok").cast("long").as("sum_tokens"),
-          sum(when(coalesce($"ok", lit(false)), 0L).otherwise(1L)).as("n_mismatch"))
-        .orderBy($"source")
-        .collect().toSeq // group-by-source scale; materialize before temp delete
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("sum_tokens", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("n_mismatch", org.apache.spark.sql.types.LongType))))
+      roundTripAudit(spark, input,
+        spark.read.format("graft").load(base)
+          .toDF("doc_id", "tokens_dec", "n_tok_dec", "source_dec"),
+        withTokens = true)
     } finally deleteRecursively(new java.io.File(base))
   }
 
@@ -538,7 +557,8 @@ object Encode {
       val asOf2Before = spark.read.format("graft").option("snapshotId", "2")
         .load(base).count()
       val compactionId = SegmentStore.compact(spark, base, upTo = 3L, buckets = 4)
-      require(compactionId.contains(4L), s"expected compaction snapshot 4, got $compactionId")
+      require(compactionId.contains(SegmentStore.CompactionBase),
+        s"expected the first compaction-space snapshot, got $compactionId")
       val filesAfter = files().length
       require(filesAfter < filesBefore,
         s"compaction must shrink the part-file count: $filesBefore -> $filesAfter")
@@ -546,32 +566,15 @@ object Encode {
         .filter(_.status == SegmentStore.Committed).map(_.snapshotId).toSet --
         SegmentStore.readLineage(spark, base).collect()
           .flatMap(r => SegmentStore.supersededBy(r.status).map(_ => r.snapshotId)).toSet
-      require(visibleSnapshots == Set(4L),
+      require(visibleSnapshots == Set(SegmentStore.CompactionBase),
         s"exactly the compacted generation must be visible, got $visibleSnapshots")
       require(spark.read.format("graft").option("snapshotId", "2").load(base)
         .count() == asOf2Before,
         "time travel to a pre-compaction snapshot must see the old world")
-      val back = spark.read.format("graft").load(base)
-        .toDF("doc_id", "tokens_dec", "n_tok_dec", "source_dec")
-      val rows = input.toDF("doc_id", "tokens", "n_tok", "source")
-        .join(back, Seq("doc_id"), "full_outer")
-        .withColumn("ok",
-          $"tokens" === $"tokens_dec" && $"n_tok" === $"n_tok_dec" &&
-            $"source" === $"source_dec")
-        .groupBy($"source")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum($"n_tok").cast("long").as("sum_tokens"),
-          sum(when(coalesce($"ok", lit(false)), 0L).otherwise(1L)).as("n_mismatch"))
-        .orderBy($"source")
-        .collect().toSeq
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("sum_tokens", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("n_mismatch", org.apache.spark.sql.types.LongType))))
+      roundTripAudit(spark, input,
+        spark.read.format("graft").load(base)
+          .toDF("doc_id", "tokens_dec", "n_tok_dec", "source_dec"),
+        withTokens = true)
     } finally deleteRecursively(new java.io.File(base))
   }
 
@@ -586,6 +589,11 @@ object Encode {
   def dsv2Spj(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-spj-q").toString
+    // every conf this entry flips is restored in the finally — leaking SPJ
+    // bucketing or the catalog into the session would change plan shapes
+    // for whatever entry runs next (order-dependent verification)
+    val prevBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevCatalog = spark.conf.getOption("spark.sql.catalog.gcat")
     try {
       spark.conf.set("spark.sql.catalog.gcat",
         classOf[graft.sources.GraftCatalog].getName)
@@ -615,6 +623,10 @@ object Encode {
           org.apache.spark.sql.types.StructField("sum_tokens", org.apache.spark.sql.types.LongType))))
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      prevBucketing.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      prevCatalog.fold(spark.conf.unset("spark.sql.catalog.gcat"))(
+        spark.conf.set("spark.sql.catalog.gcat", _))
       deleteRecursively(new java.io.File(base))
     }
   }
@@ -646,25 +658,10 @@ object Encode {
         .filter($"status" === SegmentStore.Committed)
         .select($"snapshotId").distinct().count()
       require(nSnapshots > 1, s"expected >1 epoch snapshots, got $nSnapshots")
-      val back = spark.read.format("graft").load(s"$base/table")
-        .toDF("doc_id", "tokens_dec", "n_tok_dec", "source_dec")
-      val rows = input.toDF("doc_id", "tokens", "n_tok", "source")
-        .join(back, Seq("doc_id"), "full_outer")
-        .withColumn("ok",
-          $"tokens" === $"tokens_dec" && $"n_tok" === $"n_tok_dec" &&
-            $"source" === $"source_dec")
-        .groupBy($"source")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(coalesce($"ok", lit(false)), 0L).otherwise(1L)).as("n_mismatch"))
-        .orderBy($"source")
-        .collect().toSeq
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("n_mismatch", org.apache.spark.sql.types.LongType))))
+      roundTripAudit(spark, input,
+        spark.read.format("graft").load(s"$base/table")
+          .toDF("doc_id", "tokens_dec", "n_tok_dec", "source_dec"),
+        withTokens = false)
     } finally deleteRecursively(new java.io.File(base))
   }
 

@@ -44,8 +44,13 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog 
 
   override def loadTable(ident: Identifier): Table = {
     val path = (ident.namespace() :+ ident.name()).mkString("/")
-    val dir = if (path.startsWith("/")) path else "/" + path
-    if (!new java.io.File(dir).isDirectory)
+    // keep URIs (hdfs://, s3a://) intact; root only bare local paths
+    val dir = if (path.startsWith("/") || path.contains("://")) path else "/" + path
+    // existence via the Hadoop filesystem — java.io.File is blind to any
+    // non-local scheme and would refuse every remote table
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    if (!hp.getFileSystem(conf).exists(hp))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     new GraftTable(dir, catalogBacked = true)
   }

@@ -138,12 +138,20 @@ class GraftTable(path: String, catalogBacked: Boolean = false)
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
   /** Bucket count of a fully-ledgered table (encodeCommit writes a ledger
-    * row for every bucket 0..n-1, including empty ones, so max+1 is the
-    * write-time bucket count). None for bare/unledgered layouts. */
+    * row for every bucket 0..n-1, including empty ones, so per-snapshot
+    * max+1 is that snapshot's exact write-time bucket count). None for
+    * bare/unledgered layouts — AND for mixed layouts: if the visible
+    * snapshots were written with DIFFERENT bucket counts, no single
+    * `bucket(n, doc_id)` transform is true of the table, and declaring
+    * one would make storage-partitioned joins silently drop matches (a
+    * row's partition key would differ from its true bucket under the
+    * declared n). Mixed tables simply fall back to shuffled joins. */
   private lazy val ledgerBuckets: Option[Int] =
-    GraftLayout.committedPairs(path, sessionConf.value)
-      .filter(_.committed.nonEmpty)
-      .map(_.committed.iterator.map(_._2).max + 1)
+    GraftLayout.committedPairs(path, sessionConf.value).flatMap { lp =>
+      val visible = lp.committed -- lp.superseded.keySet
+      val counts = visible.groupBy(_._1).values.map(_.map(_._2).max + 1).toSet
+      if (counts.size == 1) Some(counts.head) else None
+    }
 
   /** The stored layout IS bucket(n, doc_id)-partitioned (the engine's one
     * shuffle, GraftEncoder.bucketed). Declared ONLY for catalog-backed
@@ -402,7 +410,8 @@ class GraftScan(
     hconf: SerializableConfiguration,
     columnar: Boolean = GraftScan.ColumnarDefault,
     asOf: Option[Long] = None,
-    spjBuckets: Option[Int] = None)
+    spjBuckets: Option[Int] = None,
+    tokenPoints: Seq[Long] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -412,15 +421,16 @@ class GraftScan(
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       limit.map(n => s", PushedLimit: $n").getOrElse("") +
       tokenRange.map { case (lo, hi) => s", PushedTokenRange: [$lo, $hi]" }.getOrElse("") +
+      (if (tokenPoints.nonEmpty) s", PushedTokenPoints: [${tokenPoints.mkString(", ")}]" else "") +
       asOf.map(n => s", AsOfSnapshot: $n").getOrElse("")
 
   override def supportedCustomMetrics(): Array[CustomMetric] = GraftScan.customMetrics
 
   /** Used by [[GraftTokenRangePushdown]] once per scan (guarded by
     * `tokenRange.isEmpty`); the listing is re-derived lazily in the copy. */
-  def withTokenRange(lo: Long, hi: Long): GraftScan =
+  def withTokenRange(lo: Long, hi: Long, points: Seq[Long] = Nil): GraftScan =
     new GraftScan(path, required, pushed, limit, Some((lo, hi)), hconf, columnar, asOf,
-      spjBuckets)
+      spjBuckets, points)
 
   /** Storage-partitioned joins: a catalog-backed ledgered table IS
     * KeyGroupedPartitioning over `bucket(n, doc_id)` — every part-file
@@ -509,11 +519,12 @@ class GraftScan(
     // inside a task). Same predicate tree as the segment skip; headers are
     // memoized per immutable file, so this is a map lookup after first use.
     val afterPrune =
-      if (active.isEmpty && tokenRange.isEmpty) files
+      if (active.isEmpty && tokenRange.isEmpty && tokenPoints.isEmpty) files
       else files.filter { f =>
         val get = GraftLayout.header(f, conf).ranges.get _
         active.forall(StatPredicate.mayMatch(get, _)) &&
-          tokenRange.forall { case (lo, hi) => StatPredicate.tokenRangeMayMatch(get, lo, hi) }
+          tokenRange.forall { case (lo, hi) => StatPredicate.tokenRangeMayMatch(get, lo, hi) } &&
+          tokenPoints.forall(p => StatPredicate.tokenRangeMayMatch(get, p, p))
       }
     mFilesPrunedPlanning = (files.length - afterPrune.length).toLong
     // With a pushed limit and nothing to prune reader-side, part-files past
@@ -550,21 +561,23 @@ class GraftScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, effectiveFilters, limit, tokenRange, hconf, columnar)
+    new GraftReaderFactory(required, effectiveFilters, limit, tokenRange, hconf, columnar,
+      tokenPoints)
 }
 
 class GraftReaderFactory(required: StructType, pushed: Array[Filter],
                          limit: Option[Int], tokenRange: Option[(Long, Long)],
                          hconf: SerializableConfiguration,
-                         columnar: Boolean = false)
+                         columnar: Boolean = false,
+                         tokenPoints: Seq[Long] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(GraftInputPartition.fileOf(partition),
-      required, pushed, limit, tokenRange, hconf.value)
+      required, pushed, limit, tokenRange, hconf.value, tokenPoints)
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     new GraftColumnarPartitionReader(GraftInputPartition.fileOf(partition),
-      required, pushed, limit, tokenRange, hconf.value)
+      required, pushed, limit, tokenRange, hconf.value, tokenPoints)
 }
 
 /** Header-only aggregate scan: COUNT(*)/MIN/MAX partials per part-file from
@@ -604,9 +617,12 @@ class GraftAggScan(path: String, specs: Seq[AggSpec], hconf: SerializableConfigu
   }
 }
 
-/** One partial-aggregate row per part-file, computed from segment headers
-  * only (the parquet requested schema drops the payload column, so data
-  * pages are skipped at the IO layer). */
+/** One partial-aggregate row per part-file, projected straight from
+  * [[GraftLayout.header]] — the SAME payload-free header walk (and
+  * memoization) planning and statistics use; `FileHeader.rows`/`ranges`
+  * carry exactly the count and folded min/max the pushed aggregate needs.
+  * A segment-free file still contributes (count 0, null extrema) — see
+  * [[GraftAggScan.readSchema]]. */
 class GraftAggReader(file: String, specs: Seq[AggSpec], conf: Configuration)
     extends PartitionReader[InternalRow] {
   private var done = false
@@ -615,58 +631,18 @@ class GraftAggReader(file: String, specs: Seq[AggSpec], conf: Configuration)
   override def next(): Boolean = {
     if (done) return false
     done = true
-    val needChunks = specs.exists { case AggSpec.CountAll => false; case _ => true }
-    val reader = GraftLayout.openPruned(file, conf,
-      top = if (needChunks) Set("nRows", "cols") else Set("nRows"),
-      chunkFields = if (needChunks) Set("col", "minV", "maxV", "minS", "maxS") else Set.empty)
-    var count = 0L
-    val minV = scala.collection.mutable.Map.empty[String, Long]
-    val maxV = scala.collection.mutable.Map.empty[String, Long]
-    val minS = scala.collection.mutable.Map.empty[String, String]
-    val maxS = scala.collection.mutable.Map.empty[String, String]
-    try {
-      var g = reader.read()
-      while (g != null) {
-        count += g.getInteger("nRows", 0)
-        if (needChunks) {
-          val wrapper = g.getGroup("cols", 0)
-          val n = wrapper.getFieldRepetitionCount(0)
-          var i = 0
-          while (i < n) {
-            val el = wrapper.getGroup(0, i).getGroup(0, 0)
-            val c = el.getString("col", 0)
-            if (c == "n_tok") {
-              val lo = el.getLong("minV", 0)
-              val hi = el.getLong("maxV", 0)
-              minV.updateWith(c)(v => Some(v.fold(lo)(math.min(_, lo))))
-              maxV.updateWith(c)(v => Some(v.fold(hi)(math.max(_, hi))))
-            } else if (c == "doc_id" || c == "source") {
-              val lo = el.getString("minS", 0)
-              val hi = el.getString("maxS", 0)
-              minS.updateWith(c)(v => Some(v.fold(lo)(p =>
-                if (graft.engine.GraftEncoder.compareUtf8(lo, p) < 0) lo else p)))
-              maxS.updateWith(c)(v => Some(v.fold(hi)(p =>
-                if (graft.engine.GraftEncoder.compareUtf8(hi, p) > 0) hi else p)))
-            }
-            i += 1
-          }
-        }
-        g = reader.read()
-      }
-    } finally reader.close()
-    // a segment-free file still contributes (count 0, null extrema) —
-    // see GraftAggScan.readSchema
+    val h = GraftLayout.header(file, conf)
     val out = new GenericInternalRow(specs.length)
     specs.zipWithIndex.foreach {
-      case (AggSpec.CountAll, i) => out.setLong(i, count)
+      case (AggSpec.CountAll, i) => out.setLong(i, h.rows)
       case (AggSpec.MinOf("n_tok"), i) =>
-        minV.get("n_tok").fold(out.setNullAt(i))(v => out.setInt(i, v.toInt))
+        h.ranges.get("n_tok").fold(out.setNullAt(i))(r => out.setInt(i, r.minV.toInt))
       case (AggSpec.MaxOf("n_tok"), i) =>
-        maxV.get("n_tok").fold(out.setNullAt(i))(v => out.setInt(i, v.toInt))
+        h.ranges.get("n_tok").fold(out.setNullAt(i))(r => out.setInt(i, r.maxV.toInt))
       case (AggSpec.MinOf(c), i) =>
-        minS.get(c).fold(out.setNullAt(i))(v => out.update(i, UTF8String.fromString(v)))
+        h.ranges.get(c).fold(out.setNullAt(i))(r => out.update(i, UTF8String.fromString(r.minS)))
       case (AggSpec.MaxOf(c), i) =>
-        maxS.get(c).fold(out.setNullAt(i))(v => out.update(i, UTF8String.fromString(v)))
+        h.ranges.get(c).fold(out.setNullAt(i))(r => out.update(i, UTF8String.fromString(r.maxS)))
     }
     row = out
     true
@@ -729,7 +705,8 @@ private[sources] final class DecodedSegment(
   * projected streams, and keeps the task-level scan counters. */
 private[sources] final class SegmentScanCore(
     file: String, required: StructType, pushed: Array[Filter],
-    tokenRange: Option[(Long, Long)], conf: Configuration) {
+    tokenRange: Option[(Long, Long)], conf: Configuration,
+    tokenPoints: Seq[Long] = Nil) {
 
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new HPath(file))
@@ -838,20 +815,37 @@ private[sources] final class SegmentScanCore(
     }
     // token-range skip on the tokens chunk min/max — the engine's flagship
     // chunk skip (GraftEncoder.decodeWhereTokenRange), reachable from SQL
-    // through GraftTokenRangePushdown; inexact, Spark re-filters. A point
-    // range (array_contains) additionally consults the tokens-chunk bloom.
+    // through GraftTokenRangePushdown; inexact, Spark re-filters.
     tokenRange match {
       case Some((lo, hi)) if byCol.contains("tokens") &&
         (byCol("tokens").minV > hi || byCol("tokens").maxV < lo) =>
         mSegsPrunedTok += 1
         mBytesPruned += payloadBytes(byCol)
         return null
-      case Some((lo, hi)) if lo == hi && byCol.contains("tokens") &&
-        !SegmentBloom.mightContainLong(byCol("tokens").bloom, lo) =>
-        mSegsPrunedBloom += 1
-        mBytesPruned += payloadBytes(byCol)
-        return null
       case _ => ()
+    }
+    // token POINT skip: each point is a value some conjunct REQUIRES the
+    // array to contain (array_contains / exists ==) — sound for interval
+    // AND bloom membership tests per point. NOT derived from the
+    // intersected range: a degenerate [v, v] built from two inequalities
+    // does not imply v itself is present.
+    if (tokenPoints.nonEmpty && byCol.contains("tokens")) {
+      val c = byCol("tokens")
+      var i = 0
+      while (i < tokenPoints.length) {
+        val p = tokenPoints(i)
+        if (p < c.minV || p > c.maxV) {
+          mSegsPrunedTok += 1
+          mBytesPruned += payloadBytes(byCol)
+          return null
+        }
+        if (!SegmentBloom.mightContainLong(c.bloom, p)) {
+          mSegsPrunedBloom += 1
+          mBytesPruned += payloadBytes(byCol)
+          return null
+        }
+        i += 1
+      }
     }
     mSegsDecoded += 1
     val nRows = g.getInteger("nRows", 0)
@@ -873,10 +867,10 @@ private[sources] final class SegmentScanCore(
   * stops at the pushed limit. */
 class GraftPartitionReader(file: String, required: StructType, pushed: Array[Filter],
                            limit: Option[Int], tokenRange: Option[(Long, Long)],
-                           conf: Configuration)
+                           conf: Configuration, tokenPoints: Seq[Long] = Nil)
     extends PartitionReader[InternalRow] {
 
-  private val core = new SegmentScanCore(file, required, pushed, tokenRange, conf)
+  private val core = new SegmentScanCore(file, required, pushed, tokenRange, conf, tokenPoints)
   private var rows: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
   private var mRows = 0L
@@ -934,10 +928,10 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
 class GraftColumnarPartitionReader(file: String, required: StructType,
                                    pushed: Array[Filter], limit: Option[Int],
                                    tokenRange: Option[(Long, Long)],
-                                   conf: Configuration)
+                                   conf: Configuration, tokenPoints: Seq[Long] = Nil)
     extends PartitionReader[ColumnarBatch] {
 
-  private val core = new SegmentScanCore(file, required, pushed, tokenRange, conf)
+  private val core = new SegmentScanCore(file, required, pushed, tokenRange, conf, tokenPoints)
   private var batch: ColumnarBatch = _
   private var mRows = 0L
   private val maxRows: Long = limit.map(_.toLong).getOrElse(Long.MaxValue)

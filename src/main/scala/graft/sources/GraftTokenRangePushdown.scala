@@ -39,15 +39,37 @@ object GraftTokenRangePushdown extends Rule[LogicalPlan] {
     case f @ Filter(cond, r: DataSourceV2ScanRelation)
         if r.scan.isInstanceOf[GraftScan] &&
           r.scan.asInstanceOf[GraftScan].tokenRange.isEmpty =>
-      val ranges = conjuncts(cond).flatMap(rangeOf)
+      val cs = conjuncts(cond)
+      val ranges = cs.flatMap(rangeOf)
       if (ranges.isEmpty) f
       else {
-        // several token conjuncts intersect (all must hold on the doc)
+        // several token conjuncts intersect (all must hold on the doc).
+        // Point values are collected SEPARATELY: only a conjunct that
+        // itself demands one exact token (array_contains / exists ==)
+        // licenses a bloom membership test — a degenerate range produced
+        // by INTERSECTING distinct inequalities (x >= 7 AND x <= 7 via two
+        // exists) does NOT imply any row contains 7, and bloom-pruning on
+        // it would drop true matches.
         val lo = ranges.map(_._1).max
         val hi = ranges.map(_._2).min
+        val points = cs.flatMap(pointsOf).distinct
         f.copy(child = r.copy(
-          scan = r.scan.asInstanceOf[GraftScan].withTokenRange(lo, hi)))
+          scan = r.scan.asInstanceOf[GraftScan].withTokenRange(lo, hi, points)))
       }
+  }
+
+  /** Token values some conjunct REQUIRES to be present in the array —
+    * the sound inputs for a bloom membership prune. */
+  private def pointsOf(e: Expression): Seq[Long] = e match {
+    case ArrayContains(col, l: Literal) if isTokens(col) => longOf(l).toSeq
+    case ArrayExists(col, LambdaFunction(body, Seq(v: NamedLambdaVariable), _), _)
+        if isTokens(col) =>
+      conjuncts(body).flatMap {
+        case EqualTo(x, l: Literal) if sameVar(x, v) => longOf(l)
+        case EqualTo(l: Literal, x) if sameVar(x, v) => longOf(l)
+        case _ => None
+      }
+    case _ => Nil
   }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {

@@ -83,7 +83,18 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
     val schema = info.schema()
     GraftWriteBuilder.validateSchema(schema)
     val opts = info.options()
+    // Append default: the EXISTING table's bucket count (uniform across
+    // its visible snapshots) — an append silently switching to a different
+    // count would make the table a mixed layout that can no longer declare
+    // bucket(n, doc_id) for storage-partitioned joins. An explicit
+    // `buckets` option still wins (deliberate re-bucketing is legal; the
+    // SPJ declaration guards itself against the resulting mix).
     val buckets = Option(opts.get("buckets")).map(_.toInt)
+      .orElse(GraftLayout.committedPairs(path, hconf.value).flatMap { lp =>
+        val visible = lp.committed -- lp.superseded.keySet
+        val counts = visible.groupBy(_._1).values.map(_.map(_._2).max + 1).toSet
+        if (counts.size == 1) Some(counts.head) else None
+      })
       .getOrElse(GraftWriteBuilder.DefaultBuckets)
     require(buckets > 0, s"buckets must be > 0, got $buckets")
     val conf = {
@@ -180,8 +191,15 @@ class GraftBatchWrite(path: String, stagingDir: String, schema: StructType,
       fs.delete(new HPath(path, "data"), true)
       fs.delete(new HPath(path, "lineage"), true)
     }
-    // Snapshot id chosen at commit time so concurrent/successive appends
+    // Snapshot id chosen at commit time so SUCCESSIVE appends
     // monotonically stack (the Iceberg "new snapshot per commit" stance).
+    // Single-concurrent-writer assumption, stated honestly: the read-max,
+    // add-one, publish sequence is not atomic, so two SIMULTANEOUS batch
+    // appends to one table could allocate the same id and merge into one
+    // indistinguishable snapshot. Iceberg solves this with an atomic
+    // catalog swap; this layer's seam is exactly where such a catalog
+    // plugs in (SURVEY §7.6). Streaming writes are immune (epoch-derived
+    // ids, single writer by construction).
     // Batch ids live BELOW StreamEpochBase: the streaming sink derives its
     // snapshot ids from epoch ids, and the two spaces must stay disjoint —
     // a batch commit landing on a future epoch's id would make that

@@ -144,7 +144,7 @@ class LineageSpec extends AnyFunSuite {
 
     val cid = SegmentStore.compact(spark, dir, upTo = 3L, buckets = 4,
       tokensPerChunk = 4096)
-    assert(cid === Some(4L))
+    assert(cid === Some(SegmentStore.CompactionBase))
 
     // visible world is unchanged for readers...
     val afterRows = SegmentStore.readSegmentsAll(spark, dir)
@@ -158,16 +158,16 @@ class LineageSpec extends AnyFunSuite {
     val ledger = SegmentStore.readLineage(spark, dir).collect()
     val sup = ledger.flatMap(r => SegmentStore.supersededBy(r.status)
       .map(c => (r.snapshotId, r.bucket) -> c)).toMap
-    assert(sup.nonEmpty && sup.values.forall(_ == 4L))
+    assert(sup.nonEmpty && sup.values.forall(_ == SegmentStore.CompactionBase))
     val visible = ledger.filter(_.status == SegmentStore.Committed)
       .map(r => (r.snapshotId, r.bucket)).toSet -- sup.keySet
-    assert(visible.forall(_._1 == 4L), s"old generation still visible: $visible")
+    assert(visible.forall(_._1 == SegmentStore.CompactionBase), s"old generation still visible: $visible")
 
     // compacted bytes == what one direct batch encode of the same rows
     // produces (segment determinism contract survives the maintenance op)
     val direct = GraftEncoder.encode(input, buckets = 4, tokensPerChunk = 4096)
       .collect().map(s => s.segmentId -> s.cols.map(_.payload.toSeq)).toMap
-    val compacted = SegmentStore.readSegments(spark, dir, 4L)
+    val compacted = SegmentStore.readSegments(spark, dir, SegmentStore.CompactionBase)
       .collect().map(s => s.segmentId -> s.cols.map(_.payload.toSeq)).toMap
     assert(compacted.keySet === direct.keySet)
     compacted.foreach { case (id, payloads) => assert(payloads === direct(id), id) }

@@ -351,6 +351,36 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(m2.getOrElse("graft segments pruned (bloom)", 0L) === 0L, s"$m2")
   }
 
+  test("degenerate intersected range never bloom-prunes: x>=7 AND x<=7 is not array_contains(7)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftTokenRangePushdown.install(spark)
+    // one doc whose tokens STRADDLE 7 without containing it: it satisfies
+    // exists(x -> x >= 7) AND exists(x -> x <= 7) but a bloom test for
+    // literal 7 would wrongly prune its segment
+    val rows = Seq(
+      graft.engine.TokenRow("d1", Array(5, 9), 2, "s"),
+      graft.engine.TokenRow("d2", Array(7, 8), 2, "s"),
+      graft.engine.TokenRow("d3", Array(1, 2), 2, "s"))
+    val dir = tmp()
+    val conf = graft.codec.CodecConf(bloomColumns = Set("doc_id", "tokens"))
+    GraftEncoder.encode(spark.createDataset(rows), buckets = 2,
+      tokensPerChunk = 4, codecConf = conf).write.parquet(s"$dir/segs")
+    val df = spark.read.format("graft").load(s"$dir/segs")
+      .filter(expr("exists(tokens, x -> x >= 7)") && expr("exists(tokens, x -> x <= 7)"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTokenRange: [7, 7]"), plan)
+    assert(!plan.contains("PushedTokenPoints"),
+      s"no conjunct REQUIRES token 7 — a point push here would be unsound:\n$plan")
+    assert(df.collect().map(_.getString(0)).toSet === Set("d1", "d2"),
+      "the straddling doc must survive (bloom may only prune true point predicates)")
+    // and a REAL point predicate still prunes via the bloom
+    val p = spark.read.format("graft").load(s"$dir/segs")
+      .filter(array_contains($"tokens", 7))
+    assert(p.queryExecution.executedPlan.toString.contains("PushedTokenPoints: [7]"))
+    assert(p.collect().map(_.getString(0)).toSeq === Seq("d2"))
+  }
+
   test("file-level pruning: non-matching part-files are never planned as tasks") {
     import spark.implicits._
     // `clustered` holds 8 part-files, each one doc_id range — a point
