@@ -102,12 +102,17 @@ object SegmentStore {
     else spark.read.parquet(lineageDir(tableDir)).as[LineageRow]
   }
 
-  def committedBuckets(spark: SparkSession, tableDir: String, snapshotId: Long): Set[Int] = {
-    import spark.implicits._
-    readLineage(spark, tableDir)
-      .filter($"snapshotId" === snapshotId && $"status" === Committed)
-      .select($"bucket").distinct().as[Int].collect().toSet
-  }
+  /** Buckets already committed for a snapshot — read through the MEMOIZED
+    * driver-side ledger walk ([[graft.sources.GraftLayout.committedPairs]]),
+    * not a Spark job: this runs once per restart probe AND once per
+    * streaming micro-batch, and the Spark-job version was the dominant
+    * fixed overhead of the streaming sink (~seconds per epoch of job
+    * scheduling to read a KB-scale ledger). */
+  def committedBuckets(spark: SparkSession, tableDir: String, snapshotId: Long): Set[Int] =
+    graft.sources.GraftLayout
+      .committedPairs(tableDir, spark.sessionState.newHadoopConf())
+      .map(_.committed.collect { case (s, b) if s == snapshotId => b })
+      .getOrElse(Set.empty)
 
   /** Encode pending buckets of `input` and commit them. Returns the buckets
     * committed by THIS call (empty = nothing left to do; the job is
@@ -141,6 +146,13 @@ object SegmentStore {
     val spark = input.sparkSession
     import spark.implicits._
 
+    // Version gate (advisor finding): stamp lineage/_meta on a fresh
+    // table; fail fast on a ledgered table whose bucket function / id
+    // space cannot be verified — the restart filter below keys on the
+    // CURRENT bucket function, and resuming a table bucketed under a
+    // different one would silently re-encode the wrong buckets.
+    graft.sources.GraftTableMeta.ensureForCommit(
+      tableDir, spark.sessionState.newHadoopConf())
     val done = committedBuckets(spark, tableDir, snapshotId)
     val pending = (0 until buckets).filterNot(done).take(maxBucketsPerRun)
     if (pending.isEmpty) return Set.empty
@@ -245,6 +257,23 @@ object SegmentStore {
       LineageRow(s, b, 0L, 0L, 0L, 0L, 0L, "", "", "",
         s"$SupersededPrefix$compactionId")
     }
+    // Concurrency guard (advisor finding): compaction is a single-maintainer
+    // operation by design — but rather than trust the assumption, re-read
+    // the ledger AFTER the expensive decode and abort if a concurrent
+    // compact/expire superseded any input pair in the interim (committing
+    // would double-count every row of the doubly-compacted partitions).
+    // The window between this check and the commit append is milliseconds
+    // vs the minutes-scale decode; a maintenance scheduler must still not
+    // run two compactions of one table deliberately in parallel.
+    val supersededNow = readLineage(spark, tableDir).collect().collect {
+      case r if supersededBy(r.status).isDefined => (r.snapshotId, r.bucket)
+    }.toSet
+    val clash = visible.intersect(supersededNow)
+    if (clash.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"compact($tableDir): ${clash.size} input partition(s) were superseded " +
+          s"by a concurrent maintenance operation (e.g. ${clash.take(3).mkString(", ")}); " +
+          "aborting this compaction — re-run to compact the current state")
     encodeCommitWith(input, tableDir, compactionId, buckets, tokensPerChunk,
       Int.MaxValue, markers)
     Some(compactionId)
@@ -288,7 +317,11 @@ object SegmentStore {
     * needs an expired partition fails fast naming the snapshot
     * ([[graft.sources.GraftLayout.listDataFiles]]) instead of silently
     * returning partial data. Returns the number of partition directories
-    * removed. */
+    * removed.
+    *
+    * Single-maintainer operation, like [[compact]]: run at most one
+    * compact/expire per table at a time (the standard table-maintenance
+    * stance; Iceberg's expire_snapshots carries the same contract). */
   def expireSuperseded(spark: SparkSession, tableDir: String): Long = {
     val ledger = readLineage(spark, tableDir).collect()
     val superseded = ledger.collect {
@@ -353,6 +386,15 @@ object SegmentStore {
     import spark.implicits._
     if (!hExists(spark, lineageDir(tableDir))) // bare layout: no ledger to consult
       return spark.read.parquet(dataDir(tableDir)).drop($"snapshotId").as[Segment]
+    // Time-travel reads must fail fast when the requested snapshot's data
+    // files were reclaimed by expireSuperseded, not silently return the
+    // partial history that happens to remain (advisor finding). The
+    // connector's listing already implements the check (compare visible
+    // pairs with nRows > 0 against the partitions present under data/);
+    // run it for its validation side effect — it throws by snapshot name.
+    if (asOf.isDefined)
+      graft.sources.GraftLayout.listDataFiles(
+        tableDir, spark.sessionState.newHadoopConf(), asOf)
     val all = spark.read.schema(segmentTableSchema).parquet(dataDir(tableDir))
     val ledger = readLineage(spark, tableDir)
     val bound = asOf.getOrElse(Long.MaxValue)

@@ -145,13 +145,23 @@ class GraftTable(path: String, catalogBacked: Boolean = false)
     * `bucket(n, doc_id)` transform is true of the table, and declaring
     * one would make storage-partitioned joins silently drop matches (a
     * row's partition key would differ from its true bucket under the
-    * declared n). Mixed tables simply fall back to shuffled joins. */
-  private lazy val ledgerBuckets: Option[Int] =
-    GraftLayout.committedPairs(path, sessionConf.value).flatMap { lp =>
+    * declared n). Mixed tables simply fall back to shuffled joins.
+    *
+    * Additionally gated on the lineage/_meta marker certifying the stored
+    * layout used the CURRENT bucket function ([[GraftTableMeta]]): a
+    * pre-marker or foreign table might carry assignments from a different
+    * hash — a mixed-hash table the bucket-count check cannot detect — and
+    * declaring `bucket(n, doc_id)` over it would silently drop join
+    * matches. Unverifiable tables degrade to shuffled joins. */
+  private lazy val ledgerBuckets: Option[Int] = {
+    val conf = sessionConf.value
+    if (!GraftTableMeta.bucketFunctionCertified(path, conf)) None
+    else GraftLayout.committedPairs(path, conf).flatMap { lp =>
       val visible = lp.committed -- lp.superseded.keySet
       val counts = visible.groupBy(_._1).values.map(_.map(_._2).max + 1).toSet
       if (counts.size == 1) Some(counts.head) else None
     }
+  }
 
   /** The stored layout IS bucket(n, doc_id)-partitioned (the engine's one
     * shuffle, GraftEncoder.bucketed). Declared ONLY for catalog-backed
@@ -690,14 +700,16 @@ private[sources] object StatPredicate {
     get("tokens").forall(s => s.minV <= hi && s.maxV >= lo)
 }
 
-/** One decoded segment's projected column arrays (null = not projected). */
+/** One decoded segment's projected column arrays (null = not projected).
+  * Int streams decode straight into Array[Int] (no widen-then-narrow —
+  * the round-3 hot-loop fix); `flat` is directly `putInts`-able. */
 private[sources] final class DecodedSegment(
     val nRows: Int,
     val docIds: Array[String],
     val sources: Array[String],
-    val nToks: Array[Long],
-    val tokLens: Array[Long],
-    val flat: Array[Long])
+    val nToks: Array[Int],
+    val tokLens: Array[Int],
+    val flat: Array[Int])
 
 /** Shared per-part-file scan core for the row and columnar readers:
   * streams Segment groups from one parquet file, prunes on chunk stats
@@ -851,9 +863,9 @@ private[sources] final class SegmentScanCore(
     val nRows = g.getInteger("nRows", 0)
     val docIds = if (needDoc) StringCodecs.decodeChunk(byCol("doc_id").payload) else null
     val sources = if (needSrc) StringCodecs.decodeChunk(byCol("source").payload) else null
-    val nToks = if (needN) IntCodecs.decodeChunk(byCol("n_tok").payload) else null
-    val tokLens = if (needTok) IntCodecs.decodeChunk(byCol("tok_len").payload) else null
-    val flat = if (needTok) IntCodecs.decodeChunk(byCol("tokens").payload) else null
+    val nToks = if (needN) IntCodecs.decodeChunkInt(byCol("n_tok").payload) else null
+    val tokLens = if (needTok) IntCodecs.decodeChunkInt(byCol("tok_len").payload) else null
+    val flat = if (needTok) IntCodecs.decodeChunkInt(byCol("tokens").payload) else null
     mBytesDecoded += byCol.iterator.collect {
       case (c, s) if (c == "doc_id" && needDoc) || (c == "source" && needSrc) ||
         (c == "n_tok" && needN) || ((c == "tokens" || c == "tok_len") && needTok) =>
@@ -902,13 +914,11 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
         name match {
           case "doc_id" => row.update(f, UTF8String.fromString(seg.docIds(i)))
           case "tokens" =>
-            val len = seg.tokLens(i).toInt
-            val t = new Array[Int](len)
-            var j = 0
-            while (j < len) { t(j) = seg.flat(pos + j).toInt; j += 1 }
+            val len = seg.tokLens(i)
+            val t = java.util.Arrays.copyOfRange(seg.flat, pos, pos + len)
             pos += len
             row.update(f, new GenericArrayData(t))
-          case "n_tok" => row.setInt(f, seg.nToks(i).toInt)
+          case "n_tok" => row.setInt(f, seg.nToks(i))
           case "source" => row.update(f, UTF8String.fromString(seg.sources(i)))
         }
         f += 1
@@ -972,23 +982,22 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
           while (i < n) { v.putByteArray(i, seg.sources(i).getBytes(utf8)); i += 1 }
         case "n_tok" =>
           var i = 0
-          while (i < n) { v.putInt(i, seg.nToks(i).toInt); i += 1 }
+          while (i < n) { v.putInt(i, seg.nToks(i)); i += 1 }
         case "tokens" =>
           // total token count of the emitted rows (== full flat length
           // unless the limit truncated the batch)
           var total = 0
           var i = 0
-          while (i < n) { total += seg.tokLens(i).toInt; i += 1 }
-          val ints = new Array[Int](total)
-          var j = 0
-          while (j < total) { ints(j) = seg.flat(j).toInt; j += 1 }
+          while (i < n) { total += seg.tokLens(i); i += 1 }
           val child = v.arrayData()
           child.reserve(total)
-          child.putInts(0, total, ints, 0)
+          // flat is Array[Int] since the int-decode de-widening: one bulk
+          // copy, no per-batch transient array
+          child.putInts(0, total, seg.flat, 0)
           var off = 0
           i = 0
           while (i < n) {
-            val len = seg.tokLens(i).toInt
+            val len = seg.tokLens(i)
             v.putArray(i, off, len)
             off += len
             i += 1

@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+
+/** Table-level properties stamped at first commit — the on-disk version
+  * marker the round-3 advisor asked for: a graft table's layout depends on
+  * two conventions that live only in code (the bucket function
+  * `pmod(hash(doc_id), n)` with Spark's Murmur3 seed 42, and the
+  * snapshot-id space split batch/[1, 2^40) | streaming/[2^40, 2^50) |
+  * compaction/[2^50, ..)), and silently changing either would corrupt a
+  * pre-change table: storage-partitioned joins would co-locate rows by the
+  * WRONG bucket, restart filtering would re-encode the wrong buckets, and
+  * a checkpoint-replayed streaming epoch would double-publish its rows.
+  *
+  * The marker makes the conventions checkable:
+  *  - every commit path ([[GraftWriteCommit.publish]],
+  *    [[graft.lineage.SegmentStore.encodeCommit]]) stamps
+  *    `lineage/_meta` on first commit and FAILS FAST on any later commit
+  *    if the recorded conventions differ from the running code's;
+  *  - the read-side SPJ declaration ([[GraftTable.partitioning]]) refuses
+  *    to declare `bucket(n, doc_id)` unless the marker certifies the
+  *    stored layout used the current bucket function — an unverifiable
+  *    (pre-marker) table silently degrades to shuffled joins, never to a
+  *    wrong join.
+  *
+  * The file is plain `key=value` lines (no JSON parser dependency),
+  * created with create-no-overwrite so two racing first commits converge:
+  * the loser re-reads and validates. The leading underscore keeps it
+  * invisible to every parquet listing (`_`-prefixed names are skipped by
+  * [[GraftLayout]] and Spark alike). The Iceberg analog is
+  * `TableMetadata.properties` + `format-version`.
+  */
+object GraftTableMeta {
+
+  /** Current conventions, written by this code and required of any table
+    * it appends to. Bump when a layout-affecting convention changes. */
+  final val FormatVersion = 2
+  final val BucketFunction = "murmur3-seed42-pmod"
+
+  final case class Meta(formatVersion: Int, bucketFunction: String,
+                        schemaDdl: Option[String]) {
+    def render: String = {
+      val base = s"formatVersion=$formatVersion\nbucketFunction=$bucketFunction\n"
+      schemaDdl.fold(base)(d => base + s"schema=$d\n")
+    }
+  }
+
+  val Current: Meta = Meta(FormatVersion, BucketFunction, None)
+
+  def metaPath(tableDir: String): HPath = new HPath(tableDir, "lineage/_meta")
+
+  def read(tableDir: String, conf: Configuration): Option[Meta] = {
+    val p = metaPath(tableDir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        new String(buf.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+    val kv = text.split('\n').iterator
+      .map(_.trim).filter(l => l.nonEmpty && l.contains('='))
+      .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+      .toMap
+    Some(Meta(
+      kv.get("formatVersion").flatMap(_.toIntOption).getOrElse(0),
+      kv.getOrElse("bucketFunction", ""),
+      kv.get("schema").filter(_.nonEmpty)))
+  }
+
+  /** Does the table already have committed history (any ledger file)? A
+    * ledgered table WITHOUT a meta marker is a pre-marker table whose
+    * bucket function / id space cannot be verified. */
+  private def hasLedgerHistory(tableDir: String, conf: Configuration): Boolean = {
+    val ldir = new HPath(tableDir, "lineage")
+    val fs = ldir.getFileSystem(conf)
+    if (!fs.exists(ldir)) return false
+    val it = fs.listFiles(ldir, false)
+    while (it.hasNext) {
+      val n = it.next().getPath.getName
+      if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) return true
+    }
+    false
+  }
+
+  /** Commit-path gate: stamp the marker on a fresh table, validate it on an
+    * existing one, and REFUSE to append to a table whose conventions are
+    * unverifiable or different — appending with a changed bucket function
+    * or id space silently misplaces/drops rows (the advisor's finding);
+    * failing by name here is the only safe answer.
+    *
+    * @param schemaDdl the table schema to record/require (None = the
+    *   canonical TokenRow schema; see [[GraftWriteBuilder]])
+    */
+  def ensureForCommit(tableDir: String, conf: Configuration,
+                      schemaDdl: Option[String] = None): Meta = {
+    val want = Meta(FormatVersion, BucketFunction, schemaDdl)
+    read(tableDir, conf) match {
+      case Some(m) => validate(tableDir, m, schemaDdl); m
+      case None =>
+        if (hasLedgerHistory(tableDir, conf))
+          throw new IllegalStateException(
+            s"graft table $tableDir has a lineage ledger but no lineage/_meta marker: " +
+              "it was written by a pre-versioning build whose bucket function and " +
+              "snapshot-id space cannot be verified; appending could misplace rows " +
+              "or double-publish replayed epochs. Re-create the table (or decode " +
+              "and re-encode it) with the current build.")
+        val p = metaPath(tableDir)
+        val fs = p.getFileSystem(conf)
+        fs.mkdirs(p.getParent)
+        try {
+          // create-no-overwrite = the CAS: exactly one racing first commit
+          // creates the marker, every other one falls through to validate
+          val out = fs.create(p, false)
+          try out.write(want.render.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          want
+        } catch {
+          case _: java.io.IOException =>
+            val m = read(tableDir, conf).getOrElse(
+              throw new IllegalStateException(
+                s"graft table $tableDir: could not create or read lineage/_meta"))
+            validate(tableDir, m, schemaDdl)
+            m
+        }
+    }
+  }
+
+  private def validate(tableDir: String, m: Meta, schemaDdl: Option[String]): Unit = {
+    if (m.bucketFunction != BucketFunction)
+      throw new IllegalStateException(
+        s"graft table $tableDir was written with bucket function " +
+          s"'${m.bucketFunction}'; this build uses '$BucketFunction'. Appending " +
+          "would mix two bucket layouts in one table (storage-partitioned joins " +
+          "and restart filtering would silently misplace rows).")
+    if (m.formatVersion > FormatVersion)
+      throw new IllegalStateException(
+        s"graft table $tableDir has format version ${m.formatVersion}; this build " +
+          s"supports up to $FormatVersion.")
+    (schemaDdl, m.schemaDdl) match {
+      case (Some(want), Some(have)) if want != have =>
+        throw new IllegalStateException(
+          s"graft table $tableDir has schema [$have]; the write provides [$want]. " +
+            "Graft table schemas are fixed at creation.")
+      case _ => ()
+    }
+  }
+
+  /** Read-side certification for storage-partitioned joins: declare the
+    * `bucket(n, doc_id)` transform ONLY when the marker proves the stored
+    * layout used the current function. Unverifiable (pre-marker) or
+    * foreign tables answer false and degrade to shuffled joins. */
+  def bucketFunctionCertified(tableDir: String, conf: Configuration): Boolean =
+    read(tableDir, conf).exists(_.bucketFunction == BucketFunction)
+}

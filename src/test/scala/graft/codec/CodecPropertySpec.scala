@@ -69,6 +69,17 @@ object CodecPropertySpec extends Properties("codecs") {
     }
   }
 
+  property("int-domain decode matches the long path narrowed, every codec") =
+    forAll(genAnyInts) { longs =>
+      // int-domain contract: the caller only uses decodeChunkInt on streams
+      // that are int32 by schema, so feed int-valued data
+      val values = longs.map(v => v.toInt.toLong)
+      IntCodecs.all.forall { c =>
+        val enc = IntCodecs.encodeChunk(values, c)
+        IntCodecs.decodeChunkInt(enc).toSeq == values.map(_.toInt).toSeq
+      }
+    }
+
   property("auto-selected int chunk round-trips and never beats raw by losing") =
     forAll(genAnyInts) { values =>
       val (_, encoded) = CodecSelector.encodeIntsAuto(values)

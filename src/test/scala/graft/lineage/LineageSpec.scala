@@ -190,6 +190,12 @@ class LineageSpec extends AnyFunSuite {
       spark.read.format("graft").option("snapshotId", "2").load(dir).count()
     }
     assert(e.getMessage.contains("expired"))
+    // the ENGINE-path as-of read fails fast too (round-3 advisor: the
+    // semi-join path used to silently return whatever partitions remained)
+    val e2 = intercept[IllegalStateException] {
+      SegmentStore.readSegmentsVisible(spark, dir, asOf = Some(2L)).count()
+    }
+    assert(e2.getMessage.contains("expired"))
     // expire is idempotent
     assert(SegmentStore.expireSuperseded(spark, dir) === 0L)
   }

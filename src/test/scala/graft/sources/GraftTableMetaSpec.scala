@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.TokenTables
+import graft.lineage.SegmentStore
+
+/** Round-4 commit-protocol hardening: the lineage/_meta version marker
+  * (bucket function + format version certification), CAS-claimed batch
+  * snapshot ids (two concurrent appends publish two distinct snapshots),
+  * and the memoized driver-side ledger walk (repeated scans of an
+  * unchanged table re-read zero ledger files). */
+class GraftTableMetaSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-meta-spec").toString
+
+  private def tokenDf(nDocs: Int, seed: Long = 42L) =
+    TokenTables.synthetic(spark, nDocs = nDocs, seed = seed)
+      .toDF("doc_id", "tokens", "n_tok", "source")
+
+  private def hconf = spark.sessionState.newHadoopConf()
+
+  test("first commit stamps lineage/_meta with the current conventions") {
+    val dir = tmp()
+    tokenDf(100).write.format("graft").option("buckets", "2")
+      .mode(SaveMode.Append).save(dir)
+    val meta = GraftTableMeta.read(dir, hconf)
+    assert(meta.isDefined)
+    assert(meta.get.bucketFunction === GraftTableMeta.BucketFunction)
+    assert(meta.get.formatVersion === GraftTableMeta.FormatVersion)
+    assert(GraftTableMeta.bucketFunctionCertified(dir, hconf))
+  }
+
+  test("append to an unverifiable (pre-marker) ledgered table fails fast") {
+    val dir = tmp()
+    tokenDf(100).write.format("graft").option("buckets", "2")
+      .mode(SaveMode.Append).save(dir)
+    // simulate a table written by a pre-versioning build
+    val p = GraftTableMeta.metaPath(dir)
+    p.getFileSystem(hconf).delete(p, false)
+    val e = intercept[Exception] {
+      tokenDf(50, seed = 7L).write.format("graft").option("buckets", "2")
+        .mode(SaveMode.Append).save(dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("_meta")), s"got: $e")
+    // engine-path commits refuse the same table
+    val e2 = intercept[Exception] {
+      SegmentStore.encodeCommit(
+        TokenTables.synthetic(spark, nDocs = 10, seed = 1L), dir,
+        snapshotId = 99L, buckets = 2)
+    }
+    assert(msgs(e2).exists(m => m != null && m.contains("_meta")))
+  }
+
+  test("SPJ bucket declaration is refused without certification") {
+    val dir = tmp()
+    tokenDf(100).write.format("graft").option("buckets", "2")
+      .mode(SaveMode.Append).save(dir)
+    assert(new GraftTable(dir, catalogBacked = true).partitioning().nonEmpty)
+    val p = GraftTableMeta.metaPath(dir)
+    p.getFileSystem(hconf).delete(p, false)
+    // unverifiable bucket function => no KeyGroupedPartitioning declaration
+    assert(new GraftTable(dir, catalogBacked = true).partitioning().isEmpty)
+  }
+
+  test("two concurrent batch appends publish two distinct snapshots, no lost rows") {
+    val dir = tmp()
+    val a = tokenDf(120, seed = 1L).where("doc_id < 'doc_000060'").cache()
+    val b = tokenDf(120, seed = 1L).where("doc_id >= 'doc_000060'").cache()
+    a.count(); b.count() // materialize before racing the writes
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    def submit(df: org.apache.spark.sql.DataFrame) = pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        df.write.format("graft").option("buckets", "2")
+          .mode(SaveMode.Append).save(dir)
+      }
+    })
+    val f1 = submit(a)
+    val f2 = submit(b)
+    start.countDown()
+    f1.get(120, TimeUnit.SECONDS)
+    f2.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    val snaps = SegmentStore.readLineage(spark, dir).collect()
+      .filter(_.status == SegmentStore.Committed).map(_.snapshotId).distinct.sorted
+    assert(snaps === Array(1L, 2L), s"expected two distinct snapshots, got ${snaps.toSeq}")
+    assert(spark.read.format("graft").load(dir).count() === 120L)
+    a.unpersist(); b.unpersist()
+  }
+
+  test("ledger walk is memoized: unchanged table re-reads zero ledger files") {
+    val dir = tmp()
+    tokenDf(100).write.format("graft").option("buckets", "2")
+      .mode(SaveMode.Append).save(dir)
+    spark.read.format("graft").load(dir).count() // warm the caches
+    val before = GraftLayout.ledgerFilesRead.get()
+    spark.read.format("graft").load(dir).count()
+    spark.read.format("graft").load(dir).where("n_tok > 3").count()
+    assert(GraftLayout.ledgerFilesRead.get() === before,
+      "second and third scans of an unchanged table must not re-read ledger files")
+    // an append invalidates incrementally: only the NEW ledger file is parsed
+    tokenDf(40, seed = 9L).write.format("graft").option("buckets", "2")
+      .mode(SaveMode.Append).save(dir)
+    val afterWrite = GraftLayout.ledgerFilesRead.get()
+    spark.read.format("graft").load(dir).count()
+    val delta = GraftLayout.ledgerFilesRead.get() - afterWrite
+    assert(delta <= 1L, s"expected at most the new ledger file to be parsed, got $delta")
+  }
+}
