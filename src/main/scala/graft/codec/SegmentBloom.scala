@@ -70,9 +70,27 @@ object SegmentBloom {
     (((bytes + BlockBytes - 1) / BlockBytes)).toInt
   }
 
+  /** Block count under an explicit byte cap (file-level filters use a
+    * larger budget than the per-chunk MaxBytes — a whole part-file's
+    * distinct doc ids at 16 bits/value outgrow 16 KiB immediately; at the
+    * cap the filter degrades to higher FPP, never to wrong answers). */
+  def numBlocksCapped(ndv: Int, maxBytes: Int): Int = {
+    val bytes = math.max(MinBytes.toLong, math.min(math.max(MinBytes, maxBytes).toLong,
+      (math.max(1, ndv).toLong * BitsPerValue + 7) / 8))
+    (((bytes + BlockBytes - 1) / BlockBytes)).toInt
+  }
+
+  /** Build with an explicit size cap (see [[numBlocksCapped]]). */
+  def buildCapped(hashes: Iterator[Long], ndv: Int, maxBytes: Int): Array[Byte] = {
+    val blocks = numBlocksCapped(ndv, maxBytes)
+    buildWithBlocks(hashes, blocks)
+  }
+
   /** Build a filter from pre-mixed 64-bit hashes. */
-  def build(hashes: Iterator[Long], ndv: Int): Array[Byte] = {
-    val blocks = numBlocks(ndv)
+  def build(hashes: Iterator[Long], ndv: Int): Array[Byte] =
+    buildWithBlocks(hashes, numBlocks(ndv))
+
+  private def buildWithBlocks(hashes: Iterator[Long], blocks: Int): Array[Byte] = {
     val words = new Array[Int](blocks * 8)
     while (hashes.hasNext) insert(words, blocks, hashes.next())
     val out = new Array[Byte](Magic.length + words.length * 4)

@@ -28,7 +28,8 @@ final case class GraftConf(
     zlibLevel: Int = 6,
     deflateMinGain: Double = graft.codec.BlockCompression.MinSampledGain,
     dictThreshold: Double = graft.select.CodecSelector.DictThreshold,
-    bloomColumns: Set[String] = graft.codec.CodecConf.DefaultBloomColumns) {
+    bloomColumns: Set[String] = graft.codec.CodecConf.DefaultBloomColumns,
+    fileBloomBytes: Int = graft.codec.CodecConf.DefaultFileBloomBytes) {
   require(tokensPerChunk > 0, s"${GraftConf.TokensPerChunk} must be > 0, got $tokensPerChunk")
   require(buckets > 0, s"${GraftConf.Buckets} must be > 0, got $buckets")
   require(zlibLevel >= 0 && zlibLevel <= 9, s"${GraftConf.ZlibLevel} must be in [0,9], got $zlibLevel")
@@ -38,11 +39,13 @@ final case class GraftConf(
     s"${GraftConf.DictThreshold} must be in [0,1], got $dictThreshold")
   require(bloomColumns.subsetOf(GraftConf.BloomableColumns),
     s"${GraftConf.BloomColumns} must be a subset of ${GraftConf.BloomableColumns.toSeq.sorted.mkString(",")}, got ${bloomColumns.mkString(",")}")
+  require(fileBloomBytes >= 0, s"${GraftConf.FileBloomBytes} must be >= 0, got $fileBloomBytes")
 
   /** The kernel-facing slice, threaded through every codec call as an
     * immutable value (never global state — see [[graft.codec.CodecConf]]). */
   def codec: graft.codec.CodecConf =
-    graft.codec.CodecConf(zlibLevel, deflateMinGain, dictThreshold, bloomColumns)
+    graft.codec.CodecConf(zlibLevel, deflateMinGain, dictThreshold, bloomColumns,
+      fileBloomBytes)
 }
 
 object GraftConf {
@@ -52,6 +55,7 @@ object GraftConf {
   final val DeflateMinGain = "graft.codec.deflateMinGain"
   final val DictThreshold = "graft.codec.dictThreshold"
   final val BloomColumns = "graft.codec.bloomColumns"
+  final val FileBloomBytes = "graft.codec.fileBloomBytes"
 
   /** Streams a bloom can be requested on (the five encoded streams). */
   final val BloomableColumns: Set[String] =
@@ -85,7 +89,8 @@ object GraftConf {
       dictThreshold = get(DictThreshold).map(parseDouble(DictThreshold, _)).getOrElse(d.dictThreshold),
       bloomColumns = get(BloomColumns)
         .map(_.split(',').iterator.map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty).toSet)
-        .getOrElse(d.bloomColumns))
+        .getOrElse(d.bloomColumns),
+      fileBloomBytes = get(FileBloomBytes).map(parseInt(FileBloomBytes, _)).getOrElse(d.fileBloomBytes))
   }
 
   /** Read every `graft.*` key from the session conf. */

@@ -75,17 +75,52 @@ object SegmentStore {
   def dataDir(tableDir: String): String = s"$tableDir/data"
   def lineageDir(tableDir: String): String = s"$tableDir/lineage"
 
-  /** Explicit read schema of the stored segment table (the Segment encoder
-    * schema + the on-disk partition columns). Reading with an explicit
-    * schema keeps two contracts: empty data dirs don't fail inference, and
-    * files written BEFORE a schema addition (e.g. the r3 `bloom` field)
-    * surface the missing field as null instead of failing `.as[Segment]`
-    * — the "pre-bloom files stay readable" stance on the engine path. */
+  /** Explicit read schema of the LEGACY (nested-cols) stored layout (the
+    * Segment encoder schema + the on-disk partition columns). Reading with
+    * an explicit schema keeps two contracts: empty data dirs don't fail
+    * inference, and files written BEFORE a schema addition (e.g. the r3
+    * `bloom` field) surface the missing field as null instead of failing
+    * `.as[Segment]` — the "pre-bloom files stay readable" stance. */
   private def segmentTableSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.Encoders.product[Segment].schema
         .filterNot(_.name == "bucket"))
       .add("snapshotId", "long").add("bucket", "int")
+
+  /** Explicit read schema of the v2 (pivoted) stored layout. */
+  private def segmentTableSchemaV2: org.apache.spark.sql.types.StructType =
+    graft.sources.SegmentLayoutV2
+      .sparkSchema(graft.sources.SegmentLayoutV2.CanonicalStreams)
+      .add("snapshotId", "long").add("bucket", "int")
+
+  /** The committed-or-not segment table as a Segment-shaped DataFrame,
+    * LAYOUT-AWARE: since round 4 both writers store the pivoted v2 layout
+    * ([[graft.sources.SegmentLayoutV2]] — one parquet column per stream,
+    * so Catalyst/parquet prune payload IO natively), while pre-pivot
+    * tables (and mixed tables: a legacy table appended to by this build)
+    * keep the nested layout. Files are split by footer-sniffed layout
+    * (memoized per immutable file) and the two reads union back to one
+    * shape. Visibility filtering stays with the callers. */
+  private def segmentsDF(spark: SparkSession, tableDir: String): org.apache.spark.sql.DataFrame = {
+    val dd = dataDir(tableDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val files = graft.sources.GraftLayout.listParquetFiles(dd, conf)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], segmentTableSchema)
+    val (v2Files, legacyFiles) =
+      files.partition(f => graft.sources.GraftLayout.footerInfo(f, conf).v2)
+    val parts = Seq(
+      if (legacyFiles.isEmpty) None
+      else Some(spark.read.schema(segmentTableSchema)
+        .option("basePath", dd).parquet(legacyFiles: _*)),
+      if (v2Files.isEmpty) None
+      else Some(graft.sources.SegmentLayoutV2.unflatten(
+        spark.read.schema(segmentTableSchemaV2)
+          .option("basePath", dd).parquet(v2Files: _*)))
+    ).flatten
+    parts.reduce(_.unionByName(_))
+  }
 
   /** Hadoop-FS existence check — `java.io.File` would be blind to any
     * non-local filesystem (hdfs://, s3a://) and silently skip ledger
@@ -163,8 +198,10 @@ object SegmentStore {
     val segments = GraftEncoder.encodeBucketed(bucketedPending, buckets, tokensPerChunk)
 
     // Dynamic overwrite: ONLY the bucket dirs present in `segments` are
-    // replaced; previously committed buckets are untouched.
-    segments.toDF()
+    // replaced; previously committed buckets are untouched. Stored as the
+    // pivoted v2 layout (one parquet column per stream) so projection and
+    // stat pruning save payload IO on every later read.
+    graft.sources.SegmentLayoutV2.flatten(segments.toDF())
       .withColumn("snapshotId", lit(snapshotId))
       .write
       .option("partitionOverwriteMode", "dynamic")
@@ -282,11 +319,16 @@ object SegmentStore {
   private def lineageFromData(spark: SparkSession, tableDir: String,
                               snapshotId: Long, only: Set[Int]): Dataset[LineageRow] = {
     import spark.implicits._
-    // Explicit schema ([[segmentTableSchema]]): a run whose pending buckets
-    // were ALL empty leaves a part-file-less data dir, where schema
-    // inference would throw.
-    val segs = spark.read.schema(segmentTableSchema).parquet(dataDir(tableDir))
-      .filter($"snapshotId" === snapshotId && $"bucket".isin(only.toSeq.map(Int.box): _*))
+    // This snapshot was JUST written by this build => v2 layout. Explicit
+    // schema (a run whose pending buckets were ALL empty leaves a
+    // part-file-less data dir, where inference would throw); snapshotId
+    // partition pruning keeps any legacy files of OLDER snapshots out
+    // before their differing schema could matter. Stats-only unflatten:
+    // the payload parquet columns are never read for lineage aggregation.
+    val segs = graft.sources.SegmentLayoutV2.unflatten(
+      spark.read.schema(segmentTableSchemaV2).parquet(dataDir(tableDir))
+        .filter($"snapshotId" === snapshotId && $"bucket".isin(only.toSeq.map(Int.box): _*)),
+      withPayload = false)
     val codecAgg = segs
       .select($"bucket", explode($"cols").as("c"))
       .groupBy($"bucket", concat($"c.col", lit(":"), $"c.codecName").as("cc"))
@@ -344,7 +386,7 @@ object SegmentStore {
   /** Read the committed segment table back as typed segments. */
   def readSegments(spark: SparkSession, tableDir: String, snapshotId: Long): Dataset[Segment] = {
     import spark.implicits._
-    spark.read.schema(segmentTableSchema).parquet(dataDir(tableDir))
+    segmentsDF(spark, tableDir)
       .filter($"snapshotId" === snapshotId)
       .drop($"snapshotId")
       .as[Segment]
@@ -370,7 +412,7 @@ object SegmentStore {
                              pairs: Set[(Long, Int)]): Dataset[Segment] = {
     import spark.implicits._
     val wanted = spark.createDataset(pairs.toSeq).toDF("snapshotId", "bucket")
-    spark.read.schema(segmentTableSchema).parquet(dataDir(tableDir))
+    segmentsDF(spark, tableDir)
       .join(broadcast(wanted), Seq("snapshotId", "bucket"), "left_semi")
       .drop($"snapshotId")
       .as[Segment]
@@ -395,7 +437,7 @@ object SegmentStore {
     if (asOf.isDefined)
       graft.sources.GraftLayout.listDataFiles(
         tableDir, spark.sessionState.newHadoopConf(), asOf)
-    val all = spark.read.schema(segmentTableSchema).parquet(dataDir(tableDir))
+    val all = segmentsDF(spark, tableDir)
     val ledger = readLineage(spark, tableDir)
     val bound = asOf.getOrElse(Long.MaxValue)
     val committed = ledger

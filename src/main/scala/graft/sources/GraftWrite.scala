@@ -3,6 +3,7 @@ package graft.sources
 import java.util.UUID
 
 import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
@@ -383,10 +384,17 @@ final case class GraftWriterFactory(stagingDir: String, schema: StructType,
 }
 
 object GraftSegmentWriter {
-  /** Physical schema of a segment part-file, minus the snapshotId/bucket
-    * partition columns (they live in the directory path, exactly as
-    * `partitionBy("snapshotId","bucket")` lays them out) — the standard
-    * 3-level LIST shape Spark writes and both read paths walk. */
+  /** Row-group size of v2 part-files: smaller than parquet's 128 MiB
+    * default so the stat-predicate FilterCompat skip has useful
+    * granularity (a row group is the coarsest skippable unit; ~8 MiB ≈
+    * tens of segments at the default chunk budget). */
+  final val RowGroupBytes: Long = 8L * 1024 * 1024
+
+  /** LEGACY (round-1..3) physical schema — the nested 3-level LIST shape.
+    * The writer now emits the pivoted v2 layout
+    * ([[SegmentLayoutV2.messageType]]); this schema is retained so tests
+    * can still WRITE legacy files and pin that every reader keeps
+    * accepting them (pre-pivot tables stay readable forever). */
   val SegmentFileSchema: MessageType = {
     val str = LogicalTypeAnnotation.stringType()
     val element = Types.optionalGroup()
@@ -443,14 +451,43 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
       row.getUTF8String(iSrc).toString,
       partitionId)
 
+  /** File-level folded blooms for the footer metadata: one capped
+    * split-block filter per opted-in column over the WHOLE file's values
+    * (built from the buffered rows — chunk blooms are sized per chunk and
+    * can't be OR-folded across unequal geometries). The planner consults
+    * these to skip entire part-files on point predicates before a task is
+    * ever scheduled ([[GraftScan.planInputPartitions]]). */
+  private def fileBloomMeta(): Map[String, String] = {
+    import graft.codec.SegmentBloom
+    if (codecConf.fileBloomBytes <= 0 || rows.isEmpty) return Map.empty
+    val cap = codecConf.fileBloomBytes
+    codecConf.bloomColumns.toSeq.sorted.flatMap { col =>
+      val (hashes, ndv): (Iterator[Long], Int) = col match {
+        case "doc_id" => (rows.iterator.map(r => SegmentBloom.hashString(r.doc_id)), rows.length)
+        case "source" => (rows.iterator.map(r => SegmentBloom.hashString(r.source)), rows.length)
+        case "n_tok" => (rows.iterator.map(r => SegmentBloom.hashLong(r.n_tok.toLong)), rows.length)
+        case "tok_len" => (rows.iterator.map(r => SegmentBloom.hashLong(r.tokens.length.toLong)), rows.length)
+        case "tokens" =>
+          val total = math.min(Int.MaxValue.toLong, rows.iterator.map(_.tokens.length.toLong).sum).toInt
+          (rows.iterator.flatMap(_.tokens.iterator.map(t => SegmentBloom.hashLong(t.toLong))), total)
+        case _ => (Iterator.empty, 0)
+      }
+      if (ndv == 0) None
+      else Some(SegmentLayoutV2.bloomMetaKey(col) ->
+        java.util.Base64.getEncoder.encodeToString(SegmentBloom.buildCapped(hashes, ndv, cap)))
+    }.toMap
+  }
+
   override def commit(): WriterCommitMessage = {
     if (rows.isEmpty)
       return GraftCommitMessage(partitionId, None, 0L, 0L, 0L, 0L, 0L, "", "", "")
     val segments = GraftEncoder.encodePartition(rows.iterator, tokensPerChunk, codecConf)
-    val s = GraftSegmentWriter.SegmentFileSchema
+    val s = SegmentLayoutV2.messageType(SegmentLayoutV2.CanonicalStreams)
     val writer: ParquetWriter[Group] = ExampleParquetWriter.builder(new HPath(stagedFile))
       .withConf(conf).withType(s)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withRowGroupSize(GraftSegmentWriter.RowGroupBytes)
+      .withExtraMetaData(fileBloomMeta().asJava)
       .build()
     val f = new SimpleGroupFactory(s)
     var nSegments = 0L
@@ -463,7 +500,7 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
     val codecCounts = scala.collection.mutable.Map.empty[String, Long]
     try {
       segments.foreach { seg =>
-        writer.write(toGroup(f, seg))
+        writer.write(toGroupV2(f, seg))
         nSegments += 1
         nRows += seg.nRows
         nTokens += seg.nTokens
@@ -483,7 +520,7 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
       bytesIn, bytesOut, firstChunk, lastChunk, codecs)
   }
 
-  private def toGroup(f: SimpleGroupFactory, seg: Segment): Group = {
+  private def toGroupV2(f: SimpleGroupFactory, seg: Segment): Group = {
     val g = f.newGroup()
     g.add("segmentId", seg.segmentId)
     g.add("source", seg.source)
@@ -493,21 +530,19 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
     g.add("nTokens", seg.nTokens)
     g.add("bytesIn", seg.bytesIn)
     g.add("bytesOut", seg.bytesOut)
-    val cols = g.addGroup("cols")
     seg.cols.foreach { c =>
-      val el = cols.addGroup("list").addGroup("element")
-      el.add("col", c.col)
-      el.add("codecId", c.codecId)
-      el.add("codecName", c.codecName)
-      el.add("nValues", c.nValues)
-      el.add("bytesIn", c.bytesIn)
-      el.add("bytesOut", c.bytesOut)
-      el.add("minV", c.minV)
-      el.add("maxV", c.maxV)
-      el.add("minS", c.minS)
-      el.add("maxS", c.maxS)
-      el.add("payload", Binary.fromConstantByteArray(c.payload))
-      el.add("bloom", Binary.fromConstantByteArray(c.bloom))
+      def n(x: String) = SegmentLayoutV2.field(c.col, x)
+      g.add(n("codecId"), c.codecId)
+      g.add(n("codecName"), c.codecName)
+      g.add(n("nValues"), c.nValues)
+      g.add(n("bytesIn"), c.bytesIn)
+      g.add(n("bytesOut"), c.bytesOut)
+      g.add(n("minV"), c.minV)
+      g.add(n("maxV"), c.maxV)
+      g.add(n("minS"), c.minS)
+      g.add(n("maxS"), c.maxS)
+      g.add(n("payload"), Binary.fromConstantByteArray(c.payload))
+      g.add(n("bloom"), Binary.fromConstantByteArray(c.bloom))
     }
     g
   }
