@@ -21,6 +21,41 @@ object Nullable {
   final val FlagDense = 0
   final val FlagSparse = 1
 
+  /** Non-null values in order (the payload the inner codec encodes). */
+  def compactLongs(values: Array[Long], present: Array[Boolean]): Array[Long] = {
+    var n = 0
+    var i = 0
+    while (i < present.length) { if (present(i)) n += 1; i += 1 }
+    compact(values, present, n)
+  }
+
+  /** Frame an ALREADY-ENCODED chunk of the non-null values with the
+    * PRESENT bitmap — lets callers choose the inner codec with the
+    * selector's full auto logic (raw-fallback guard included) and reuse
+    * the encoded bytes without a second kernel pass. Decodes with
+    * [[decodeInts]]/[[decodeStrings]]. */
+  def frame(present: Array[Boolean], encodedCompacted: Array[Byte]): Array[Byte] = {
+    var nPresent = 0
+    var i = 0
+    while (i < present.length) { if (present(i)) nPresent += 1; i += 1 }
+    if (nPresent == present.length) {
+      val out = new Array[Byte](encodedCompacted.length + 1)
+      out(0) = FlagDense.toByte
+      System.arraycopy(encodedCompacted, 0, out, 1, encodedCompacted.length)
+      out
+    } else {
+      val bits = new Array[Long](present.length)
+      i = 0
+      while (i < present.length) { bits(i) = if (present(i)) 1L else 0L; i += 1 }
+      val w = new ByteWriter(encodedCompacted.length + present.length / 8 + 16)
+      w.writeByte(FlagSparse)
+      w.writeVarLong(present.length.toLong)
+      BitPack.pack(bits, 0, present.length, 1, w)
+      w.writeBytes(encodedCompacted)
+      w.toArray
+    }
+  }
+
   private def compact(values: Array[Long], present: Array[Boolean], nPresent: Int): Array[Long] = {
     val out = new Array[Long](nPresent)
     var i = 0

@@ -55,6 +55,26 @@ final case class Segment(
 final case class BucketedRow(
     doc_id: String, tokens: Array[Int], n_tok: Int, source: String, bucket: Int)
 
+/** One metadata stream's values for a chunk, in the stored domain
+  * ([[graft.sources.MetaColumns]] does the Spark-type conversions). */
+sealed trait ExtraCol { def name: String }
+
+/** Int-kind metadata values (int/long/date/timestamp/double-as-sortable-
+  * bits). `statMap` maps a STORED value into the stat domain (identity for
+  * everything except double's -0.0 → +0.0 collapse). */
+final case class ExtraLongs(name: String, values: Array[Long],
+                            present: Array[Boolean], bytesInPerValue: Int = 8,
+                            statMap: Long => Long = identity) extends ExtraCol
+
+/** String metadata values; null = SQL null. */
+final case class ExtraStrings(name: String, values: Array[String]) extends ExtraCol
+
+/** Engine-facing spec of one metadata column for
+  * [[GraftEncoder.encodePartitionWithMeta]]. */
+final case class MetaColSpec(name: String, isString: Boolean,
+                             bytesInPerValue: Int = 8,
+                             statMap: Long => Long = identity)
+
 /** Shuffle wire form of a [[BucketedRow]]: the token array varint-packed
   * map-side, BEFORE the bucket exchange. Vocab ids are zipf-heavy small
   * ints, so this moves ~2 B/token through the shuffle instead of the 4 B/
@@ -278,10 +298,14 @@ object GraftEncoder {
   }
 
   /** Encode one chunk of rows into a Segment (pure function — unit-tested
-    * without Spark). */
+    * without Spark). `extras` are optional METADATA streams riding beside
+    * the canonical five ([[graft.sources.MetaColumns]]): int-kind values
+    * pre-converted to their stored 64-bit domain (`null` slot = SQL null),
+    * encoded through the same selector with [[Nullable]] PRESENT framing. */
   def encodeChunk(rows: Array[TokenRow], pid: Int, chunkIdx: Int,
                   bucket: Int = -1,
-                  codecConf: CodecConf = CodecConf.Default): Segment = {
+                  codecConf: CodecConf = CodecConf.Default,
+                  extras: Seq[ExtraCol] = Nil): Segment = {
     val n = rows.length
     val docIds = new Array[String](n)
     val sources = new Array[String](n)
@@ -352,7 +376,7 @@ object GraftEncoder {
       intChunk("tok_len", tokLens, 4),
       intChunk("tokens", flat, 4),
       intChunk("n_tok", nToks, 4),
-      strChunk("source", sources))
+      strChunk("source", sources)) ++ extras.map(extraChunk(_, codecConf))
 
     val source = if (n > 0) rows(0).source else ""
     val bkt = if (bucket >= 0) bucket else pid
@@ -367,6 +391,129 @@ object GraftEncoder {
       bytesIn = cols.map(_.bytesIn).sum,
       bytesOut = cols.map(_.bytesOut).sum,
       cols = cols)
+  }
+
+  /** Encode one metadata stream: selector-chosen inner codec over the
+    * non-null values, [[Nullable]] PRESENT framing outside, stats over the
+    * non-null values only (a chunk with zero non-null values records the
+    * neutral 0/0 (or ""/"") stats — sound: no row of it can match an
+    * equality/range predicate anyway). */
+  private def extraChunk(e: ExtraCol, conf: CodecConf): ColChunk = e match {
+    case ExtraLongs(name, values, present, bytesInPerValue, statMap) =>
+      val compacted = Nullable.compactLongs(values, present)
+      val (codec, inner) = CodecSelector.encodeIntsAuto(compacted, conf)
+      val payload = Nullable.frame(present, inner)
+      var minV = Long.MaxValue
+      var maxV = Long.MinValue
+      var k = 0
+      while (k < compacted.length) {
+        val s = statMap(compacted(k))
+        if (s < minV) minV = s
+        if (s > maxV) maxV = s
+        k += 1
+      }
+      if (compacted.isEmpty) { minV = 0L; maxV = 0L }
+      ColChunk(name, codec.id, codec.name, values.length.toLong,
+        compacted.length.toLong * bytesInPerValue, payload.length.toLong,
+        minV, maxV, "", "", payload)
+    case ExtraStrings(name, values) =>
+      val present = new Array[Boolean](values.length)
+      var nPresent = 0
+      var k = 0
+      while (k < values.length) {
+        if (values(k) != null) { present(k) = true; nPresent += 1 }
+        k += 1
+      }
+      val compacted = new Array[String](nPresent)
+      var j = 0
+      k = 0
+      while (k < values.length) {
+        if (present(k)) { compacted(j) = values(k); j += 1 }
+        k += 1
+      }
+      val (codec, inner) = CodecSelector.encodeStringsAuto(compacted, conf)
+      val payload = Nullable.frame(present, inner)
+      var bytesIn = 0L
+      var minS = if (compacted.isEmpty) "" else compacted(0)
+      var maxS = if (compacted.isEmpty) "" else compacted(0)
+      k = 0
+      while (k < compacted.length) {
+        bytesIn += compacted(k).length
+        if (compareUtf8(compacted(k), minS) < 0) minS = compacted(k)
+        if (compareUtf8(compacted(k), maxS) > 0) maxS = compacted(k)
+        k += 1
+      }
+      ColChunk(name, codec.id, codec.name, values.length.toLong, bytesIn,
+        payload.length.toLong, 0L, 0L, minS, maxS, payload)
+  }
+
+  /** [[encodePartition]] with metadata columns riding beside each row:
+    * same sort, same chunk boundaries, same determinism contract — the
+    * meta arrays are gathered per chunk and encoded as [[ExtraCol]]
+    * streams. `meta(i)` slots are java.lang.Long (stored 64-bit domain)
+    * or String, null = SQL null, aligned with `specs`. Kept separate from
+    * the canonical-only [[encodePartition]] so the no-metadata hot path
+    * pays no per-row wrapper. */
+  def encodePartitionWithMeta(rows: Iterator[(BucketedRow, Array[AnyRef])],
+                              specs: Seq[MetaColSpec],
+                              tokensPerChunk: Int,
+                              codecConf: CodecConf = CodecConf.Default): Iterator[Segment] = {
+    val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
+    val buf = rows.toArray
+    java.util.Arrays.sort(buf, new java.util.Comparator[(BucketedRow, Array[AnyRef])] {
+      def compare(x: (BucketedRow, Array[AnyRef]), y: (BucketedRow, Array[AnyRef])): Int = {
+        val a = x._1
+        val b = y._1
+        if (a.bucket != b.bucket) return Integer.compare(a.bucket, b.bucket)
+        val s = a.source.compareTo(b.source)
+        if (s != 0) s else a.doc_id.compareTo(b.doc_id)
+      }
+    })
+    val in = buf.iterator.buffered
+    new Iterator[Segment] {
+      private var curBucket = Int.MinValue
+      private var chunkIdx = 0
+      def hasNext: Boolean = in.hasNext
+      def next(): Segment = {
+        val bucket = in.head._1.bucket
+        if (bucket != curBucket) { curBucket = bucket; chunkIdx = 0 }
+        val rowBuf = scala.collection.mutable.ArrayBuffer.empty[TokenRow]
+        val metaBuf = scala.collection.mutable.ArrayBuffer.empty[Array[AnyRef]]
+        var tokenCount = 0L
+        while (in.hasNext && in.head._1.bucket == bucket &&
+          tokenCount < tokensPerChunk) {
+          val (r, m) = in.next()
+          rowBuf += TokenRow(r.doc_id, r.tokens, r.n_tok, r.source)
+          metaBuf += m
+          tokenCount += r.tokens.length
+        }
+        val n = rowBuf.length
+        val extras: Seq[ExtraCol] = specs.zipWithIndex.map { case (spec, j) =>
+          if (spec.isString) {
+            val values = new Array[String](n)
+            var i = 0
+            while (i < n) { values(i) = metaBuf(i)(j).asInstanceOf[String]; i += 1 }
+            ExtraStrings(spec.name, values)
+          } else {
+            val values = new Array[Long](n)
+            val present = new Array[Boolean](n)
+            var i = 0
+            while (i < n) {
+              val v = metaBuf(i)(j)
+              if (v != null) {
+                present(i) = true
+                values(i) = v.asInstanceOf[java.lang.Long].longValue()
+              }
+              i += 1
+            }
+            ExtraLongs(spec.name, values, present, spec.bytesInPerValue, spec.statMap)
+          }
+        }
+        val seg = encodeChunk(rowBuf.toArray, pid, chunkIdx, bucket, codecConf, extras)
+        chunkIdx += 1
+        seg
+      }
+    }
   }
 
   def decode(segments: Dataset[Segment]): Dataset[TokenRow] = {

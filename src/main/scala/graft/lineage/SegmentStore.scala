@@ -260,6 +260,18 @@ object SegmentStore {
               buckets: Int,
               tokensPerChunk: Int = GraftEncoder.DefaultTokensPerChunk): Option[Long] = {
     import spark.implicits._
+    // Compaction decodes through the canonical TokenRow model: re-encoding
+    // a table with METADATA columns here would silently drop those streams
+    // from the compacted snapshot — refuse by name instead.
+    graft.sources.GraftTableMeta.read(tableDir, spark.sessionState.newHadoopConf())
+      .flatMap(_.schemaDdl)
+      .filter(_ != graft.sources.MetaColumns.CanonicalDdl)
+      .foreach { ddl =>
+        throw new UnsupportedOperationException(
+          s"compact($tableDir): table carries metadata columns [$ddl]; " +
+            "engine-path compaction only supports the canonical TokenRow " +
+            "schema and would drop them")
+      }
     val ledger = readLineage(spark, tableDir).collect()
     val committed = ledger.collect {
       case r if r.status == Committed && r.snapshotId <= upTo => (r.snapshotId, r.bucket)

@@ -497,6 +497,66 @@ object Encode {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** METADATA COLUMNS through the connector (the reference's scalar type
+    * matrix, /root/reference/src/lib.rs:139-156, rendered onto the graft
+    * codec stack): the token table rides with per-doc scalar metadata —
+    * a nullable double (`quality`), a nullable string (`lang`), a long
+    * (`views`) — encoded as PRESENT-framed selector streams beside the
+    * canonical five, with min/max stats and filter pushdown. The entry
+    * (1) writes the widened schema via `df.write.format("graft")`,
+    * (2) asserts a metadata predicate reaches the scan (PushedFilters on
+    * `views`), (3) null-safe-audits every metadata value against the
+    * input (n_mismatch must be 0), and (4) aggregates per lang under a
+    * null-tolerant quality filter — all derived from n_tok, so DuckDB
+    * replays it exactly from the raw documents table. */
+  def dsv2Meta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-meta-q").toString
+    try {
+      val input = TokenTables.fromDocuments(spark, dir)
+        .toDF("doc_id", "tokens", "n_tok", "source")
+        .withColumn("views", $"n_tok".cast("long") * 3L)
+        .withColumn("quality", when($"n_tok" % 7 =!= 0, $"n_tok" / 10.0 - 5.0))
+        .withColumn("lang",
+          when($"n_tok" % 5 =!= 0, concat(lit("l"), ($"n_tok" % 3).cast("string"))))
+      input.write.format("graft").option("buckets", "8")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(base)
+      val table = spark.read.format("graft").load(base)
+      require(table.schema.fieldNames.toSeq ==
+        Seq("doc_id", "tokens", "n_tok", "source", "views", "quality", "lang"),
+        s"recorded schema mismatch: ${table.schema.simpleString}")
+      // metadata predicates negotiate into the scan like canonical ones
+      val pushedDesc = table.filter($"views" >= 3L)
+        .queryExecution.executedPlan.toString
+      require(pushedDesc.contains("PushedFilters: [GreaterThanOrEqual(views,"),
+        s"metadata filter did not reach the graft scan:\n${pushedDesc.take(800)}")
+      // null-safe bit-exact audit of every metadata value
+      val dec = table.toDF("doc_id", "tokens_d", "n_tok_d", "source_d",
+        "views_d", "quality_d", "lang_d")
+      val nMismatch = input.join(dec, Seq("doc_id"), "full_outer")
+        .filter(!($"views" <=> $"views_d" && $"quality" <=> $"quality_d" &&
+          $"lang" <=> $"lang_d" && $"n_tok" <=> $"n_tok_d" && $"source" <=> $"source_d"))
+        .count()
+      val rows = table
+        .filter($"quality".isNull || $"quality" > -4.0)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"views").cast("long").as("sum_views"),
+          count($"quality").as("n_quality"))
+        .withColumn("n_mismatch", lit(nMismatch))
+        .orderBy($"lang")
+        .collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum_views", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_quality", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_mismatch", org.apache.spark.sql.types.LongType))))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
   /** Snapshot TIME TRAVEL through the lineage ledger (the Iceberg
     * `snapshot-id` read-option analog, north_rule's "writes them back to
     * Iceberg with per-partition lineage rows" surface): the corpus lands
@@ -715,6 +775,26 @@ object Encode {
         |  CAST(COUNT(*) AS BIGINT) AS full_docs,
         |  CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS full_tokens
         |FROM tok""".stripMargin,
+    "encode_dsv2_meta" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> x <> '')) AS n_tok
+        |  FROM documents
+        |),
+        |meta AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(n_tok AS BIGINT) * 3 AS views,
+        |    CASE WHEN n_tok % 7 <> 0 THEN n_tok / 10.0 - 5.0 END AS quality,
+        |    CASE WHEN n_tok % 5 <> 0 THEN 'l' || CAST(n_tok % 3 AS VARCHAR) END AS lang
+        |  FROM tok
+        |)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(views) AS BIGINT) AS sum_views,
+        |       CAST(COUNT(quality) AS BIGINT) AS n_quality,
+        |       CAST(0 AS BIGINT) AS n_mismatch
+        |FROM meta WHERE quality IS NULL OR quality > -4.0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "encode_dsv2_bloom" ->
       """WITH docs AS (
         |  SELECT doc_id,
@@ -758,6 +838,7 @@ object Encode {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "encode_dsv2_write" -> (dsv2Write _),
+    "encode_dsv2_meta" -> (dsv2Meta _),
     "encode_dsv2_streaming_write" -> (dsv2StreamingWrite _),
     "encode_dsv2_scan" -> (dsv2Scan _),
     "encode_dsv2_limit" -> (dsv2Limit _),

@@ -109,13 +109,21 @@ import graft.codec.{IntCodecs, SegmentBloom, StringCodecs}
   */
 class GraftDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
+  /** Writes hand the incoming DataFrame's schema to [[getTable]] (metadata
+    * columns beyond the canonical four are legal, [[MetaColumns]]); the
+    * schema-fixed-at-creation contract is then enforced by the commit-path
+    * [[GraftTableMeta]] gate, not by Spark's by-name resolution alone. */
+  override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftTable.TokenSchema
+    Option(options.get("path"))
+      .map(p => GraftTable.tableSchema(p,
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+      .getOrElse(GraftTable.TokenSchema)
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("graft source requires a path, e.g. .load(dir)"))
-    new GraftTable(path)
+    new GraftTable(path, providedSchema = Option(schema))
   }
 }
 
@@ -125,12 +133,22 @@ object GraftTable {
     StructField("tokens", ArrayType(IntegerType, containsNull = false), nullable = false),
     StructField("n_tok", IntegerType, nullable = false),
     StructField("source", StringType, nullable = false)))
+
+  /** The table's stored schema: the ddl recorded in `lineage/_meta` at
+    * creation (tables with metadata columns), else the canonical
+    * TokenRow schema (pre-metadata and engine-written tables). */
+  def tableSchema(path: String, conf: org.apache.hadoop.conf.Configuration): StructType =
+    GraftTableMeta.read(path, conf).flatMap(_.schemaDdl)
+      .map(MetaColumns.parseDdl).getOrElse(TokenSchema)
 }
 
-class GraftTable(path: String, catalogBacked: Boolean = false)
+class GraftTable(path: String, catalogBacked: Boolean = false,
+                 providedSchema: Option[StructType] = None)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft:$path"
-  override def schema(): StructType = GraftTable.TokenSchema
+  private lazy val resolvedSchema: StructType =
+    providedSchema.getOrElse(GraftTable.tableSchema(path, sessionConf.value))
+  override def schema(): StructType = resolvedSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
@@ -186,7 +204,8 @@ class GraftTable(path: String, catalogBacked: Boolean = false)
     }
     new GraftScanBuilder(path, sessionConf,
       options.getBoolean("columnar", GraftScan.ColumnarDefault), asOf,
-      if (asOf.isEmpty) spjBuckets else None) // as-of reads may see fewer buckets
+      if (asOf.isEmpty) spjBuckets else None, // as-of reads may see fewer buckets
+      resolvedSchema)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, info, sessionConf)
@@ -203,11 +222,20 @@ object AggSpec {
 class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
                        columnar: Boolean = GraftScan.ColumnarDefault,
                        asOf: Option[Long] = None,
-                       spjBuckets: Option[Int] = None)
+                       spjBuckets: Option[Int] = None,
+                       tableSchema: StructType = null)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
-  private var required: StructType = GraftTable.TokenSchema
+  /** Full table schema (canonical four + metadata columns). Direct
+    * constructions (tests) pass null and get the stored schema. */
+  private val fullSchema: StructType =
+    Option(tableSchema).getOrElse(GraftTable.tableSchema(path, hconf.value))
+  private val typeOf: String => Option[org.apache.spark.sql.types.DataType] = {
+    val m = fullSchema.fields.map(f => f.name -> f.dataType).toMap
+    m.get _
+  }
+  private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggSpecs: Seq[AggSpec] = Nil
   private var limit: Option[Int] = None
@@ -215,15 +243,15 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
   /** Accept stats-prunable comparisons for segment skipping; hand EVERY
     * filter back as a residual (inexact pruning, engine re-filters). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(GraftScan.prunable)
+    pushed = filters.filter(GraftScan.prunable(typeOf))
     filters // all residual
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    // preserve canonical column order; an empty projection (COUNT(*)) still
+    // preserve table column order; an empty projection (COUNT(*)) still
     // needs row counts, carried by nRows without decoding any stream
     required = StructType(
-      GraftTable.TokenSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+      fullSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
   }
 
   /** LIMIT pushdown, always partial: each partition reader caps the rows it
@@ -264,7 +292,8 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
 
   override def build(): Scan =
     if (aggSpecs.nonEmpty) new GraftAggScan(path, aggSpecs, hconf, asOf)
-    else new GraftScan(path, required, pushed, limit, None, hconf, columnar, asOf,
+    else new GraftScan(path, required,
+      StatPredicate.normalize(pushed, typeOf), limit, None, hconf, columnar, asOf,
       spjBuckets)
 }
 
@@ -275,28 +304,33 @@ object GraftScan {
     * RecordBatch stream. */
   final val ColumnarDefault = true
 
-  /** Stats-prunable filter shapes: string/int comparisons on stats-bearing
-    * columns, composed under AND/OR (the reference's predicate-tree
-    * conversion, predicate.rs:53-166 — same semantics as the engine's
-    * [[graft.engine.ChunkPredicate]]: AND/OR of may-match upper bounds is
-    * an upper bound, so composition stays sound). NOT is rejected, as in
-    * ChunkPredicate: interval stats cannot prove a complement empty. */
-  def prunable(f: Filter): Boolean = f match {
-    case EqualTo(a, _: String) => a == "doc_id" || a == "source"
-    case GreaterThan(a, _: String) => a == "doc_id" || a == "source"
-    case GreaterThanOrEqual(a, _: String) => a == "doc_id" || a == "source"
-    case LessThan(a, _: String) => a == "doc_id" || a == "source"
-    case LessThanOrEqual(a, _: String) => a == "doc_id" || a == "source"
-    case EqualTo("n_tok", _: Int) => true
-    case GreaterThan("n_tok", _: Int) => true
-    case GreaterThanOrEqual("n_tok", _: Int) => true
-    case LessThan("n_tok", _: Int) => true
-    case LessThanOrEqual("n_tok", _: Int) => true
-    case In(a, vs) => (a == "doc_id" || a == "source") &&
-      vs.nonEmpty && vs.forall(_.isInstanceOf[String])
-    case SAnd(l, r) => prunable(l) && prunable(r)
-    case SOr(l, r) => prunable(l) && prunable(r)
-    case _ => false
+  /** Stats-prunable filter shapes: string/int-kind comparisons on
+    * stats-bearing columns (canonical doc_id/source/n_tok AND metadata
+    * columns, [[MetaColumns]]), composed under AND/OR (the reference's
+    * predicate-tree conversion, predicate.rs:53-166 — same semantics as
+    * the engine's [[graft.engine.ChunkPredicate]]: AND/OR of may-match
+    * upper bounds is an upper bound, so composition stays sound). NOT is
+    * rejected, as in ChunkPredicate: interval stats cannot prove a
+    * complement empty. */
+  def prunable(typeOf: String => Option[org.apache.spark.sql.types.DataType])(f: Filter): Boolean = {
+    import org.apache.spark.sql.types.StringType
+    def cmp(a: String, v: Any): Boolean = typeOf(a) match {
+      case Some(StringType) => v.isInstanceOf[String]
+      case Some(dt) => MetaColumns.statLong(dt, v).isDefined
+      case None => false
+    }
+    def walk(f: Filter): Boolean = f match {
+      case EqualTo(a, v) => cmp(a, v)
+      case GreaterThan(a, v) => cmp(a, v)
+      case GreaterThanOrEqual(a, v) => cmp(a, v)
+      case LessThan(a, v) => cmp(a, v)
+      case LessThanOrEqual(a, v) => cmp(a, v)
+      case In(a, vs) => vs.nonEmpty && vs.forall(cmp(a, _))
+      case SAnd(l, r) => walk(l) && walk(r)
+      case SOr(l, r) => walk(l) && walk(r)
+      case _ => false
+    }
+    walk(f)
   }
 
   /** The connector's scan counters, one sum metric each — names must match
@@ -440,6 +474,17 @@ class GraftScan(
 
   override def supportedCustomMetrics(): Array[CustomMetric] = GraftScan.customMetrics
 
+  /** Only an UN-NARROWED scan may fold aggregates from headers
+    * ([[GraftStatsAggPushdown]]): any pushed filter, limit or token
+    * predicate changes the aggregate's input set, and runtime filters
+    * cannot arrive later because an agg scan opts out of them. */
+  def statsAggEligible: Boolean =
+    pushed.isEmpty && limit.isEmpty && tokenRange.isEmpty && tokenPoints.isEmpty
+
+  /** Header-stat aggregate twin of this scan ([[GraftStatsAggPushdown]]). */
+  def toStatsAggScan(specs: Seq[AggSpec]): GraftAggScan =
+    new GraftAggScan(path, specs, hconf, asOf)
+
   /** Used by [[GraftTokenRangePushdown]] once per scan (guarded by
     * `tokenRange.isEmpty`); the listing is re-derived lazily in the copy. */
   def withTokenRange(lo: Long, hi: Long, points: Seq[Long] = Nil): GraftScan =
@@ -479,14 +524,23 @@ class GraftScan(
 
   // Only columns that survived projection pruning may be offered: Spark
   // resolves these against the scan OUTPUT, and a pruned-away column fails
-  // analysis ("Unable to resolve source given [doc_id,n_tok]").
+  // analysis ("Unable to resolve source given [doc_id,n_tok]"). Every
+  // scalar stats-bearing column qualifies — canonical AND metadata.
   override def filterAttributes(): Array[NamedReference] =
-    Array("doc_id", "source", "n_tok")
-      .filter(required.fieldNames.contains)
-      .map(Expressions.column)
+    required.fields
+      .filter(f => !f.dataType.isInstanceOf[ArrayType])
+      .map(f => Expressions.column(f.name))
 
+  // runtime filter values arrive as external Spark types; rewrite them
+  // into the stat domain once here, like the builder does for pushed
+  // filters — the executor-side walks only ever see String/Long leaves
+  private val statTypeOf: String => Option[DataType] = {
+    val m = required.fields.map(f => f.name -> f.dataType).toMap
+    m.get _
+  }
   override def filter(predicates: Array[VPredicate]): Unit =
-    runtimeFilters = predicates.flatMap(GraftScan.v2ToSourceFilter)
+    runtimeFilters = StatPredicate.normalize(
+      predicates.flatMap(GraftScan.v2ToSourceFilter), statTypeOf)
 
   /** All filters active at execution: negotiated + runtime. */
   private def effectiveFilters: Array[Filter] = pushed ++ runtimeFilters
@@ -628,12 +682,19 @@ class GraftAggScan(path: String, specs: Seq[AggSpec], hconf: SerializableConfigu
     case AggSpec.CountAll => StructField("count(*)", LongType, nullable = false)
     case AggSpec.MinOf("n_tok") => StructField("min(n_tok)", IntegerType, nullable = true)
     case AggSpec.MaxOf("n_tok") => StructField("max(n_tok)", IntegerType, nullable = true)
+    // token ELEMENT extrema (min over array_min / max over array_max, the
+    // GraftStatsAggPushdown rewrite) — NOT SQL MIN(tokens), which is
+    // lexicographic array order and is never pushed
+    case AggSpec.MinOf("tokens") => StructField("min_tok_elem", IntegerType, nullable = true)
+    case AggSpec.MaxOf("tokens") => StructField("max_tok_elem", IntegerType, nullable = true)
     case AggSpec.MinOf(c) => StructField(s"min($c)", StringType, nullable = true)
     case AggSpec.MaxOf(c) => StructField(s"max($c)", StringType, nullable = true)
   })
   override def description(): String =
     "GraftScan PushedAggregation: [" + specs.map {
       case AggSpec.CountAll => "COUNT(*)"
+      case AggSpec.MinOf("tokens") => "MIN_TOKEN_ELEM"
+      case AggSpec.MaxOf("tokens") => "MAX_TOKEN_ELEM"
       case AggSpec.MinOf(c) => s"MIN($c)"
       case AggSpec.MaxOf(c) => s"MAX($c)"
     }.mkString(", ") + "]"
@@ -669,6 +730,13 @@ class GraftAggReader(file: String, specs: Seq[AggSpec], conf: Configuration)
         h.ranges.get("n_tok").fold(out.setNullAt(i))(r => out.setInt(i, r.minV.toInt))
       case (AggSpec.MaxOf("n_tok"), i) =>
         h.ranges.get("n_tok").fold(out.setNullAt(i))(r => out.setInt(i, r.maxV.toInt))
+      // token ELEMENT extrema: the fold skips value-less chunks, so the
+      // range is exact over the tokens present; a token-free file emits
+      // null (= array_min/array_max over empty arrays, which MIN ignores)
+      case (AggSpec.MinOf("tokens"), i) =>
+        h.ranges.get("tokens").fold(out.setNullAt(i))(r => out.setInt(i, r.minV.toInt))
+      case (AggSpec.MaxOf("tokens"), i) =>
+        h.ranges.get("tokens").fold(out.setNullAt(i))(r => out.setInt(i, r.maxV.toInt))
       case (AggSpec.MinOf(c), i) =>
         h.ranges.get(c).fold(out.setNullAt(i))(r => out.update(i, UTF8String.fromString(r.minS)))
       case (AggSpec.MaxOf(c), i) =>
@@ -697,19 +765,56 @@ private[sources] object StatPredicate {
   private def ltS(a: String, b: String): Boolean =
     graft.engine.GraftEncoder.compareUtf8(a, b) < 0
 
+  /** Rewrite pushed filters into the STAT DOMAIN once, at plan time: every
+    * int-kind leaf value (Int n_tok, metadata int/long/date/timestamp/
+    * double — [[MetaColumns.statLong]]) becomes a `Long`, so the pruning
+    * walks below ([[mayMatch]]/[[bloomMayMatch]]/[[mustMatchAll]]/
+    * [[SegmentLayoutV2.statFilter]]) match on exactly two value shapes —
+    * String and Long — with no Spark type knowledge on the executors.
+    * String leaves pass through; an unconvertible leaf (shouldn't survive
+    * [[GraftScan.prunable]]) degrades to the whole filter dropping out of
+    * pruning, never to a wrong skip. */
+  def normalize(filters: Array[Filter],
+                typeOf: String => Option[org.apache.spark.sql.types.DataType]): Array[Filter] = {
+    import org.apache.spark.sql.types.StringType
+    def leaf(a: String, v: Any): Option[Any] = typeOf(a) match {
+      case Some(StringType) if v.isInstanceOf[String] => Some(v)
+      case Some(dt) => MetaColumns.statLong(dt, v).map(java.lang.Long.valueOf(_))
+      case None => None
+    }
+    def walk(f: Filter): Option[Filter] = f match {
+      case EqualTo(a, v) => leaf(a, v).map(EqualTo(a, _))
+      case GreaterThan(a, v) => leaf(a, v).map(GreaterThan(a, _))
+      case GreaterThanOrEqual(a, v) => leaf(a, v).map(GreaterThanOrEqual(a, _))
+      case LessThan(a, v) => leaf(a, v).map(LessThan(a, _))
+      case LessThanOrEqual(a, v) => leaf(a, v).map(LessThanOrEqual(a, _))
+      case In(a, vs) =>
+        val ls = vs.map(leaf(a, _))
+        if (ls.forall(_.isDefined)) Some(In(a, ls.map(_.get))) else None
+      case SAnd(l, r) => for { a <- walk(l); b <- walk(r) } yield SAnd(a, b)
+      case SOr(l, r) => for { a <- walk(l); b <- walk(r) } yield SOr(a, b)
+      case _ => None
+    }
+    filters.flatMap(walk)
+  }
+
   def mayMatch(get: String => Option[ColRange], f: Filter): Boolean = f match {
     case EqualTo(a, v: String) => get(a).forall(s => leS(s.minS, v) && leS(v, s.maxS))
     case GreaterThan(a, v: String) => get(a).forall(s => ltS(v, s.maxS))
     case GreaterThanOrEqual(a, v: String) => get(a).forall(s => leS(v, s.maxS))
     case LessThan(a, v: String) => get(a).forall(s => ltS(s.minS, v))
     case LessThanOrEqual(a, v: String) => get(a).forall(s => leS(s.minS, v))
-    case EqualTo("n_tok", v: Int) => get("n_tok").forall(s => s.minV <= v && v <= s.maxV)
-    case GreaterThan("n_tok", v: Int) => get("n_tok").forall(_.maxV > v)
-    case GreaterThanOrEqual("n_tok", v: Int) => get("n_tok").forall(_.maxV >= v)
-    case LessThan("n_tok", v: Int) => get("n_tok").forall(_.minV < v)
-    case LessThanOrEqual("n_tok", v: Int) => get("n_tok").forall(_.minV <= v)
+    case EqualTo(a, v: Long) => get(a).forall(s => s.minV <= v && v <= s.maxV)
+    case GreaterThan(a, v: Long) => get(a).forall(_.maxV > v)
+    case GreaterThanOrEqual(a, v: Long) => get(a).forall(_.maxV >= v)
+    case LessThan(a, v: Long) => get(a).forall(_.minV < v)
+    case LessThanOrEqual(a, v: Long) => get(a).forall(_.minV <= v)
     case In(a, vs) => get(a).forall(s =>
-      vs.exists { case v: String => leS(s.minS, v) && leS(v, s.maxS); case _ => true })
+      vs.exists {
+        case v: String => leS(s.minS, v) && leS(v, s.maxS)
+        case v: Long => s.minV <= v && v <= s.maxV
+        case _ => true
+      })
     case SAnd(l, r) => mayMatch(get, l) && mayMatch(get, r)
     case SOr(l, r) => mayMatch(get, l) || mayMatch(get, r)
     case _ => true
@@ -725,10 +830,11 @@ private[sources] object StatPredicate {
   def bloomMayMatch(get: String => Option[Array[Byte]], f: Filter): Boolean = f match {
     case EqualTo(a, v: String) =>
       get(a).forall(graft.codec.SegmentBloom.mightContainString(_, v))
-    case EqualTo("n_tok", v: Int) =>
-      get("n_tok").forall(graft.codec.SegmentBloom.mightContainLong(_, v.toLong))
+    case EqualTo(a, v: Long) => // stat-domain ([[normalize]]) int-kind point
+      get(a).forall(graft.codec.SegmentBloom.mightContainLong(_, v))
     case In(a, vs) => get(a).forall(b => vs.exists {
       case v: String => graft.codec.SegmentBloom.mightContainString(b, v)
+      case v: Long => graft.codec.SegmentBloom.mightContainLong(b, v)
       case _ => true
     })
     case SAnd(l, r) => bloomMayMatch(get, l) && bloomMayMatch(get, r)
@@ -743,20 +849,32 @@ private[sources] object StatPredicate {
     * pushed filters soundly (round-3 judge #9): files are dropped from the
     * plan only once the already-chosen files GUARANTEE at least `limit`
     * matching rows — guaranteed-count accounting, never an estimate.
-    * Absent stats guarantee nothing (`exists`, not `forall`). */
+    * Absent stats guarantee nothing (`exists`, not `forall`).
+    *
+    * Leaves are trusted ONLY on the non-nullable canonical columns
+    * ([[totalCol]]): a metadata chunk's stats cover its NON-NULL values
+    * only ([[MetaColumns]] PRESENT framing), so a degenerate [v, v] range
+    * there cannot prove the null rows match — claiming so would under-plan
+    * LIMIT and drop result rows. Int-kind leaves arrive in the stat
+    * domain as Longs ([[normalize]]). */
+  private def totalCol(a: String): Boolean =
+    a == "doc_id" || a == "source" || a == "n_tok"
   def mustMatchAll(get: String => Option[ColRange], f: Filter): Boolean = f match {
-    case EqualTo(a, v: String) => get(a).exists(s => s.minS == v && s.maxS == v)
-    case GreaterThan(a, v: String) => get(a).exists(s => ltS(v, s.minS))
-    case GreaterThanOrEqual(a, v: String) => get(a).exists(s => leS(v, s.minS))
-    case LessThan(a, v: String) => get(a).exists(s => ltS(s.maxS, v))
-    case LessThanOrEqual(a, v: String) => get(a).exists(s => leS(s.maxS, v))
-    case EqualTo("n_tok", v: Int) => get("n_tok").exists(s => s.minV == v && s.maxV == v)
-    case GreaterThan("n_tok", v: Int) => get("n_tok").exists(_.minV > v)
-    case GreaterThanOrEqual("n_tok", v: Int) => get("n_tok").exists(_.minV >= v)
-    case LessThan("n_tok", v: Int) => get("n_tok").exists(_.maxV < v)
-    case LessThanOrEqual("n_tok", v: Int) => get("n_tok").exists(_.maxV <= v)
-    case In(a, vs) => get(a).exists(s => s.minS == s.maxS &&
-      vs.exists { case v: String => v == s.minS; case _ => false })
+    case EqualTo(a, v: String) if totalCol(a) =>
+      get(a).exists(s => s.minS == v && s.maxS == v)
+    case GreaterThan(a, v: String) if totalCol(a) => get(a).exists(s => ltS(v, s.minS))
+    case GreaterThanOrEqual(a, v: String) if totalCol(a) => get(a).exists(s => leS(v, s.minS))
+    case LessThan(a, v: String) if totalCol(a) => get(a).exists(s => ltS(s.maxS, v))
+    case LessThanOrEqual(a, v: String) if totalCol(a) => get(a).exists(s => leS(s.maxS, v))
+    case EqualTo(a, v: Long) if totalCol(a) =>
+      get(a).exists(s => s.minV == v && s.maxV == v)
+    case GreaterThan(a, v: Long) if totalCol(a) => get(a).exists(_.minV > v)
+    case GreaterThanOrEqual(a, v: Long) if totalCol(a) => get(a).exists(_.minV >= v)
+    case LessThan(a, v: Long) if totalCol(a) => get(a).exists(_.maxV < v)
+    case LessThanOrEqual(a, v: Long) if totalCol(a) => get(a).exists(_.maxV <= v)
+    case In(a, vs) if totalCol(a) => get(a).exists(s =>
+      (s.minS == s.maxS && vs.exists { case v: String => v == s.minS; case _ => false }) ||
+        (s.minV == s.maxV && vs.exists { case v: Long => v == s.minV; case _ => false }))
     case SAnd(l, r) => mustMatchAll(get, l) && mustMatchAll(get, r)
     // per-row: if one disjunct holds for ALL rows, the OR does
     case SOr(l, r) => mustMatchAll(get, l) || mustMatchAll(get, r)
@@ -764,16 +882,29 @@ private[sources] object StatPredicate {
   }
 }
 
+/** One decoded METADATA stream of a segment ([[MetaColumns]]): int-kind
+  * values in the stored 64-bit domain with a PRESENT mask, or strings with
+  * null slots. The Spark-type rendering (date days, timestamp micros,
+  * sortable-bits -> double) happens at emit time in the readers. */
+private[sources] sealed trait DecodedExtra
+private[sources] final class ExtraLongsDecoded(
+    val values: Array[Long], val present: Array[Boolean]) extends DecodedExtra
+private[sources] final class ExtraStringsDecoded(
+    val values: Array[String]) extends DecodedExtra
+
 /** One decoded segment's projected column arrays (null = not projected).
   * Int streams decode straight into Array[Int] (no widen-then-narrow —
-  * the round-3 hot-loop fix); `flat` is directly `putInts`-able. */
+  * the round-3 hot-loop fix); `flat` is directly `putInts`-able.
+  * `extras` aligns with [[SegmentScanCore.metaFields]] (projected metadata
+  * streams in table order); null when the projection has none. */
 private[sources] final class DecodedSegment(
     val nRows: Int,
     val docIds: Array[String],
     val sources: Array[String],
     val nToks: Array[Int],
     val tokLens: Array[Int],
-    val flat: Array[Int])
+    val flat: Array[Int],
+    val extras: Array[DecodedExtra] = null)
 
 /** Shared per-part-file scan core for the row and columnar readers:
   * streams Segment groups from one parquet file, prunes on chunk stats
@@ -801,12 +932,18 @@ private[sources] final class SegmentScanCore(
   val needN: Boolean = required.fieldNames.contains("n_tok")
   val needSrc: Boolean = required.fieldNames.contains("source")
 
+  /** Projected METADATA fields ([[MetaColumns]]) in required-schema order;
+    * [[DecodedSegment.extras]] aligns with this. */
+  val metaFields: Array[StructField] =
+    required.fields.filterNot(f => MetaColumns.CanonicalNames.contains(f.name))
+
   /** Streams whose payload this projection decodes. */
   private val payloadStreams: Set[String] =
     (if (needDoc) Set("doc_id") else Set.empty[String]) ++
       (if (needSrc) Set("source") else Set.empty[String]) ++
       (if (needN) Set("n_tok") else Set.empty[String]) ++
-      (if (needTok) Set("tokens", "tok_len") else Set.empty[String])
+      (if (needTok) Set("tokens", "tok_len") else Set.empty[String]) ++
+      metaFields.map(_.name)
 
   /** Streams whose bloom a point predicate consults. */
   private val bloomStreams: Set[String] = {
@@ -988,12 +1125,23 @@ private[sources] final class SegmentScanCore(
     val nToks = if (needN) IntCodecs.decodeChunkInt(byCol("n_tok").payload) else null
     val tokLens = if (needTok) IntCodecs.decodeChunkInt(byCol("tok_len").payload) else null
     val flat = if (needTok) IntCodecs.decodeChunkInt(byCol("tokens").payload) else null
+    // projected metadata streams: PRESENT framing outside, selector codec
+    // inside; stored-domain values (the Spark rendering is the readers')
+    val extras: Array[DecodedExtra] =
+      if (metaFields.isEmpty) null
+      else metaFields.map { f =>
+        val payload = byCol(f.name).payload
+        if (f.dataType == StringType)
+          new ExtraStringsDecoded(graft.codec.Nullable.decodeStrings(payload))
+        else {
+          val (vs, pr) = graft.codec.Nullable.decodeInts(payload)
+          new ExtraLongsDecoded(vs, pr): DecodedExtra
+        }
+      }
     mBytesDecoded += byCol.iterator.collect {
-      case (c, s) if (c == "doc_id" && needDoc) || (c == "source" && needSrc) ||
-        (c == "n_tok" && needN) || ((c == "tokens" || c == "tok_len") && needTok) =>
-        s.payload.length.toLong
+      case (c, s) if payloadStreams(c) => s.payload.length.toLong
     }.sum
-    new DecodedSegment(nRows, docIds, sources, nToks, tokLens, flat)
+    new DecodedSegment(nRows, docIds, sources, nToks, tokLens, flat, extras)
   }
 }
 
@@ -1027,13 +1175,17 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
   override def currentMetricsValues(): Array[CustomTaskMetric] =
     core.metricsValues(mRows)
 
+  // projected metadata fields: ordinal into DecodedSegment.extras
+  private val metaIndex: Map[String, Int] =
+    core.metaFields.map(_.name).zipWithIndex.toMap
+
   private def rowsOf(seg: DecodedSegment): Iterator[InternalRow] = {
     var pos = 0
     (0 until seg.nRows).iterator.map { i =>
       val row = new GenericInternalRow(required.length)
       var f = 0
-      required.fieldNames.foreach { name =>
-        name match {
+      required.fields.foreach { field =>
+        field.name match {
           case "doc_id" => row.update(f, UTF8String.fromString(seg.docIds(i)))
           case "tokens" =>
             val len = seg.tokLens(i)
@@ -1042,6 +1194,24 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
             row.update(f, new GenericArrayData(t))
           case "n_tok" => row.setInt(f, seg.nToks(i))
           case "source" => row.update(f, UTF8String.fromString(seg.sources(i)))
+          case name => seg.extras(metaIndex(name)) match {
+            // metadata columns ([[MetaColumns]]): stored 64-bit domain ->
+            // external type; absent PRESENT bit / null string = SQL null
+            case e: ExtraStringsDecoded =>
+              val v = e.values(i)
+              if (v == null) row.setNullAt(f)
+              else row.update(f, UTF8String.fromString(v))
+            case e: ExtraLongsDecoded =>
+              if (!e.present(i)) row.setNullAt(f)
+              else field.dataType match {
+                case IntegerType | DateType => row.setInt(f, e.values(i).toInt)
+                case LongType | TimestampType => row.setLong(f, e.values(i))
+                case DoubleType =>
+                  row.setDouble(f, MetaColumns.fromSortableDouble(e.values(i)))
+                case other => throw new IllegalStateException(
+                  s"unreachable: unvalidated metadata type $other")
+              }
+          }
         }
         f += 1
       }
@@ -1090,12 +1260,16 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
   override def currentMetricsValues(): Array[CustomTaskMetric] =
     core.metricsValues(mRows)
 
+  // projected metadata fields: ordinal into DecodedSegment.extras
+  private val metaIndex: Map[String, Int] =
+    core.metaFields.map(_.name).zipWithIndex.toMap
+
   private def toBatch(seg: DecodedSegment, n: Int): ColumnarBatch = {
     val vectors = OnHeapColumnVector.allocateColumns(n, required)
     var f = 0
-    required.fieldNames.foreach { name =>
+    required.fields.foreach { field =>
       val v = vectors(f)
-      name match {
+      field.name match {
         case "doc_id" =>
           var i = 0
           while (i < n) { v.putByteArray(i, seg.docIds(i).getBytes(utf8)); i += 1 }
@@ -1124,6 +1298,31 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
             off += len
             i += 1
           }
+        case name => seg.extras(metaIndex(name)) match {
+          // metadata columns ([[MetaColumns]]): stored 64-bit domain ->
+          // vector puts per external type; nulls via putNull
+          case e: ExtraStringsDecoded =>
+            var i = 0
+            while (i < n) {
+              val s = e.values(i)
+              if (s == null) v.putNull(i) else v.putByteArray(i, s.getBytes(utf8))
+              i += 1
+            }
+          case e: ExtraLongsDecoded =>
+            val put: Int => Unit = field.dataType match {
+              case IntegerType | DateType => i => v.putInt(i, e.values(i).toInt)
+              case LongType | TimestampType => i => v.putLong(i, e.values(i))
+              case DoubleType =>
+                i => v.putDouble(i, MetaColumns.fromSortableDouble(e.values(i)))
+              case other => throw new IllegalStateException(
+                s"unreachable: unvalidated metadata type $other")
+            }
+            var i = 0
+            while (i < n) {
+              if (!e.present(i)) v.putNull(i) else put(i)
+              i += 1
+            }
+        }
       }
       f += 1
     }

@@ -114,7 +114,7 @@ object GraftLayout {
     * contract as the legacy pruned read, now enforced by parquet's own
     * column pruning). */
   private def readHeaderV2(file: String, conf: Configuration, fi: FooterInfo): FileHeader = {
-    val statSuffixes = Set("minV", "maxV", "minS", "maxS", "bytesIn")
+    val statSuffixes = Set("minV", "maxV", "minS", "maxS", "bytesIn", "nValues")
     val wanted: Set[String] = Set("nRows") ++
       fi.streams.flatMap(s => statSuffixes.map(f => SegmentLayoutV2.field(s, f)))
     val reader = ParquetReader
@@ -131,17 +131,25 @@ object GraftLayout {
         fi.streams.foreach { s =>
           bytes.updateWith(s)(v => Some(v.getOrElse(0L) +
             g.getLong(SegmentLayoutV2.field(s, "bytesIn"), 0)))
-          val r = ColRange(
-            g.getLong(SegmentLayoutV2.field(s, "minV"), 0),
-            g.getLong(SegmentLayoutV2.field(s, "maxV"), 0),
-            g.getString(SegmentLayoutV2.field(s, "minS"), 0),
-            g.getString(SegmentLayoutV2.field(s, "maxS"), 0))
-          ranges.updateWith(s) {
-            case None => Some(r)
-            case Some(p) => Some(ColRange(
-              math.min(p.minV, r.minV), math.max(p.maxV, r.maxV),
-              if (cmp(r.minS, p.minS) < 0) r.minS else p.minS,
-              if (cmp(r.maxS, p.maxS) > 0) r.maxS else p.maxS))
+          // a VALUE-LESS chunk stream (empty token flat: every doc in the
+          // chunk has an empty array) records neutral 0/0 stats — folding
+          // those in would (a) widen the file range spuriously and (b)
+          // make the fold unusable for MIN/MAX aggregate pushdown (a
+          // neutral 0 is indistinguishable from real token id 0). Skip
+          // them: the folded range is then EXACT over the values present.
+          if (g.getLong(SegmentLayoutV2.field(s, "nValues"), 0) > 0L) {
+            val r = ColRange(
+              g.getLong(SegmentLayoutV2.field(s, "minV"), 0),
+              g.getLong(SegmentLayoutV2.field(s, "maxV"), 0),
+              g.getString(SegmentLayoutV2.field(s, "minS"), 0),
+              g.getString(SegmentLayoutV2.field(s, "maxS"), 0))
+            ranges.updateWith(s) {
+              case None => Some(r)
+              case Some(p) => Some(ColRange(
+                math.min(p.minV, r.minV), math.max(p.maxV, r.maxV),
+                if (cmp(r.minS, p.minS) < 0) r.minS else p.minS,
+                if (cmp(r.maxS, p.maxS) > 0) r.maxS else p.maxS))
+            }
           }
         }
         g = reader.read()
@@ -153,7 +161,7 @@ object GraftLayout {
   private def readHeaderLegacy(file: String, conf: Configuration): FileHeader = {
     val reader = openPruned(file, conf,
       top = Set("nRows", "cols"),
-      chunkFields = Set("col", "bytesIn", "minV", "maxV", "minS", "maxS"))
+      chunkFields = Set("col", "bytesIn", "minV", "maxV", "minS", "maxS", "nValues"))
     var rows = 0L
     val bytes = scala.collection.mutable.Map.empty[String, Long]
     val ranges = scala.collection.mutable.Map.empty[String, ColRange]
@@ -169,14 +177,17 @@ object GraftLayout {
           val el = wrapper.getGroup(0, i).getGroup(0, 0)
           val c = el.getString("col", 0)
           bytes.updateWith(c)(v => Some(v.getOrElse(0L) + el.getLong("bytesIn", 0)))
-          val r = ColRange(el.getLong("minV", 0), el.getLong("maxV", 0),
-            el.getString("minS", 0), el.getString("maxS", 0))
-          ranges.updateWith(c) {
-            case None => Some(r)
-            case Some(p) => Some(ColRange(
-              math.min(p.minV, r.minV), math.max(p.maxV, r.maxV),
-              if (cmp(r.minS, p.minS) < 0) r.minS else p.minS,
-              if (cmp(r.maxS, p.maxS) > 0) r.maxS else p.maxS))
+          // skip value-less chunk streams' neutral stats (see readHeaderV2)
+          if (el.getLong("nValues", 0) > 0L) {
+            val r = ColRange(el.getLong("minV", 0), el.getLong("maxV", 0),
+              el.getString("minS", 0), el.getString("maxS", 0))
+            ranges.updateWith(c) {
+              case None => Some(r)
+              case Some(p) => Some(ColRange(
+                math.min(p.minV, r.minV), math.max(p.maxV, r.maxV),
+                if (cmp(r.minS, p.minS) < 0) r.minS else p.minS,
+                if (cmp(r.maxS, p.maxS) > 0) r.maxS else p.maxS))
+            }
           }
           i += 1
         }

@@ -144,13 +144,16 @@ object GraftTableMeta {
       throw new IllegalStateException(
         s"graft table $tableDir has format version ${m.formatVersion}; this build " +
           s"supports up to $FormatVersion.")
-    (schemaDdl, m.schemaDdl) match {
-      case (Some(want), Some(have)) if want != have =>
-        throw new IllegalStateException(
-          s"graft table $tableDir has schema [$have]; the write provides [$want]. " +
-            "Graft table schemas are fixed at creation.")
-      case _ => ()
-    }
+    // An absent schema line (pre-metadata-columns marker, or the engine
+    // path's implicit TokenRow contract) means the canonical schema — so a
+    // canonical writer can append to a pre-metadata table, while appending
+    // a DIFFERENT column set to any table fails by name.
+    val have = m.schemaDdl.getOrElse(MetaColumns.CanonicalDdl)
+    val want = schemaDdl.getOrElse(MetaColumns.CanonicalDdl)
+    if (want != have)
+      throw new IllegalStateException(
+        s"graft table $tableDir has schema [$have]; the write provides [$want]. " +
+          "Graft table schemas are fixed at creation.")
   }
 
   /** Read-side certification for storage-partitioned joins: declare the

@@ -116,15 +116,8 @@ object GraftWriteBuilder {
     * this as totalTokens / (128-256 MiB of tokens) per the capacity plan. */
   final val DefaultBuckets = 16
 
-  def validateSchema(s: StructType): Unit = {
-    def has(n: String)(ok: PartialFunction[org.apache.spark.sql.types.DataType, Boolean]): Boolean =
-      s.fields.exists(f => f.name == n && ok.applyOrElse(f.dataType, (_: org.apache.spark.sql.types.DataType) => false))
-    require(has("doc_id") { case StringType => true } &&
-      has("tokens") { case ArrayType(IntegerType, _) => true } &&
-      has("n_tok") { case IntegerType => true } &&
-      has("source") { case StringType => true } && s.length == 4,
-      s"graft write requires (doc_id string, tokens array<int>, n_tok int, source string), got ${s.simpleString}")
-  }
+  /** Canonical four + optional scalar metadata columns ([[MetaColumns]]). */
+  def validateSchema(s: StructType): Unit = MetaColumns.validate(s)
 }
 
 /** One committed writer task's contribution: its bucket's staged file (None
@@ -194,8 +187,10 @@ class GraftBatchWrite(path: String, stagingDir: String, schema: StructType,
     }
     // Version gate: stamp lineage/_meta on a fresh table, fail fast on a
     // table whose bucket function / id space cannot be verified (advisor
-    // finding: a silently changed bucket function corrupts SPJ and restart).
-    GraftTableMeta.ensureForCommit(path, conf)
+    // finding: a silently changed bucket function corrupts SPJ and restart)
+    // — and record/require the table schema (metadata columns are fixed at
+    // creation; mixed stream sets inside one table would corrupt reads).
+    GraftTableMeta.ensureForCommit(path, conf, Some(MetaColumns.ddl(schema)))
     // Snapshot id chosen at commit time so SUCCESSIVE appends
     // monotonically stack (the Iceberg "new snapshot per commit" stance).
     // Batch ids live BELOW StreamEpochBase: the streaming sink derives its
@@ -268,7 +263,7 @@ class GraftStreamingWrite(path: String, stagingDir: String, schema: StructType,
     // raw ids), so the replay check below could misfire either way —
     // fail fast by name instead of double-publishing or dropping data
     // (advisor finding on the r3 id-space rebase).
-    GraftTableMeta.ensureForCommit(path, conf)
+    GraftTableMeta.ensureForCommit(path, conf, Some(MetaColumns.ddl(schema)))
     val snapshotId = GraftWriteCommit.StreamEpochBase + epochId
     val already = GraftLayout.committedSnapshots(path, conf)
       .exists(_.contains(snapshotId))
@@ -443,13 +438,53 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
   private val rows = ArrayBuffer.empty[BucketedRow]
   private val stagedFile = s"$stagingDir/part-$partitionId-$taskId.parquet"
 
-  override def write(row: InternalRow): Unit =
+  // metadata columns ([[MetaColumns]]): ordinals, engine specs, and a
+  // buffer parallel to `rows` holding each row's stored-domain values
+  private val metaFields = MetaColumns.metaFields(schema)
+  private val metaOrdinals: Array[Int] = metaFields.map(f => schema.fieldIndex(f.name)).toArray
+  private val metaSpecs: Seq[graft.engine.MetaColSpec] = metaFields.map { f =>
+    import org.apache.spark.sql.types._
+    f.dataType match {
+      case StringType => graft.engine.MetaColSpec(f.name, isString = true)
+      case IntegerType => graft.engine.MetaColSpec(f.name, isString = false, bytesInPerValue = 4)
+      case DateType => graft.engine.MetaColSpec(f.name, isString = false, bytesInPerValue = 4)
+      case DoubleType => graft.engine.MetaColSpec(f.name, isString = false,
+        statMap = v => if (v == -1L) 0L else v) // sortable(-0.0) -> sortable(+0.0)
+      case _ => graft.engine.MetaColSpec(f.name, isString = false)
+    }
+  }
+  private val metas: ArrayBuffer[Array[AnyRef]] =
+    if (metaFields.isEmpty) null else ArrayBuffer.empty[Array[AnyRef]]
+
+  override def write(row: InternalRow): Unit = {
     rows += BucketedRow(
       row.getUTF8String(iDoc).toString,
       row.getArray(iTok).toIntArray(),
       row.getInt(iN),
       row.getUTF8String(iSrc).toString,
       partitionId)
+    if (metas != null) {
+      import org.apache.spark.sql.types._
+      val m = new Array[AnyRef](metaFields.length)
+      var j = 0
+      while (j < metaFields.length) {
+        val ord = metaOrdinals(j)
+        if (!row.isNullAt(ord)) m(j) = metaFields(j).dataType match {
+          case StringType => row.getUTF8String(ord).toString
+          case IntegerType => java.lang.Long.valueOf(row.getInt(ord).toLong)
+          case DateType => java.lang.Long.valueOf(row.getInt(ord).toLong)
+          case LongType => java.lang.Long.valueOf(row.getLong(ord))
+          case TimestampType => java.lang.Long.valueOf(row.getLong(ord))
+          case DoubleType =>
+            java.lang.Long.valueOf(MetaColumns.sortableDouble(row.getDouble(ord)))
+          case other => throw new IllegalStateException(
+            s"unreachable: unvalidated metadata type $other")
+        }
+        j += 1
+      }
+      metas += m
+    }
+  }
 
   /** File-level folded blooms for the footer metadata: one capped
     * split-block filter per opted-in column over the WHOLE file's values
@@ -481,8 +516,12 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
   override def commit(): WriterCommitMessage = {
     if (rows.isEmpty)
       return GraftCommitMessage(partitionId, None, 0L, 0L, 0L, 0L, 0L, "", "", "")
-    val segments = GraftEncoder.encodePartition(rows.iterator, tokensPerChunk, codecConf)
-    val s = SegmentLayoutV2.messageType(SegmentLayoutV2.CanonicalStreams)
+    val segments =
+      if (metas == null) GraftEncoder.encodePartition(rows.iterator, tokensPerChunk, codecConf)
+      else GraftEncoder.encodePartitionWithMeta(
+        rows.iterator.zip(metas.iterator), metaSpecs, tokensPerChunk, codecConf)
+    val s = SegmentLayoutV2.messageType(
+      SegmentLayoutV2.CanonicalStreams ++ metaFields.map(_.name))
     val writer: ParquetWriter[Group] = ExampleParquetWriter.builder(new HPath(stagedFile))
       .withConf(conf).withType(s)
       .withCompressionCodec(CompressionCodecName.SNAPPY)

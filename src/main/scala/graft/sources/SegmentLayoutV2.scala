@@ -206,6 +206,18 @@ object SegmentLayoutV2 {
         Some(FilterApi.lt(sCol(a, "minS"), bin(v)))
       case LessThanOrEqual(a, v: String) if strStatsPresent(a) =>
         Some(FilterApi.ltEq(sCol(a, "minS"), bin(v)))
+      // int-kind leaves arrive in the stat domain as Longs
+      // ([[graft.sources.StatPredicate.normalize]]); the Int cases keep
+      // direct (un-normalized) callers working
+      case EqualTo(a, v: Long) if intStatsPresent(a) => Some(intEq(a, v))
+      case GreaterThan(a, v: Long) if intStatsPresent(a) =>
+        Some(FilterApi.gt(iCol(a, "maxV"), java.lang.Long.valueOf(v)))
+      case GreaterThanOrEqual(a, v: Long) if intStatsPresent(a) =>
+        Some(FilterApi.gtEq(iCol(a, "maxV"), java.lang.Long.valueOf(v)))
+      case LessThan(a, v: Long) if intStatsPresent(a) =>
+        Some(FilterApi.lt(iCol(a, "minV"), java.lang.Long.valueOf(v)))
+      case LessThanOrEqual(a, v: Long) if intStatsPresent(a) =>
+        Some(FilterApi.ltEq(iCol(a, "minV"), java.lang.Long.valueOf(v)))
       case EqualTo(a, v: Int) if intStatsPresent(a) => Some(intEq(a, v.toLong))
       case GreaterThan(a, v: Int) if intStatsPresent(a) =>
         Some(FilterApi.gt(iCol(a, "maxV"), java.lang.Long.valueOf(v.toLong)))
@@ -217,6 +229,8 @@ object SegmentLayoutV2 {
         Some(FilterApi.ltEq(iCol(a, "minV"), java.lang.Long.valueOf(v.toLong)))
       case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) && strStatsPresent(a) =>
         Some(vs.map(v => strEq(a, v.asInstanceOf[String])).reduce(FilterApi.or))
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) && intStatsPresent(a) =>
+        Some(vs.map(v => intEq(a, v.asInstanceOf[Long])).reduce(FilterApi.or))
       case SAnd(l, r) => (conv(l), conv(r)) match {
         case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
         case (a, b) => a.orElse(b) // dropping one AND side is sound (less pruning)

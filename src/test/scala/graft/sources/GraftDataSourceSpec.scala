@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.engine.{GraftEncoder, TokenTables}
@@ -491,5 +492,156 @@ class GraftDataSourceSpec extends AnyFunSuite {
       spark.read.format("graft").option("snapshotId", "1").load(bare).count()
     }
     assert(e.getMessage.contains("lineage ledger"))
+  }
+
+  test("token-element MIN/MAX fold to segment headers (GraftStatsAggPushdown)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_max, array_min, count, lit, max, min}
+    val df = spark.read.format("graft").load(bare)
+    // ground truth WITHOUT the rule
+    val plain = df.agg(min(array_min($"tokens")), max(array_max($"tokens")),
+      count(lit(1))).collect()(0)
+    GraftStatsAggPushdown.install(spark)
+    val fused = df.agg(
+      min(array_min($"tokens")).as("lo"), max(array_max($"tokens")).as("hi"),
+      count(lit(1)).as("n"))
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.contains("MIN_TOKEN_ELEM") && plan.contains("MAX_TOKEN_ELEM"),
+      s"rule did not rewrite the scan:\n$plan")
+    val got = fused.collect()(0)
+    assert(got.getInt(0) === plain.getInt(0) && got.getInt(1) === plain.getInt(1) &&
+      got.getLong(2) === plain.getLong(2))
+    // a filtered aggregate must NOT fold (input set narrowed)
+    val filtered = df.filter($"n_tok" > 100)
+      .agg(min(array_min($"tokens")).as("lo"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("MIN_TOKEN_ELEM"))
+    assert(filtered.collect()(0).getInt(0) ===
+      df.filter($"n_tok" > 100).agg(min(array_min($"tokens"))).collect()(0).getInt(0))
+  }
+
+  // ---- metadata columns (MetaColumns) -----------------------------------
+
+  /** Canonical four + one metadata column per supported type, with nulls
+    * on the nullable-capable ones. Values are doc_id-monotonic so chunk
+    * stats discriminate (pruning tests). */
+  private def metaDf(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (f"doc$i%05d", Seq(i, i + 1, i + 2), 3, if (i % 2 == 0) "web" else "book",
+        if (i % 7 == 0) None else Some(i / 10.0 - 5.0), // quality: double, nulls, negatives
+        if (i % 5 == 0) None else Some(s"lang${i % 3}"), // lang: string, nulls
+        i.toLong * 1000L, // views: long, monotonic
+        i % 11, // stars: int
+        java.sql.Date.valueOf(java.time.LocalDate.of(2026, 1, 1).plusDays(i % 28)),
+        java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z")
+          .plusSeconds(i.toLong)))
+    }.toDF("doc_id", "tokens", "n_tok", "source", "quality", "lang", "views",
+      "stars", "created", "ts")
+  }
+
+  test("metadata columns round-trip through the connector: all types, nulls, both readers") {
+    import spark.implicits._
+    val dir = tmp()
+    val input = metaDf(200)
+    input.write.format("graft").option("buckets", "2").mode("append").save(dir)
+    // inferred schema = recorded ddl: canonical four + metas, metas nullable
+    val table = spark.read.format("graft").load(dir)
+    assert(table.schema.fieldNames.toSeq ===
+      Seq("doc_id", "tokens", "n_tok", "source", "quality", "lang", "views",
+        "stars", "created", "ts"))
+    assert(table.schema("quality").dataType === org.apache.spark.sql.types.DoubleType)
+    assert(table.schema("created").dataType === org.apache.spark.sql.types.DateType)
+    assert(table.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+    assert(table.schema("quality").nullable && table.schema("lang").nullable)
+    // bit-exact row set, columnar (default) and row readers
+    val want = input.collect().toSet
+    for (columnar <- Seq("true", "false")) {
+      val got = spark.read.format("graft").option("columnar", columnar).load(dir)
+        .select(input.columns.map(col): _*).collect().toSet
+      assert(got === want, s"columnar=$columnar round-trip mismatch")
+    }
+    // null semantics surface in SQL
+    assert(table.filter($"quality".isNull).count() ===
+      input.filter($"quality".isNull).count())
+    assert(table.filter($"lang".isNull).count() === input.filter($"lang".isNull).count())
+    // projection of a lone metadata column decodes (and only that stream)
+    assert(table.select($"views").as[Long].collect().sorted.toSeq ===
+      (0 until 200).map(_.toLong * 1000L))
+  }
+
+  test("metadata-column filters push, prune segments, and stay exact (incl. double domain)") {
+    import spark.implicits._
+    val dir = tmp()
+    val input = metaDf(400)
+    input.write.format("graft").option("buckets", "2")
+      .option("tokensPerChunk", "64").mode("append").save(dir)
+    val table = spark.read.format("graft").load(dir)
+    // long column: monotonic in doc_id => chunk stats discriminate. Under
+    // the v2 layout the stat predicate rides to parquet as a record-level
+    // FilterPredicate, so pruned segments are never materialized at all —
+    // they show up as FEWER decoded segments, not in the pruned counters.
+    val (_, mFull) = runWithScanMetrics(table)
+    val totalSegs = mFull.getOrElse("graft segments decoded", 0L)
+    val (rows, m) = runWithScanMetrics(table.filter($"views" === 123000L))
+    assert(rows.length === 1 && rows.head.getAs[String]("doc_id") === "doc00123")
+    val decoded = m.getOrElse("graft segments decoded", 0L) +
+      m.getOrElse("graft segments pruned (filter stats)", 0L)
+    assert(decoded < totalSegs,
+      s"expected meta-stat pruning (decoded $decoded of $totalSegs), metrics=$m")
+    val desc = table.filter($"views" === 123000L).queryExecution.executedPlan.toString
+    assert(desc.contains("PushedFilters: [EqualTo(views,"), desc)
+    // double column through the sortable-bits stat domain, negatives included
+    val wantQ = input.filter($"quality" > -2.5).count()
+    assert(table.filter($"quality" > -2.5).count() === wantQ)
+    assert(table.filter($"quality" === 0.0).count() ===
+      input.filter($"quality" === 0.0).count())
+    // date + timestamp comparisons
+    val d = java.sql.Date.valueOf("2026-01-10")
+    assert(table.filter($"created" >= d).count() === input.filter($"created" >= d).count())
+    val t = java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:03:00Z"))
+    assert(table.filter($"ts" < t).count() === input.filter($"ts" < t).count())
+    // string metadata filter (null rows must not match)
+    assert(table.filter($"lang" === "lang1").count() ===
+      input.filter($"lang" === "lang1").count())
+  }
+
+  test("LIMIT + filter on a NULLABLE metadata column plans soundly (no dropped rows)") {
+    import spark.implicits._
+    val dir = tmp()
+    // constant non-null value with interleaved nulls: chunk stats show a
+    // degenerate [v, v] range, but nulls mean "all rows match" is NOT
+    // provable — an unsound planner would under-plan files and lose rows
+    val input = (0 until 400).map { i =>
+      (f"doc$i%05d", Seq(i), 1, "web",
+        if (i % 3 == 0) None else Some(1.0))
+    }.toDF("doc_id", "tokens", "n_tok", "source", "quality")
+    input.write.format("graft").option("buckets", "4")
+      .option("tokensPerChunk", "32").mode("append").save(dir)
+    val matching = input.filter($"quality" === 1.0).count() // ~267
+    val k = 150
+    assert(matching > k, s"fixture broken: only $matching matching rows")
+    val got = spark.read.format("graft").load(dir)
+      .filter($"quality" === 1.0).limit(k).collect()
+    assert(got.length === k, s"limit under-planned: got ${got.length} of $k")
+    assert(got.forall(_.getAs[Double]("quality") == 1.0))
+  }
+
+  test("graft table schemas are fixed at creation (append with a different column set fails)") {
+    import spark.implicits._
+    val dir = tmp()
+    metaDf(50).write.format("graft").option("buckets", "2").mode("append").save(dir)
+    val canonical = TokenTables.synthetic(spark, nDocs = 10, seed = 3L)
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val e = intercept[Exception] {
+      canonical.write.format("graft").option("buckets", "2").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("schema"), e.getMessage)
+    // and the reverse: metadata append onto a canonical table
+    val dir2 = tmp()
+    canonical.write.format("graft").option("buckets", "2").mode("append").save(dir2)
+    val e2 = intercept[Exception] {
+      metaDf(10).write.format("graft").option("buckets", "2").mode("append").save(dir2)
+    }
+    assert(e2.getMessage.contains("schema"), e2.getMessage)
   }
 }
