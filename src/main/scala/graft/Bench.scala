@@ -52,6 +52,15 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+
+    // Graft-storage relational suite: the same q_* entries with base tables
+    // stored in graft format through the connector (tpcds_bench analog) —
+    // per-query seconds AND row counts, so a silent wrong-plan shows up as
+    // a row diff against the parquet-path run, not just a time delta.
+    val (suiteSetup, suite) = graft.bench.GraftRelationalBench.run(spark, sfDir)
+    val gq = suite.map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val gRows = suite.map { case (k, _, r) => s""""$k":$r""" }.mkString("{", ",", "}")
+    val gTotal = suite.map(_._2).sum
     spark.stop()
 
     // North metrics: same encode job at N and 4N parallelism on one input,
@@ -87,6 +96,8 @@ object Bench {
 
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        f""""queries_graft":$gq,"queries_graft_rows":$gRows,""" +
+        f""""graft_suite_total":$gTotal%.3f,"graft_suite_setup_sec":$suiteSetup%.3f,""" +
         f""""calib_kernel_ms":$calibBefore%.1f,"calib_kernel_ms_after":$calibAfter%.1f,""" +
         f""""encode":$encodeJson,"sf":"$sfDir"}""")
   }

@@ -160,6 +160,14 @@ object GraftEncoder {
 
   final val DefaultTokensPerChunk: Int = 64 * 1024
 
+  /** Row cap per chunk, independent of the token budget: rows with few or
+    * ZERO tokens (a [[graft.sources.GraftTableBridge]] scalar table rides
+    * empty token arrays) would otherwise collapse an entire bucket into one
+    * chunk — unbounded encode working set and no intra-file stat pruning.
+    * 8192 matches the reference reader's batch granularity
+    * (/root/reference/src/opener.rs DEFAULT_BATCH_SIZE). */
+  final val MaxRowsPerChunk: Int = 8192
+
   /** Deterministic bucket assignment + the one explicit shuffle of the
     * encode job. The bucket is a pure function of doc_id (NOT the physical
     * partition id), so restart filtering and replay idempotency hold no
@@ -257,7 +265,7 @@ object GraftEncoder {
         val buf = scala.collection.mutable.ArrayBuffer.empty[TokenRow]
         var tokenCount = 0L
         while (in.hasNext && in.head.bucket == bucket &&
-          tokenCount < tokensPerChunk) {
+          tokenCount < tokensPerChunk && buf.length < MaxRowsPerChunk) {
           val r = in.next()
           buf += TokenRow(r.doc_id, r.tokens, r.n_tok, r.source)
           tokenCount += r.tokens.length
@@ -481,7 +489,7 @@ object GraftEncoder {
         val metaBuf = scala.collection.mutable.ArrayBuffer.empty[Array[AnyRef]]
         var tokenCount = 0L
         while (in.hasNext && in.head._1.bucket == bucket &&
-          tokenCount < tokensPerChunk) {
+          tokenCount < tokensPerChunk && rowBuf.length < MaxRowsPerChunk) {
           val (r, m) = in.next()
           rowBuf += TokenRow(r.doc_id, r.tokens, r.n_tok, r.source)
           metaBuf += m

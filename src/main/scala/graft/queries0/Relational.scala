@@ -21,8 +21,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational {
 
+  /** Base-table loader. With [[graft.sources.GraftTableBridge.TableRootKey]]
+    * set on the session, every entry runs against the SAME tables stored in
+    * graft format through the connector (the graft-storage suite,
+    * reference tpcds_bench.rs analog) — plans, filters and joins identical,
+    * only the leaf scans change. */
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    spark.conf.getOption(graft.sources.GraftTableBridge.TableRootKey) match {
+      case Some(root) => graft.sources.GraftTableBridge.read(spark, s"$root/$name")
+      case None => spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   /** sum over DECIMAL(18,2), surfaced as DOUBLE — exact then one cast. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")

@@ -1205,7 +1205,8 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
               if (!e.present(i)) row.setNullAt(f)
               else field.dataType match {
                 case IntegerType | DateType => row.setInt(f, e.values(i).toInt)
-                case LongType | TimestampType => row.setLong(f, e.values(i))
+                case LongType | TimestampType | TimestampNTZType =>
+                  row.setLong(f, e.values(i))
                 case DoubleType =>
                   row.setDouble(f, MetaColumns.fromSortableDouble(e.values(i)))
                 case other => throw new IllegalStateException(
@@ -1311,7 +1312,8 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
           case e: ExtraLongsDecoded =>
             val put: Int => Unit = field.dataType match {
               case IntegerType | DateType => i => v.putInt(i, e.values(i).toInt)
-              case LongType | TimestampType => i => v.putLong(i, e.values(i))
+              case LongType | TimestampType | TimestampNTZType =>
+                i => v.putLong(i, e.values(i))
               case DoubleType =>
                 i => v.putDouble(i, MetaColumns.fromSortableDouble(e.values(i)))
               case other => throw new IllegalStateException(

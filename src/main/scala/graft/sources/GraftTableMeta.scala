@@ -52,7 +52,33 @@ object GraftTableMeta {
 
   def metaPath(tableDir: String): HPath = new HPath(tableDir, "lineage/_meta")
 
+  /** `_meta` is WRITE-ONCE (create-no-overwrite at first commit, fixed for
+    * the table's lifetime), so a successful read is cacheable forever —
+    * without this every scan/write build pays an FS round-trip per table.
+    * Absence is NOT cached (the table may be created later). Bounded LRU
+    * like the header cache (temp tables churn in tests/benches). */
+  private val metaCache =
+    new java.util.LinkedHashMap[String, Meta](256, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Meta]): Boolean =
+        size() > 16 * 1024
+    }
+
   def read(tableDir: String, conf: Configuration): Option[Meta] = {
+    metaCache.synchronized {
+      val hit = metaCache.get(tableDir)
+      if (hit != null) return Some(hit)
+    }
+    val got = readUncached(tableDir, conf)
+    got.foreach(m => metaCache.synchronized { metaCache.put(tableDir, m) })
+    got
+  }
+
+  /** TRUNCATE is the ONE operation that deletes and restamps `_meta`
+    * (possibly with a different schema) — it must drop the cached entry. */
+  def invalidate(tableDir: String): Unit =
+    metaCache.synchronized { metaCache.remove(tableDir): Unit }
+
+  private def readUncached(tableDir: String, conf: Configuration): Option[Meta] = {
     val p = metaPath(tableDir)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return None

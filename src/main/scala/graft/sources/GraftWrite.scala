@@ -184,6 +184,7 @@ class GraftBatchWrite(path: String, stagingDir: String, schema: StructType,
       val fs = new HPath(path).getFileSystem(conf)
       fs.delete(new HPath(path, "data"), true)
       fs.delete(new HPath(path, "lineage"), true)
+      GraftTableMeta.invalidate(path) // _meta was deleted; restamped below
     }
     // Version gate: stamp lineage/_meta on a fresh table, fail fast on a
     // table whose bucket function / id space cannot be verified (advisor
@@ -474,7 +475,7 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
           case IntegerType => java.lang.Long.valueOf(row.getInt(ord).toLong)
           case DateType => java.lang.Long.valueOf(row.getInt(ord).toLong)
           case LongType => java.lang.Long.valueOf(row.getLong(ord))
-          case TimestampType => java.lang.Long.valueOf(row.getLong(ord))
+          case TimestampType | TimestampNTZType => java.lang.Long.valueOf(row.getLong(ord))
           case DoubleType =>
             java.lang.Long.valueOf(MetaColumns.sortableDouble(row.getDouble(ord)))
           case other => throw new IllegalStateException(

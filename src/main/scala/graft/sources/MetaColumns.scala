@@ -31,20 +31,21 @@ object MetaColumns {
 
   /** v2 layout reserves `__` as the stream/field separator, and these
     * top-level segment fields already exist in every part-file. */
-  private val ReservedNames: Set[String] = CanonicalNames ++ Set(
+  val ReservedNames: Set[String] = CanonicalNames ++ Set(
     "tok_len", "segmentId", "partitionId", "chunkIdx", "nRows", "nTokens",
     "bytesIn", "bytesOut", "bucket", "snapshotId")
 
   private val NameRe = "[a-z][a-z0-9_]*".r
 
   def isSupported(dt: DataType): Boolean = dt match {
-    case IntegerType | LongType | DateType | TimestampType | DoubleType |
-         StringType => true
+    case IntegerType | LongType | DateType | TimestampType |
+         TimestampNTZType | DoubleType | StringType => true
     case _ => false
   }
 
   def isIntKind(dt: DataType): Boolean = dt match {
-    case IntegerType | LongType | DateType | TimestampType | DoubleType => true
+    case IntegerType | LongType | DateType | TimestampType |
+         TimestampNTZType | DoubleType => true
     case _ => false
   }
 
@@ -87,6 +88,7 @@ object MetaColumns {
     case LongType => "long"
     case DateType => "date"
     case TimestampType => "timestamp"
+    case TimestampNTZType => "timestamp_ntz"
     case DoubleType => "double"
     case StringType => "string"
     case ArrayType(IntegerType, _) => "array<int>"
@@ -98,6 +100,7 @@ object MetaColumns {
     case "long" => LongType
     case "date" => DateType
     case "timestamp" => TimestampType
+    case "timestamp_ntz" => TimestampNTZType
     case "double" => DoubleType
     case "string" => StringType
     case "array<int>" => ArrayType(IntegerType, containsNull = false)
@@ -176,6 +179,12 @@ object MetaColumns {
       Some(Math.addExact(Math.multiplyExact(t.getTime / 1000L, 1000000L),
         (t.getNanos / 1000).toLong))
     case (TimestampType, i: java.time.Instant) =>
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        (i.getNano / 1000).toLong))
+    // NTZ filters carry LocalDateTime; stored domain = micros of the naive
+    // timestamp pinned at UTC (the same long Spark stores internally)
+    case (TimestampNTZType, t: java.time.LocalDateTime) =>
+      val i = t.toInstant(java.time.ZoneOffset.UTC)
       Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
         (i.getNano / 1000).toLong))
     case (DoubleType, d: Double) => Some(statDouble(d))

@@ -72,6 +72,10 @@ class GraftTableMetaSpec extends AnyFunSuite {
     assert(new GraftTable(dir, catalogBacked = true).partitioning().nonEmpty)
     val p = GraftTableMeta.metaPath(dir)
     p.getFileSystem(hconf).delete(p, false)
+    // _meta is write-once and cached; deleting it out-of-band (simulating a
+    // pre-versioning table) needs the explicit invalidation a fresh process
+    // would get for free
+    GraftTableMeta.invalidate(dir)
     // unverifiable bucket function => no KeyGroupedPartitioning declaration
     assert(new GraftTable(dir, catalogBacked = true).partitioning().isEmpty)
   }
