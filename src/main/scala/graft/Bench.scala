@@ -44,11 +44,16 @@ object Bench {
     // compile, first parquet footer reads, shuffle service spin-up) — r1
     // charged ~5s of warm-up to ann_bruteforce_topk.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // SPARK_GRAFT_BENCH_ONLY=<regex>: time only matching entries (and skip
+    // the fork + suite blocks) — the iterate-on-one-query mode.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -57,7 +62,9 @@ object Bench {
     // stored in graft format through the connector (tpcds_bench analog) —
     // per-query seconds AND row counts, so a silent wrong-plan shows up as
     // a row diff against the parquet-path run, not just a time delta.
-    val (suiteSetup, suite) = graft.bench.GraftRelationalBench.run(spark, sfDir)
+    val (suiteSetup, suite) =
+      if (only.isDefined) (0.0, Nil)
+      else graft.bench.GraftRelationalBench.run(spark, sfDir)
     val gq = suite.map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val gRows = suite.map { case (k, _, r) => s""""$k":$r""" }.mkString("{", ",", "}")
     val gTotal = suite.map(_._2).sum
@@ -73,7 +80,9 @@ object Bench {
     def eff(json: String): Double =
       """"scaling_efficiency":(-?[\d.eE+-]+)""".r.findFirstMatchIn(json)
         .map(_.group(1).toDouble).getOrElse(-1.0)
-    val fork1 = EncodeBench.forkScalingJson(nDocs, levels = "1,4", reps = forkReps)
+    val fork1 =
+      if (only.isDefined) None
+      else EncodeBench.forkScalingJson(nDocs, levels = "1,4", reps = forkReps)
     // Co-tenant noise windows on this host run for MINUTES and sink every
     // 4N sample of a whole fork at once (observed: standalone run at 0.846
     // twenty minutes before an identical-config fork at 0.569, loadavg 6+

@@ -405,7 +405,10 @@ object GraftEncoder {
     * non-null values, [[Nullable]] PRESENT framing outside, stats over the
     * non-null values only (a chunk with zero non-null values records the
     * neutral 0/0 (or ""/"") stats — sound: no row of it can match an
-    * equality/range predicate anyway). */
+    * equality/range predicate anyway). `nValues` records the NON-NULL
+    * count, NOT the slot count: the header fold skips nValues==0 chunks'
+    * neutral stats, and COUNT(col) pushdown sums these per file — both
+    * need the SQL-visible (null-ignoring) cardinality. */
   private def extraChunk(e: ExtraCol, conf: CodecConf): ColChunk = e match {
     case ExtraLongs(name, values, present, bytesInPerValue, statMap) =>
       val compacted = Nullable.compactLongs(values, present)
@@ -421,7 +424,7 @@ object GraftEncoder {
         k += 1
       }
       if (compacted.isEmpty) { minV = 0L; maxV = 0L }
-      ColChunk(name, codec.id, codec.name, values.length.toLong,
+      ColChunk(name, codec.id, codec.name, compacted.length.toLong,
         compacted.length.toLong * bytesInPerValue, payload.length.toLong,
         minV, maxV, "", "", payload)
     case ExtraStrings(name, values) =>
@@ -451,7 +454,7 @@ object GraftEncoder {
         if (compareUtf8(compacted(k), maxS) > 0) maxS = compacted(k)
         k += 1
       }
-      ColChunk(name, codec.id, codec.name, values.length.toLong, bytesIn,
+      ColChunk(name, codec.id, codec.name, nPresent.toLong, bytesIn,
         payload.length.toLong, 0L, 0L, minS, maxS, payload)
   }
 

@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
@@ -211,12 +211,15 @@ class GraftTable(path: String, catalogBacked: Boolean = false,
     new GraftWriteBuilder(path, info, sessionConf)
 }
 
-/** What MIN/MAX/COUNT(*) reduce to against the segment headers. */
+/** What MIN/MAX/COUNT(*)/COUNT(col) reduce to against the segment headers. */
 sealed trait AggSpec
 object AggSpec {
   final case class MinOf(col: String) extends AggSpec
   final case class MaxOf(col: String) extends AggSpec
   case object CountAll extends AggSpec
+  /** Non-null count: header row count for the (non-nullable) canonical
+    * columns, the per-file sum of chunk nValues for metadata columns. */
+  final case class CountOf(col: String) extends AggSpec
 }
 
 class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
@@ -278,11 +281,24 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
         case nr: NamedReference if nr.fieldNames().length == 1 => Some(nr.fieldNames()(0))
         case _ => None
       }
-    val statCols = Set("n_tok", "doc_id", "source")
+    // every SCALAR column carries exact min/max stats: the canonical three
+    // plus all metadata columns (their stats cover non-null values only —
+    // exactly SQL MIN/MAX's null-ignoring domain; the header fold skips
+    // all-null chunks' neutral stats, so the fold is exact). `tokens` is
+    // excluded: SQL MIN over an array column is lexicographic array order,
+    // which element stats cannot answer (GraftStatsAggPushdown handles the
+    // element shapes instead).
+    val statCols = fullSchema.fields.collect {
+      case f if f.name != "tokens" => f.name
+    }.toSet
+    // COUNT(col) = rows for the non-nullable canonical columns, the
+    // header-summed non-null count for metadata columns
+    val countCols = statCols ++ Set("tokens")
     if (pushed.nonEmpty || limit.isDefined || aggregation.groupByExpressions.nonEmpty ||
       aggregation.aggregateExpressions.isEmpty) return false
     val specs = aggregation.aggregateExpressions.map {
       case _: CountStar => Some(AggSpec.CountAll)
+      case c: Count if !c.isDistinct => field(c.column).filter(countCols).map(AggSpec.CountOf)
       case m: Min => field(m.column).filter(statCols).map(AggSpec.MinOf)
       case m: Max => field(m.column).filter(statCols).map(AggSpec.MaxOf)
       case _ => None
@@ -678,21 +694,29 @@ class GraftAggScan(path: String, specs: Seq[AggSpec], hconf: SerializableConfigu
   // partial row (count 0, null extrema) — with NO partial rows at all,
   // Spark's merge would compute sum(counts) over empty input and a pushed
   // COUNT(*) on an empty table would return null instead of 0
+  /** Column types from the recorded table schema — MIN/MAX partials carry
+    * the column's OWN type (int/long/date/timestamp/double/string), so
+    * metadata-column aggregates push like canonical ones. */
+  private lazy val colTypes: Map[String, DataType] =
+    GraftTable.tableSchema(path, hconf.value).fields
+      .map(f => f.name -> f.dataType).toMap
+  private def partialType(c: String): DataType =
+    colTypes.getOrElse(c, StringType)
   override def readSchema(): StructType = StructType(specs.map {
     case AggSpec.CountAll => StructField("count(*)", LongType, nullable = false)
-    case AggSpec.MinOf("n_tok") => StructField("min(n_tok)", IntegerType, nullable = true)
-    case AggSpec.MaxOf("n_tok") => StructField("max(n_tok)", IntegerType, nullable = true)
+    case AggSpec.CountOf(c) => StructField(s"count($c)", LongType, nullable = false)
     // token ELEMENT extrema (min over array_min / max over array_max, the
     // GraftStatsAggPushdown rewrite) — NOT SQL MIN(tokens), which is
     // lexicographic array order and is never pushed
     case AggSpec.MinOf("tokens") => StructField("min_tok_elem", IntegerType, nullable = true)
     case AggSpec.MaxOf("tokens") => StructField("max_tok_elem", IntegerType, nullable = true)
-    case AggSpec.MinOf(c) => StructField(s"min($c)", StringType, nullable = true)
-    case AggSpec.MaxOf(c) => StructField(s"max($c)", StringType, nullable = true)
+    case AggSpec.MinOf(c) => StructField(s"min($c)", partialType(c), nullable = true)
+    case AggSpec.MaxOf(c) => StructField(s"max($c)", partialType(c), nullable = true)
   })
   override def description(): String =
     "GraftScan PushedAggregation: [" + specs.map {
       case AggSpec.CountAll => "COUNT(*)"
+      case AggSpec.CountOf(c) => s"COUNT($c)"
       case AggSpec.MinOf("tokens") => "MIN_TOKEN_ELEM"
       case AggSpec.MaxOf("tokens") => "MAX_TOKEN_ELEM"
       case AggSpec.MinOf(c) => s"MIN($c)"
@@ -701,9 +725,13 @@ class GraftAggScan(path: String, specs: Seq[AggSpec], hconf: SerializableConfigu
   override def createReaderFactory(): PartitionReaderFactory = {
     val hc = hconf
     val sp = specs
+    val types = specs.collect {
+      case AggSpec.MinOf(c) => c -> partialType(c)
+      case AggSpec.MaxOf(c) => c -> partialType(c)
+    }.toMap
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new GraftAggReader(GraftInputPartition.fileOf(partition), sp, hc.value)
+        new GraftAggReader(GraftInputPartition.fileOf(partition), sp, hc.value, types)
     }
   }
 }
@@ -714,10 +742,24 @@ class GraftAggScan(path: String, specs: Seq[AggSpec], hconf: SerializableConfigu
   * carry exactly the count and folded min/max the pushed aggregate needs.
   * A segment-free file still contributes (count 0, null extrema) — see
   * [[GraftAggScan.readSchema]]. */
-class GraftAggReader(file: String, specs: Seq[AggSpec], conf: Configuration)
+class GraftAggReader(file: String, specs: Seq[AggSpec], conf: Configuration,
+                     types: Map[String, DataType] = Map.empty)
     extends PartitionReader[InternalRow] {
   private var done = false
   private var row: InternalRow = _
+
+  /** Emit one folded extremum in the column's own type (the stored stat
+    * domain is a 64-bit long; doubles invert the sortable-bits bijection). */
+  private def emit(out: GenericInternalRow, i: Int, c: String,
+                   r: GraftLayout.ColRange, isMin: Boolean): Unit = {
+    val v = if (isMin) r.minV else r.maxV
+    types.getOrElse(c, StringType) match {
+      case IntegerType | DateType => out.setInt(i, v.toInt)
+      case LongType | TimestampType | TimestampNTZType => out.setLong(i, v)
+      case DoubleType => out.setDouble(i, MetaColumns.fromSortableDouble(v))
+      case _ => out.update(i, UTF8String.fromString(if (isMin) r.minS else r.maxS))
+    }
+  }
 
   override def next(): Boolean = {
     if (done) return false
@@ -726,10 +768,11 @@ class GraftAggReader(file: String, specs: Seq[AggSpec], conf: Configuration)
     val out = new GenericInternalRow(specs.length)
     specs.zipWithIndex.foreach {
       case (AggSpec.CountAll, i) => out.setLong(i, h.rows)
-      case (AggSpec.MinOf("n_tok"), i) =>
-        h.ranges.get("n_tok").fold(out.setNullAt(i))(r => out.setInt(i, r.minV.toInt))
-      case (AggSpec.MaxOf("n_tok"), i) =>
-        h.ranges.get("n_tok").fold(out.setNullAt(i))(r => out.setInt(i, r.maxV.toInt))
+      // COUNT(col): rows for the non-nullable canonical columns; the
+      // header-summed non-null chunk cardinality for metadata columns
+      case (AggSpec.CountOf(c), i) =>
+        if (MetaColumns.CanonicalNames.contains(c)) out.setLong(i, h.rows)
+        else out.setLong(i, h.nValues.getOrElse(c, 0L))
       // token ELEMENT extrema: the fold skips value-less chunks, so the
       // range is exact over the tokens present; a token-free file emits
       // null (= array_min/array_max over empty arrays, which MIN ignores)
@@ -738,9 +781,9 @@ class GraftAggReader(file: String, specs: Seq[AggSpec], conf: Configuration)
       case (AggSpec.MaxOf("tokens"), i) =>
         h.ranges.get("tokens").fold(out.setNullAt(i))(r => out.setInt(i, r.maxV.toInt))
       case (AggSpec.MinOf(c), i) =>
-        h.ranges.get(c).fold(out.setNullAt(i))(r => out.update(i, UTF8String.fromString(r.minS)))
+        h.ranges.get(c).fold(out.setNullAt(i))(r => emit(out, i, c, r, isMin = true))
       case (AggSpec.MaxOf(c), i) =>
-        h.ranges.get(c).fold(out.setNullAt(i))(r => out.update(i, UTF8String.fromString(r.maxS)))
+        h.ranges.get(c).fold(out.setNullAt(i))(r => emit(out, i, c, r, isMin = false))
     }
     row = out
     true

@@ -43,7 +43,8 @@ object GraftLayout {
   final case class FileHeader(rows: Long, bytesIn: Map[String, Long],
                               ranges: Map[String, ColRange],
                               blooms: Map[String, Array[Byte]] = Map.empty,
-                              v2: Boolean = false)
+                              v2: Boolean = false,
+                              nValues: Map[String, Long] = Map.empty)
 
   /** Footer-level facts of one immutable part-file: layout generation,
     * stream names (v2), and the file-level blooms. Cached like headers. */
@@ -123,6 +124,7 @@ object GraftLayout {
     var rows = 0L
     val bytes = scala.collection.mutable.Map.empty[String, Long]
     val ranges = scala.collection.mutable.Map.empty[String, ColRange]
+    val nVals = scala.collection.mutable.Map.empty[String, Long]
     val cmp = graft.engine.GraftEncoder.compareUtf8 _
     try {
       var g = reader.read()
@@ -131,13 +133,16 @@ object GraftLayout {
         fi.streams.foreach { s =>
           bytes.updateWith(s)(v => Some(v.getOrElse(0L) +
             g.getLong(SegmentLayoutV2.field(s, "bytesIn"), 0)))
-          // a VALUE-LESS chunk stream (empty token flat: every doc in the
-          // chunk has an empty array) records neutral 0/0 stats — folding
-          // those in would (a) widen the file range spuriously and (b)
-          // make the fold unusable for MIN/MAX aggregate pushdown (a
-          // neutral 0 is indistinguishable from real token id 0). Skip
-          // them: the folded range is then EXACT over the values present.
-          if (g.getLong(SegmentLayoutV2.field(s, "nValues"), 0) > 0L) {
+          val nv = g.getLong(SegmentLayoutV2.field(s, "nValues"), 0)
+          nVals.updateWith(s)(v => Some(v.getOrElse(0L) + nv))
+          // a VALUE-LESS chunk stream (empty token flat, or an all-null
+          // metadata chunk — nValues is the NON-NULL count) records
+          // neutral 0/0 stats — folding those in would (a) widen the file
+          // range spuriously and (b) make the fold unusable for MIN/MAX
+          // aggregate pushdown (a neutral 0 is indistinguishable from real
+          // value 0). Skip them: the folded range is then EXACT over the
+          // values present.
+          if (nv > 0L) {
             val r = ColRange(
               g.getLong(SegmentLayoutV2.field(s, "minV"), 0),
               g.getLong(SegmentLayoutV2.field(s, "maxV"), 0),
@@ -155,7 +160,7 @@ object GraftLayout {
         g = reader.read()
       }
     } finally reader.close()
-    FileHeader(rows, bytes.toMap, ranges.toMap, fi.blooms, v2 = true)
+    FileHeader(rows, bytes.toMap, ranges.toMap, fi.blooms, v2 = true, nVals.toMap)
   }
 
   private def readHeaderLegacy(file: String, conf: Configuration): FileHeader = {
@@ -165,6 +170,7 @@ object GraftLayout {
     var rows = 0L
     val bytes = scala.collection.mutable.Map.empty[String, Long]
     val ranges = scala.collection.mutable.Map.empty[String, ColRange]
+    val nVals = scala.collection.mutable.Map.empty[String, Long]
     val cmp = graft.engine.GraftEncoder.compareUtf8 _
     try {
       var g = reader.read()
@@ -177,8 +183,10 @@ object GraftLayout {
           val el = wrapper.getGroup(0, i).getGroup(0, 0)
           val c = el.getString("col", 0)
           bytes.updateWith(c)(v => Some(v.getOrElse(0L) + el.getLong("bytesIn", 0)))
+          val nv = el.getLong("nValues", 0)
+          nVals.updateWith(c)(v => Some(v.getOrElse(0L) + nv))
           // skip value-less chunk streams' neutral stats (see readHeaderV2)
-          if (el.getLong("nValues", 0) > 0L) {
+          if (nv > 0L) {
             val r = ColRange(el.getLong("minV", 0), el.getLong("maxV", 0),
               el.getString("minS", 0), el.getString("maxS", 0))
             ranges.updateWith(c) {
@@ -194,7 +202,7 @@ object GraftLayout {
         g = reader.read()
       }
     } finally reader.close()
-    FileHeader(rows, bytes.toMap, ranges.toMap)
+    FileHeader(rows, bytes.toMap, ranges.toMap, nValues = nVals.toMap)
   }
 
   /** List the data part-files of a graft table, ledger-filtered and sorted.

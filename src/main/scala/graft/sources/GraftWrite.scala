@@ -339,7 +339,19 @@ object GraftWriteCommit {
   }
 
   private def writeLineage(path: String, snapshotId: Long,
-                           messages: Array[GraftCommitMessage], conf: Configuration): Unit = {
+                           messages: Array[GraftCommitMessage], conf: Configuration): Unit =
+    appendLedgerRows(path, messages.toSeq.map(m =>
+      graft.lineage.LineageRow(snapshotId, m.bucket, m.nSegments, m.nRows,
+        m.nTokens, m.bytesIn, m.bytesOut, m.firstChunk, m.lastChunk, m.codecs,
+        graft.lineage.SegmentStore.Committed)), conf)
+
+  /** Append one ledger file holding `rows` — THE commit point of every
+    * write path (one file = visibility flips atomically at the file move).
+    * Driver-side (no Spark job): a commit's ledger rows are metadata-scale
+    * (pending buckets + markers), and the `repartition(1).write` job this
+    * replaces was the dominant fixed cost of a streaming micro-batch. */
+  def appendLedgerRows(path: String, rows: Seq[graft.lineage.LineageRow],
+                       conf: Configuration): Unit = {
     val file = new HPath(s"$path/lineage/part-graft-${UUID.randomUUID()}.parquet")
     val writer = ExampleParquetWriter.builder(file)
       .withConf(conf).withType(LineageSchema)
@@ -347,19 +359,19 @@ object GraftWriteCommit {
       .build()
     val f = new SimpleGroupFactory(LineageSchema)
     try {
-      messages.sortBy(_.bucket).foreach { m =>
+      rows.sortBy(r => (r.snapshotId, r.bucket)).foreach { r =>
         val g = f.newGroup()
-        g.add("snapshotId", snapshotId)
-        g.add("bucket", m.bucket)
-        g.add("nSegments", m.nSegments)
-        g.add("nRows", m.nRows)
-        g.add("nTokens", m.nTokens)
-        g.add("bytesIn", m.bytesIn)
-        g.add("bytesOut", m.bytesOut)
-        g.add("firstChunk", m.firstChunk)
-        g.add("lastChunk", m.lastChunk)
-        g.add("codecs", m.codecs)
-        g.add("status", graft.lineage.SegmentStore.Committed)
+        g.add("snapshotId", r.snapshotId)
+        g.add("bucket", r.bucket)
+        g.add("nSegments", r.nSegments)
+        g.add("nRows", r.nRows)
+        g.add("nTokens", r.nTokens)
+        g.add("bytesIn", r.bytesIn)
+        g.add("bytesOut", r.bytesOut)
+        g.add("firstChunk", r.firstChunk)
+        g.add("lastChunk", r.lastChunk)
+        g.add("codecs", r.codecs)
+        g.add("status", r.status)
         writer.write(g)
       }
     } finally writer.close()

@@ -626,6 +626,36 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(got.forall(_.getAs[Double]("quality") == 1.0))
   }
 
+  test("MIN/MAX/COUNT over metadata columns push to headers (typed, null-aware)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, max, min}
+    val dir = tmp()
+    val input = metaDf(300)
+    input.write.format("graft").option("buckets", "2")
+      .option("tokensPerChunk", "64").mode("append").save(dir)
+    val table = spark.read.format("graft").load(dir)
+    val fused = table.agg(
+      min($"quality").as("min_q"), max($"quality").as("max_q"),
+      min($"views").as("min_v"), max($"views").as("max_v"),
+      min($"lang").as("min_l"), max($"lang").as("max_l"),
+      min($"created").as("min_d"), max($"ts").as("max_t"),
+      count($"quality").as("n_q"), count($"lang").as("n_l"))
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation") && plan.contains("MIN(quality)") &&
+      plan.contains("COUNT(quality)"), s"metadata aggregate not pushed:\n$plan")
+    val got = fused.collect()(0)
+    // ground truth from the raw input (nulls ignored by MIN/MAX/COUNT)
+    val want = input.agg(
+      min($"quality"), max($"quality"), min($"views"), max($"views"),
+      min($"lang"), max($"lang"), min($"created"), max($"ts"),
+      count($"quality"), count($"lang")).collect()(0)
+    assert(got === want, s"pushed aggregate diverged: got $got want $want")
+    // and the scan is header-only: no payload decode at all
+    val (_, m) = runWithScanMetrics(fused)
+    assert(m.getOrElse("graft payload bytes decoded", -1L) <= 0L,
+      s"aggregate scan decoded payload: $m")
+  }
+
   test("graft table schemas are fixed at creation (append with a different column set fails)") {
     import spark.implicits._
     val dir = tmp()
