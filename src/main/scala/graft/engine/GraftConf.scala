@@ -37,8 +37,14 @@ final case class GraftConf(
     s"${GraftConf.DeflateMinGain} must be in [0,1], got $deflateMinGain")
   require(dictThreshold >= 0 && dictThreshold <= 1,
     s"${GraftConf.DictThreshold} must be in [0,1], got $dictThreshold")
-  require(bloomColumns.subsetOf(GraftConf.BloomableColumns),
-    s"${GraftConf.BloomColumns} must be a subset of ${GraftConf.BloomableColumns.toSeq.sorted.mkString(",")}, got ${bloomColumns.mkString(",")}")
+  // canonical streams by name, plus any legal METADATA column name (the
+  // writer validates the actual schema; an opted-in name with no stream
+  // simply never builds a filter)
+  require(bloomColumns.forall(c => GraftConf.BloomableColumns.contains(c) ||
+    (GraftConf.LegalStreamName.matches(c) && !c.contains("__"))),
+    s"${GraftConf.BloomColumns} entries must be canonical streams " +
+      s"(${GraftConf.BloomableColumns.toSeq.sorted.mkString(",")}) or legal " +
+      s"metadata column names, got ${bloomColumns.mkString(",")}")
   require(fileBloomBytes >= 0, s"${GraftConf.FileBloomBytes} must be >= 0, got $fileBloomBytes")
 
   /** The kernel-facing slice, threaded through every codec call as an
@@ -60,6 +66,10 @@ object GraftConf {
   /** Streams a bloom can be requested on (the five encoded streams). */
   final val BloomableColumns: Set[String] =
     Set("doc_id", "source", "tokens", "n_tok", "tok_len")
+
+  /** Metadata column names follow the same rule [[graft.sources.MetaColumns]]
+    * enforces at write time. */
+  final val LegalStreamName: scala.util.matching.Regex = "[a-z][a-z0-9_]*".r
 
   private def parseInt(key: String, v: String): Int =
     try v.trim.toInt

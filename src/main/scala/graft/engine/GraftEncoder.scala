@@ -424,9 +424,15 @@ object GraftEncoder {
         k += 1
       }
       if (compacted.isEmpty) { minV = 0L; maxV = 0L }
+      // opt-in chunk bloom, built over the STAT domain (statMap) so the
+      // normalized point predicates probe the same representative values
+      val bloom =
+        if (conf.bloomColumns.contains(name) && compacted.nonEmpty)
+          SegmentBloom.buildFromLongs(compacted.map(statMap))
+        else Array.emptyByteArray
       ColChunk(name, codec.id, codec.name, compacted.length.toLong,
         compacted.length.toLong * bytesInPerValue, payload.length.toLong,
-        minV, maxV, "", "", payload)
+        minV, maxV, "", "", payload, bloom)
     case ExtraStrings(name, values) =>
       val present = new Array[Boolean](values.length)
       var nPresent = 0
@@ -454,8 +460,12 @@ object GraftEncoder {
         if (compareUtf8(compacted(k), maxS) > 0) maxS = compacted(k)
         k += 1
       }
+      val bloom =
+        if (conf.bloomColumns.contains(name) && compacted.nonEmpty)
+          SegmentBloom.buildFromStrings(compacted)
+        else Array.emptyByteArray
       ColChunk(name, codec.id, codec.name, nPresent.toLong, bytesIn,
-        payload.length.toLong, 0L, 0L, minS, maxS, payload)
+        payload.length.toLong, 0L, 0L, minS, maxS, payload, bloom)
   }
 
   /** [[encodePartition]] with metadata columns riding beside each row:
@@ -524,6 +534,46 @@ object GraftEncoder {
         chunkIdx += 1
         seg
       }
+    }
+  }
+
+  /** Decode one segment INCLUDING its metadata streams, in the STORED
+    * domain: per row a [[BucketedRow]] (bucket = the segment's own — valid
+    * while the table's bucket count is unchanged, since bucket is a pure
+    * function of doc_id) plus one slot per `specs` entry holding
+    * java.lang.Long (int-kind stored 64-bit value) or String, null = SQL
+    * null. This is EXACTLY the shape [[encodePartitionWithMeta]] consumes,
+    * so compaction's decode -> re-chunk -> re-encode round-trips metadata
+    * without ever rendering external Spark types. */
+  def decodeSegmentWithMeta(seg: Segment,
+                            specs: Seq[MetaColSpec]): Iterator[(BucketedRow, Array[AnyRef])] = {
+    val byCol = seg.cols.map(c => c.col -> c).toMap
+    val docIds = StringCodecs.decodeChunk(byCol("doc_id").payload)
+    val sources = StringCodecs.decodeChunk(byCol("source").payload)
+    val nToks = IntCodecs.decodeChunkInt(byCol("n_tok").payload)
+    val tokLens = IntCodecs.decodeChunkInt(byCol("tok_len").payload)
+    val flat = IntCodecs.decodeChunkInt(byCol("tokens").payload)
+    val metaCols: Array[AnyRef] = specs.map { s =>
+      val payload = byCol(s.name).payload
+      if (s.isString) Nullable.decodeStrings(payload): AnyRef
+      else Nullable.decodeInts(payload): AnyRef
+    }.toArray
+    var pos = 0
+    (0 until seg.nRows).iterator.map { i =>
+      val len = tokLens(i)
+      val toks = java.util.Arrays.copyOfRange(flat, pos, pos + len)
+      pos += len
+      val metas = new Array[AnyRef](specs.length)
+      var j = 0
+      while (j < specs.length) {
+        metaCols(j) match {
+          case ss: Array[String] => metas(j) = ss(i)
+          case lp: (Array[Long], Array[Boolean]) @unchecked =>
+            if (lp._2(i)) metas(j) = java.lang.Long.valueOf(lp._1(i))
+        }
+        j += 1
+      }
+      (BucketedRow(docIds(i), toks, nToks(i), sources(i), seg.bucket), metas)
     }
   }
 

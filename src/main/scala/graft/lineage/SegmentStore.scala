@@ -87,10 +87,15 @@ object SegmentStore {
         .filterNot(_.name == "bucket"))
       .add("snapshotId", "long").add("bucket", "int")
 
-  /** Explicit read schema of the v2 (pivoted) stored layout. */
-  private def segmentTableSchemaV2: org.apache.spark.sql.types.StructType =
-    graft.sources.SegmentLayoutV2
-      .sparkSchema(graft.sources.SegmentLayoutV2.CanonicalStreams)
+  /** Explicit read schema of the v2 (pivoted) stored layout. `streams`
+    * defaults to the canonical five; a METADATA table's reads pass the
+    * footer-derived stream set so its extra chunks survive into the
+    * Segment `cols` array (a canonical-only schema would silently drop
+    * them — the bug class the compaction guard used to refuse). */
+  private def segmentTableSchemaV2(
+      streams: Seq[String] = graft.sources.SegmentLayoutV2.CanonicalStreams
+    ): org.apache.spark.sql.types.StructType =
+    graft.sources.SegmentLayoutV2.sparkSchema(streams)
       .add("snapshotId", "long").add("bucket", "int")
 
   /** The committed-or-not segment table as a Segment-shaped DataFrame,
@@ -110,13 +115,18 @@ object SegmentStore {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], segmentTableSchema)
     val (v2Files, legacyFiles) =
       files.partition(f => graft.sources.GraftLayout.footerInfo(f, conf).v2)
+    // one fixed stream set per table (schema recorded at creation), so the
+    // first v2 footer names every stream — metadata streams included
+    val v2Streams = v2Files.headOption
+      .map(f => graft.sources.GraftLayout.footerInfo(f, conf).streams)
+      .getOrElse(graft.sources.SegmentLayoutV2.CanonicalStreams)
     val parts = Seq(
       if (legacyFiles.isEmpty) None
       else Some(spark.read.schema(segmentTableSchema)
         .option("basePath", dd).parquet(legacyFiles: _*)),
       if (v2Files.isEmpty) None
       else Some(graft.sources.SegmentLayoutV2.unflatten(
-        spark.read.schema(segmentTableSchemaV2)
+        spark.read.schema(segmentTableSchemaV2(v2Streams))
           .option("basePath", dd).parquet(v2Files: _*)))
     ).flatten
     parts.reduce(_.unionByName(_))
@@ -197,11 +207,24 @@ object SegmentStore {
       .filter($"bucket".isin(pending.map(Int.box): _*))
     val segments = GraftEncoder.encodeBucketed(bucketedPending, buckets, tokensPerChunk)
 
-    // Dynamic overwrite: ONLY the bucket dirs present in `segments` are
-    // replaced; previously committed buckets are untouched. Stored as the
-    // pivoted v2 layout (one parquet column per stream) so projection and
-    // stat pruning save payload IO on every later read.
-    graft.sources.SegmentLayoutV2.flatten(segments.toDF())
+    commitSegments(spark, tableDir, snapshotId, segments.toDF(),
+      graft.sources.SegmentLayoutV2.CanonicalStreams, pendingSet, extraLedger)
+    pendingSet
+  }
+
+  /** Write + commit one snapshot's Segment-shaped DataFrame: dynamic
+    * partition overwrite of ONLY the bucket dirs present (previously
+    * committed buckets untouched), stored as the pivoted v2 layout, then
+    * ONE driver-side ledger append as the commit point. `streams` names
+    * the stream set to pivot (canonical, or canonical ++ metadata names
+    * for a metadata table's compaction). */
+  private def commitSegments(spark: SparkSession, tableDir: String,
+                             snapshotId: Long,
+                             segments: org.apache.spark.sql.DataFrame,
+                             streams: Seq[String],
+                             pendingSet: Set[Int],
+                             extraLedger: Seq[LineageRow]): Unit = {
+    graft.sources.SegmentLayoutV2.flatten(segments, streams)
       .withColumn("snapshotId", lit(snapshotId))
       .write
       .option("partitionOverwriteMode", "dynamic")
@@ -212,7 +235,7 @@ object SegmentStore {
     // Lineage from what was actually written (read-back of the NEW
     // snapshot's partitions only, payload columns pruned — one Spark job,
     // collected to the driver at metadata scale: one row per bucket).
-    val dataRows = lineageFromData(spark, tableDir, snapshotId, pendingSet)
+    val dataRows = lineageFromData(spark, tableDir, snapshotId, pendingSet, streams)
       .collect().toSeq
     // A pending bucket with ZERO rows writes no files and yields no
     // data-derived ledger row — it must still commit (status=committed,
@@ -232,7 +255,6 @@ object SegmentStore {
     graft.sources.GraftWriteCommit.appendLedgerRows(
       tableDir, dataRows ++ emptyRows ++ extraLedger,
       spark.sessionState.newHadoopConf())
-    pendingSet
   }
 
   /** Compact every visible snapshot ≤ `upTo` into ONE fresh snapshot —
@@ -262,18 +284,14 @@ object SegmentStore {
               buckets: Int,
               tokensPerChunk: Int = GraftEncoder.DefaultTokensPerChunk): Option[Long] = {
     import spark.implicits._
-    // Compaction decodes through the canonical TokenRow model: re-encoding
-    // a table with METADATA columns here would silently drop those streams
-    // from the compacted snapshot — refuse by name instead.
-    graft.sources.GraftTableMeta.read(tableDir, spark.sessionState.newHadoopConf())
+    // A table with METADATA columns compacts through the meta-aware
+    // stored-domain path (decode streams -> re-chunk -> re-encode, no
+    // external type rendering); canonical tables keep the TokenRow path,
+    // which additionally supports re-bucketing.
+    val metaDdl = graft.sources.GraftTableMeta
+      .read(tableDir, spark.sessionState.newHadoopConf())
       .flatMap(_.schemaDdl)
       .filter(_ != graft.sources.MetaColumns.CanonicalDdl)
-      .foreach { ddl =>
-        throw new UnsupportedOperationException(
-          s"compact($tableDir): table carries metadata columns [$ddl]; " +
-            "engine-path compaction only supports the canonical TokenRow " +
-            "schema and would drop them")
-      }
     val ledger = readLineage(spark, tableDir).collect()
     val committed = ledger.collect {
       case r if r.status == Committed && r.snapshotId <= upTo => (r.snapshotId, r.bucket)
@@ -302,8 +320,42 @@ object SegmentStore {
     // under dataDir while the decode READS it (disjoint partitions, but
     // Spark's overwrite-while-reading guard keys on the root path), and it
     // bounds the maintenance op to one decode pass
-    val input = GraftEncoder.decode(readSegmentsOf(spark, tableDir, visible))
-      .localCheckpoint()
+    // Canonical tables: decode to TokenRow (re-bucketing supported).
+    // Metadata tables: stored-domain decode -> re-chunk in one pass
+    // ([[GraftEncoder.decodeSegmentWithMeta]] -> encodePartitionWithMeta),
+    // reusing each segment's own bucket id — valid only while the bucket
+    // count is unchanged, which the guard below enforces per snapshot.
+    val metaSchema = metaDdl.map(graft.sources.MetaColumns.parseDdl)
+    val metaFields = metaSchema.map(graft.sources.MetaColumns.metaFields).getOrElse(Nil)
+    metaDdl.foreach { _ =>
+      val perSnapshotBuckets = ledger
+        .filter(r => r.status == Committed && visible.exists(_._1 == r.snapshotId))
+        .groupBy(_.snapshotId).view.mapValues(_.map(_.bucket).max + 1)
+      val off = perSnapshotBuckets.filter(_._2 != buckets).toMap
+      require(off.isEmpty,
+        s"compact($tableDir): metadata-table compaction reuses stored bucket " +
+          s"ids, so the target bucket count ($buckets) must equal every input " +
+          s"snapshot's (mismatches: ${off.take(3).mkString(", ")}); re-bucketing " +
+          "a metadata table requires a decode through the connector")
+    }
+    val metaInput: Option[Dataset[Segment]] = metaSchema.map { schema =>
+      val specs = metaFields.map(graft.sources.MetaColumns.specFor)
+      implicit val segEnc = org.apache.spark.sql.Encoders.product[Segment]
+      readSegmentsOf(spark, tableDir, visible)
+        .repartition(buckets, $"bucket")
+        .mapPartitions { it =>
+          it.toArray.groupBy(_.bucket).iterator.flatMap { case (_, ss) =>
+            GraftEncoder.encodePartitionWithMeta(
+              ss.iterator.flatMap(GraftEncoder.decodeSegmentWithMeta(_, specs)),
+              specs, tokensPerChunk)
+          }
+        }
+        .localCheckpoint()
+    }
+    val input =
+      if (metaSchema.isDefined) spark.emptyDataset[TokenRow]
+      else GraftEncoder.decode(readSegmentsOf(spark, tableDir, visible))
+        .localCheckpoint()
     val markers = visible.toSeq.sorted.map { case (s, b) =>
       LineageRow(s, b, 0L, 0L, 0L, 0L, 0L, "", "", "",
         s"$SupersededPrefix$compactionId")
@@ -325,13 +377,23 @@ object SegmentStore {
         s"compact($tableDir): ${clash.size} input partition(s) were superseded " +
           s"by a concurrent maintenance operation (e.g. ${clash.take(3).mkString(", ")}); " +
           "aborting this compaction — re-run to compact the current state")
-    encodeCommitWith(input, tableDir, compactionId, buckets, tokensPerChunk,
-      Int.MaxValue, markers)
+    metaInput match {
+      case Some(segs) =>
+        graft.sources.GraftTableMeta.ensureForCommit(
+          tableDir, spark.sessionState.newHadoopConf(), metaDdl)
+        commitSegments(spark, tableDir, compactionId, segs.toDF(),
+          graft.sources.SegmentLayoutV2.CanonicalStreams ++ metaFields.map(_.name),
+          (0 until buckets).toSet, markers)
+      case None =>
+        encodeCommitWith(input, tableDir, compactionId, buckets, tokensPerChunk,
+          Int.MaxValue, markers)
+    }
     Some(compactionId)
   }
 
   private def lineageFromData(spark: SparkSession, tableDir: String,
-                              snapshotId: Long, only: Set[Int]): Dataset[LineageRow] = {
+                              snapshotId: Long, only: Set[Int],
+                              streams: Seq[String]): Dataset[LineageRow] = {
     import spark.implicits._
     // This snapshot was JUST written by this build => v2 layout. The read
     // is rooted at THE NEW SNAPSHOT'S directory (basePath restores the
@@ -344,7 +406,7 @@ object SegmentStore {
     if (!hExists(spark, snapDir))
       return spark.emptyDataset[LineageRow]
     val segs = graft.sources.SegmentLayoutV2.unflatten(
-      spark.read.schema(segmentTableSchemaV2)
+      spark.read.schema(segmentTableSchemaV2(streams))
         .option("basePath", dataDir(tableDir)).parquet(snapDir)
         .filter($"snapshotId" === snapshotId && $"bucket".isin(only.toSeq.map(Int.box): _*)),
       withPayload = false)

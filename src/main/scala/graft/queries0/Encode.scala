@@ -557,6 +557,62 @@ object Encode {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** METADATA-TABLE COMPACTION end-to-end: the widened table lands in
+    * THREE connector appends (the streaming-accretion shape), compacts
+    * into one snapshot through the stored-domain re-chunk path
+    * ([[SegmentStore.compact]] — decode streams → re-sort → re-encode,
+    * metadata included), and the compacted table must (1) shrink the
+    * part-file count, (2) be served by exactly the compacted generation,
+    * (3) null-safe-match every metadata value of the input (n_mismatch
+    * 0), and (4) aggregate identically — all derived from n_tok, so
+    * DuckDB replays it from the raw documents table. */
+  def compactionMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-meta-q").toString
+    try {
+      val input = TokenTables.fromDocuments(spark, dir)
+        .toDF("doc_id", "tokens", "n_tok", "source")
+        .withColumn("views", $"n_tok".cast("long") * 3L)
+        .withColumn("quality", when($"n_tok" % 7 =!= 0, $"n_tok" / 10.0 - 5.0))
+        .withColumn("lang",
+          when($"n_tok" % 5 =!= 0, concat(lit("l"), ($"n_tok" % 3).cast("string"))))
+      for (r <- 0 until 3)
+        input.filter($"n_tok" % 3 === r).write.format("graft")
+          .option("buckets", "4").mode(org.apache.spark.sql.SaveMode.Append).save(base)
+      def files() = graft.sources.GraftLayout.listDataFiles(
+        base, spark.sessionState.newHadoopConf())
+      val filesBefore = files().length
+      val cid = SegmentStore.compact(spark, base, upTo = 3L, buckets = 4)
+      require(cid.contains(SegmentStore.CompactionBase),
+        s"expected the first compaction-space snapshot, got $cid")
+      require(files().length < filesBefore,
+        s"metadata compaction must shrink files: $filesBefore -> ${files().length}")
+      val table = spark.read.format("graft").load(base)
+      val dec = table.toDF("doc_id", "tokens_d", "n_tok_d", "source_d",
+        "views_d", "quality_d", "lang_d")
+      val nMismatch = input.join(dec, Seq("doc_id"), "full_outer")
+        .filter(!($"views" <=> $"views_d" && $"quality" <=> $"quality_d" &&
+          $"lang" <=> $"lang_d" && $"n_tok" <=> $"n_tok_d" &&
+          $"tokens" <=> $"tokens_d"))
+        .count()
+      val rows = table.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"views").cast("long").as("sum_views"),
+          count($"quality").as("n_quality"))
+        .withColumn("n_mismatch", lit(nMismatch))
+        .orderBy($"lang")
+        .collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum_views", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_quality", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_mismatch", org.apache.spark.sql.types.LongType))))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
   /** Snapshot TIME TRAVEL through the lineage ledger (the Iceberg
     * `snapshot-id` read-option analog, north_rule's "writes them back to
     * Iceberg with per-partition lineage rows" surface): the corpus lands
@@ -795,6 +851,25 @@ object Encode {
         |       CAST(0 AS BIGINT) AS n_mismatch
         |FROM meta WHERE quality IS NULL OR quality > -4.0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "encode_compaction_meta" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> x <> '')) AS n_tok
+        |  FROM documents
+        |),
+        |meta AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(n_tok AS BIGINT) * 3 AS views,
+        |    CASE WHEN n_tok % 7 <> 0 THEN n_tok / 10.0 - 5.0 END AS quality,
+        |    CASE WHEN n_tok % 5 <> 0 THEN 'l' || CAST(n_tok % 3 AS VARCHAR) END AS lang
+        |  FROM tok
+        |)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(views) AS BIGINT) AS sum_views,
+        |       CAST(COUNT(quality) AS BIGINT) AS n_quality,
+        |       CAST(0 AS BIGINT) AS n_mismatch
+        |FROM meta GROUP BY lang ORDER BY lang""".stripMargin,
     "encode_dsv2_bloom" ->
       """WITH docs AS (
         |  SELECT doc_id,
@@ -839,6 +914,7 @@ object Encode {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "encode_dsv2_write" -> (dsv2Write _),
     "encode_dsv2_meta" -> (dsv2Meta _),
+    "encode_compaction_meta" -> (compactionMeta _),
     "encode_dsv2_streaming_write" -> (dsv2StreamingWrite _),
     "encode_dsv2_scan" -> (dsv2Scan _),
     "encode_dsv2_limit" -> (dsv2Limit _),

@@ -23,7 +23,7 @@ import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, Cus
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
-import org.apache.spark.sql.sources.{And => SAnd, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or => SOr}
+import org.apache.spark.sql.sources.{And => SAnd, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Or => SOr}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -244,9 +244,17 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
   private var limit: Option[Int] = None
 
   /** Accept stats-prunable comparisons for segment skipping; hand EVERY
-    * filter back as a residual (inexact pruning, engine re-filters). */
+    * filter back as a residual (inexact pruning, engine re-filters).
+    * Null checks go LAST in the pushed array: Spark lists the implied
+    * IsNotNull of every filtered column first, and plan-descriptor order
+    * is the only thing the position changes. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(GraftScan.prunable(typeOf))
+    def isNullCheck(f: Filter): Boolean = f match {
+      case IsNull(_) | IsNotNull(_) => true
+      case _ => false
+    }
+    val (nullChecks, rest) = filters.filter(GraftScan.prunable(typeOf)).partition(isNullCheck)
+    pushed = rest ++ nullChecks
     filters // all residual
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -335,6 +343,10 @@ object GraftScan {
       case Some(dt) => MetaColumns.statLong(dt, v).isDefined
       case None => false
     }
+    // null checks prune on the per-chunk/per-file NON-NULL counts (arrays
+    // excluded: the tokens stream's nValues counts elements, not rows)
+    def scalar(a: String): Boolean =
+      typeOf(a).exists(dt => !dt.isInstanceOf[org.apache.spark.sql.types.ArrayType])
     def walk(f: Filter): Boolean = f match {
       case EqualTo(a, v) => cmp(a, v)
       case GreaterThan(a, v) => cmp(a, v)
@@ -342,6 +354,8 @@ object GraftScan {
       case LessThan(a, v) => cmp(a, v)
       case LessThanOrEqual(a, v) => cmp(a, v)
       case In(a, vs) => vs.nonEmpty && vs.forall(cmp(a, _))
+      case IsNull(a) => scalar(a)
+      case IsNotNull(a) => scalar(a)
       case SAnd(l, r) => walk(l) && walk(r)
       case SOr(l, r) => walk(l) && walk(r)
       case _ => false
@@ -463,7 +477,8 @@ final case class KeyedGraftInputPartition(file: String, bucket: Int)
 final case class ChunkStats(minV: Long, maxV: Long, minS: String,
                             maxS: String, payload: Array[Byte],
                             bloom: Array[Byte] = Array.emptyByteArray,
-                            storedBytes: Long = 0L)
+                            storedBytes: Long = 0L,
+                            nValues: Long = -1L)
 
 class GraftScan(
     val path: String,
@@ -608,11 +623,21 @@ class GraftScan(
         val h = GraftLayout.header(f, conf)
         val get = h.ranges.get _
         val getBloom = (c: String) => h.blooms.get(c)
+        // file-level null facts from the header-summed non-null counts
+        // (arrays excluded: the tokens stream's nValues counts elements)
+        val nullsOf = (c: String) =>
+          if (c == "tokens") StatPredicate.UnknownNulls
+          else h.nValues.get(c) match {
+            case Some(nv) => StatPredicate.NullStat(
+              hasNulls = Some(nv < h.rows),
+              allNull = Some(nv == 0L && h.rows > 0L))
+            case None => StatPredicate.UnknownNulls
+          }
         // interval stats first (free), then the footer-folded FILE bloom:
         // the prune that works for point predicates min/max can't
         // discriminate (hash-distributed ids) — whole part-files skip
         // before a task is scheduled (round-3 judge #5)
-        active.forall(fl => StatPredicate.mayMatch(get, fl) &&
+        active.forall(fl => StatPredicate.mayMatch(get, fl, nullsOf) &&
           StatPredicate.bloomMayMatch(getBloom, fl)) &&
           tokenRange.forall { case (lo, hi) => StatPredicate.tokenRangeMayMatch(get, lo, hi) } &&
           tokenPoints.forall(p => StatPredicate.tokenRangeMayMatch(get, p, p) &&
@@ -834,6 +859,8 @@ private[sources] object StatPredicate {
       case In(a, vs) =>
         val ls = vs.map(leaf(a, _))
         if (ls.forall(_.isDefined)) Some(In(a, ls.map(_.get))) else None
+      case f @ IsNull(_) => Some(f) // value-less: nothing to normalize
+      case f @ IsNotNull(_) => Some(f)
       case SAnd(l, r) => for { a <- walk(l); b <- walk(r) } yield SAnd(a, b)
       case SOr(l, r) => for { a <- walk(l); b <- walk(r) } yield SOr(a, b)
       case _ => None
@@ -841,7 +868,16 @@ private[sources] object StatPredicate {
     filters.flatMap(walk)
   }
 
-  def mayMatch(get: String => Option[ColRange], f: Filter): Boolean = f match {
+  /** Null facts a stat source can PROVE about one column's rows:
+    * `hasNulls` = at least one null; `allNull` = every row null. None =
+    * unprovable (absent stats, array streams). Derived from the stored
+    * non-null counts: per chunk `nValues` vs segment rows, per file the
+    * header-summed nValues vs header rows. */
+  final case class NullStat(hasNulls: Option[Boolean], allNull: Option[Boolean])
+  val UnknownNulls: NullStat = NullStat(None, None)
+
+  def mayMatch(get: String => Option[ColRange], f: Filter,
+               nulls: String => NullStat = _ => UnknownNulls): Boolean = f match {
     case EqualTo(a, v: String) => get(a).forall(s => leS(s.minS, v) && leS(v, s.maxS))
     case GreaterThan(a, v: String) => get(a).forall(s => ltS(v, s.maxS))
     case GreaterThanOrEqual(a, v: String) => get(a).forall(s => leS(v, s.maxS))
@@ -858,8 +894,13 @@ private[sources] object StatPredicate {
         case v: Long => s.minV <= v && v <= s.maxV
         case _ => true
       })
-    case SAnd(l, r) => mayMatch(get, l) && mayMatch(get, r)
-    case SOr(l, r) => mayMatch(get, l) || mayMatch(get, r)
+    // null checks prune on the non-null counts: a provably all-null
+    // column can't satisfy IS NOT NULL; a provably null-free one can't
+    // satisfy IS NULL
+    case IsNotNull(a) => !nulls(a).allNull.contains(true)
+    case IsNull(a) => !nulls(a).hasNulls.contains(false)
+    case SAnd(l, r) => mayMatch(get, l, nulls) && mayMatch(get, r, nulls)
+    case SOr(l, r) => mayMatch(get, l, nulls) || mayMatch(get, r, nulls)
     case _ => true
   }
 
@@ -918,6 +959,10 @@ private[sources] object StatPredicate {
     case In(a, vs) if totalCol(a) => get(a).exists(s =>
       (s.minS == s.maxS && vs.exists { case v: String => v == s.minS; case _ => false }) ||
         (s.minV == s.maxV && vs.exists { case v: Long => v == s.minV; case _ => false }))
+    // the canonical columns are non-nullable by schema: IS NOT NULL holds
+    // for every row (keeps LIMIT planning composed with Spark's implied
+    // null checks); nullable metadata columns guarantee nothing here
+    case IsNotNull(a) if totalCol(a) => true
     case SAnd(l, r) => mustMatchAll(get, l) && mustMatchAll(get, r)
     // per-row: if one disjunct holds for ALL rows, the OR does
     case SOr(l, r) => mustMatchAll(get, l) || mustMatchAll(get, r)
@@ -1006,7 +1051,7 @@ private[sources] final class SegmentScanCore(
       ParquetReader.builder(new GroupReadSupport(), new HPath(file))
         .withConf(conf).build()
     else {
-      val statSuffixes = Seq("minV", "maxV", "minS", "maxS", "bytesOut")
+      val statSuffixes = Seq("minV", "maxV", "minS", "maxS", "bytesOut", "nValues")
       val wanted: Set[String] = Set("nRows") ++
         footer.streams.flatMap(s => statSuffixes.map(f => SegmentLayoutV2.field(s, f))) ++
         payloadStreams.map(s => SegmentLayoutV2.field(s, "payload")) ++
@@ -1070,7 +1115,7 @@ private[sources] final class SegmentScanCore(
       el.getString("col", 0) -> ChunkStats(
         el.getLong("minV", 0), el.getLong("maxV", 0),
         el.getString("minS", 0), el.getString("maxS", 0),
-        payload, bloom, payload.length.toLong)
+        payload, bloom, payload.length.toLong, el.getLong("nValues", 0))
     }.toMap
   }
 
@@ -1088,17 +1133,25 @@ private[sources] final class SegmentScanCore(
       s -> ChunkStats(
         g.getLong(fld("minV"), 0), g.getLong(fld("maxV"), 0),
         g.getString(fld("minS"), 0), g.getString(fld("maxS"), 0),
-        payload, bloom, g.getLong(fld("bytesOut"), 0))
+        payload, bloom, g.getLong(fld("bytesOut"), 0), g.getLong(fld("nValues"), 0))
     }.toMap
   }
 
   /** May this segment match the pushed filters? Sound, inexact — false
     * only when the chunk stats PROVE no row matches ([[StatPredicate]],
-    * the same tree the planner runs against file-folded stats). */
-  private def mayMatch(c: Map[String, ChunkStats]): Boolean = {
+    * the same tree the planner runs against file-folded stats). Null
+    * checks prune on the chunk's non-null count vs its row count. */
+  private def mayMatch(c: Map[String, ChunkStats], nRows: Int): Boolean = {
     val get = (col: String) => c.get(col).map(s =>
       GraftLayout.ColRange(s.minV, s.maxV, s.minS, s.maxS))
-    pushed.forall(f => StatPredicate.mayMatch(get, f))
+    val nulls = (col: String) => c.get(col) match {
+      case Some(s) if col != "tokens" && s.nValues >= 0L =>
+        StatPredicate.NullStat(
+          hasNulls = Some(s.nValues < nRows),
+          allNull = Some(s.nValues == 0L && nRows > 0))
+      case _ => StatPredicate.UnknownNulls
+    }
+    pushed.forall(f => StatPredicate.mayMatch(get, f, nulls))
   }
 
   /** Second prune phase: point predicates against the per-chunk bloom
@@ -1117,7 +1170,8 @@ private[sources] final class SegmentScanCore(
 
   private def decodeGroup(g: Group): DecodedSegment = {
     val byCol = chunks(g)
-    if (!mayMatch(byCol)) {
+    val segRows = g.getInteger("nRows", 0)
+    if (!mayMatch(byCol, segRows)) {
       mSegsPruned += 1
       mBytesPruned += payloadBytes(byCol)
       return null
@@ -1162,7 +1216,7 @@ private[sources] final class SegmentScanCore(
       }
     }
     mSegsDecoded += 1
-    val nRows = g.getInteger("nRows", 0)
+    val nRows = segRows
     val docIds = if (needDoc) StringCodecs.decodeChunk(byCol("doc_id").payload) else null
     val sources = if (needSrc) StringCodecs.decodeChunk(byCol("source").payload) else null
     val nToks = if (needN) IntCodecs.decodeChunkInt(byCol("n_tok").payload) else null

@@ -455,17 +455,8 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
   // buffer parallel to `rows` holding each row's stored-domain values
   private val metaFields = MetaColumns.metaFields(schema)
   private val metaOrdinals: Array[Int] = metaFields.map(f => schema.fieldIndex(f.name)).toArray
-  private val metaSpecs: Seq[graft.engine.MetaColSpec] = metaFields.map { f =>
-    import org.apache.spark.sql.types._
-    f.dataType match {
-      case StringType => graft.engine.MetaColSpec(f.name, isString = true)
-      case IntegerType => graft.engine.MetaColSpec(f.name, isString = false, bytesInPerValue = 4)
-      case DateType => graft.engine.MetaColSpec(f.name, isString = false, bytesInPerValue = 4)
-      case DoubleType => graft.engine.MetaColSpec(f.name, isString = false,
-        statMap = v => if (v == -1L) 0L else v) // sortable(-0.0) -> sortable(+0.0)
-      case _ => graft.engine.MetaColSpec(f.name, isString = false)
-    }
-  }
+  private val metaSpecs: Seq[graft.engine.MetaColSpec] =
+    metaFields.map(MetaColumns.specFor)
   private val metas: ArrayBuffer[Array[AnyRef]] =
     if (metaFields.isEmpty) null else ArrayBuffer.empty[Array[AnyRef]]
 
@@ -518,6 +509,21 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
         case "tokens" =>
           val total = math.min(Int.MaxValue.toLong, rows.iterator.map(_.tokens.length.toLong).sum).toInt
           (rows.iterator.flatMap(_.tokens.iterator.map(t => SegmentBloom.hashLong(t.toLong))), total)
+        // metadata columns: non-null values, int-kinds hashed in the STAT
+        // domain (statMap) to match the normalized point predicates
+        case m if metas != null && metaFields.exists(_.name == m) =>
+          val j = metaFields.indexWhere(_.name == m)
+          val spec = metaSpecs(j)
+          val nonNull = metas.count(_(j) != null)
+          val hs =
+            if (spec.isString)
+              metas.iterator.collect { case a if a(j) != null =>
+                SegmentBloom.hashString(a(j).asInstanceOf[String]) }
+            else
+              metas.iterator.collect { case a if a(j) != null =>
+                SegmentBloom.hashLong(spec.statMap(
+                  a(j).asInstanceOf[java.lang.Long].longValue())) }
+          (hs, nonNull)
         case _ => (Iterator.empty, 0)
       }
       if (ndv == 0) None

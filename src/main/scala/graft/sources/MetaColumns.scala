@@ -136,6 +136,20 @@ object MetaColumns {
     })
   }
 
+  /** Engine encode spec of one metadata field — shared by the DSv2 writer
+    * and meta-aware compaction so the two re-encode paths can never drift:
+    * int-kind values live in a 64-bit stored domain (4-byte accounting for
+    * int/date), doubles carry the -0.0 -> +0.0 stat collapse so chunk
+    * stats agree with predicate conversion. */
+  def specFor(f: StructField): graft.engine.MetaColSpec = f.dataType match {
+    case StringType => graft.engine.MetaColSpec(f.name, isString = true)
+    case IntegerType | DateType =>
+      graft.engine.MetaColSpec(f.name, isString = false, bytesInPerValue = 4)
+    case DoubleType => graft.engine.MetaColSpec(f.name, isString = false,
+      statMap = v => if (v == -1L) 0L else v) // sortable(-0.0) -> sortable(+0.0)
+    case _ => graft.engine.MetaColSpec(f.name, isString = false)
+  }
+
   // ---- double <-> order-preserving long bits ---------------------------
 
   /** Monotonic bijection double -> signed long (ascending IEEE-754 total

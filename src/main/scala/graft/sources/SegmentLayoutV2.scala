@@ -8,7 +8,7 @@ import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, INT32, INT64}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{And => SAnd, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or => SOr}
+import org.apache.spark.sql.sources.{And => SAnd, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Or => SOr}
 import org.apache.spark.sql.types.{ArrayType, BinaryType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** The v2 ("pivoted") segment-file layout: ONE PARQUET COLUMN PER STREAM
@@ -131,10 +131,12 @@ object SegmentLayoutV2 {
   // ---- engine-path conversions ---------------------------------------
 
   /** Segment-shaped DataFrame (with its `cols` array) -> flat v2 columns.
-    * Non-cols columns (incl. `bucket`) pass through unchanged. */
-  def flatten(df: DataFrame): DataFrame = {
+    * Non-cols columns (incl. `bucket`) pass through unchanged. `streams`
+    * names the stream set to pivot (canonical only by default; a metadata
+    * table's writer/compactor passes canonical ++ its metadata names). */
+  def flatten(df: DataFrame, streams: Seq[String] = CanonicalStreams): DataFrame = {
     val others = df.columns.filterNot(_ == "cols").map(col).toSeq
-    val flats: Seq[Column] = CanonicalStreams.flatMap { s =>
+    val flats: Seq[Column] = streams.flatMap { s =>
       val c = element_at(filter(col("cols"), x => x.getField("col") === lit(s)), 1)
       StreamFields.map(f => c.getField(f).as(field(s, f)))
     }
@@ -231,6 +233,12 @@ object SegmentLayoutV2 {
         Some(vs.map(v => strEq(a, v.asInstanceOf[String])).reduce(FilterApi.or))
       case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) && intStatsPresent(a) =>
         Some(vs.map(v => intEq(a, v.asInstanceOf[Long])).reduce(FilterApi.or))
+      // IS NOT NULL: records (segments) whose chunk has zero non-null
+      // values can't contribute (nValues is the NON-NULL count). IS NULL
+      // needs nValues < nRows — a cross-column compare parquet predicates
+      // can't express — so it stays a reader-side prune only.
+      case IsNotNull(a) if a != "tokens" && hasCol(field(a, "nValues")) =>
+        Some(FilterApi.gt(iCol(a, "nValues"), java.lang.Long.valueOf(0L)))
       case SAnd(l, r) => (conv(l), conv(r)) match {
         case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
         case (a, b) => a.orElse(b) // dropping one AND side is sound (less pruning)

@@ -130,6 +130,53 @@ class LineageSpec extends AnyFunSuite {
     segs.unpersist()
   }
 
+  test("compaction of a METADATA table preserves every stream (stored-domain re-chunk)") {
+    import spark.implicits._
+    def metaDf(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (f"doc$i%05d", Seq(i, i + 1), 2, if (i % 2 == 0) "web" else "book",
+        if (i % 7 == 0) None else Some(i / 10.0 - 5.0),
+        if (i % 5 == 0) None else Some(s"lang${i % 3}"),
+        i.toLong * 1000L)
+    }.toDF("doc_id", "tokens", "n_tok", "source", "quality", "lang", "views")
+    val dir = tmp()
+    // three appends (the streaming-accretion shape), schema fixed at creation
+    for (r <- 0 until 3)
+      metaDf(r * 100, (r + 1) * 100).write.format("graft")
+        .option("buckets", "4").option("tokensPerChunk", "64")
+        .mode("append").save(dir)
+    val before = spark.read.format("graft").load(dir).collect().toSet
+    assert(before.size === 300)
+
+    // wrong bucket count refuses by name (stored bucket ids are reused)
+    val eb = intercept[IllegalArgumentException] {
+      SegmentStore.compact(spark, dir, upTo = 3L, buckets = 8)
+    }
+    assert(eb.getMessage.contains("bucket count"), eb.getMessage)
+
+    val cid = SegmentStore.compact(spark, dir, upTo = 3L, buckets = 4,
+      tokensPerChunk = 64)
+    assert(cid === Some(SegmentStore.CompactionBase))
+    // readers see the identical table, served by ONE generation
+    val after = spark.read.format("graft").load(dir).collect().toSet
+    assert(after === before, "metadata compaction changed the visible rows")
+    val ledger = SegmentStore.readLineage(spark, dir).collect()
+    val sup = ledger.flatMap(r => SegmentStore.supersededBy(r.status)
+      .map(_ => (r.snapshotId, r.bucket))).toSet
+    val visible = ledger.filter(_.status == SegmentStore.Committed)
+      .map(r => (r.snapshotId, r.bucket)).toSet -- sup
+    assert(visible.forall(_._1 == SegmentStore.CompactionBase),
+      s"old generation still visible: $visible")
+    // metadata aggregate pushdown still answers from the compacted headers
+    val got = spark.read.format("graft").load(dir)
+      .agg(org.apache.spark.sql.functions.min($"views"),
+        org.apache.spark.sql.functions.count($"quality")).collect()(0)
+    assert(got.getLong(0) === 0L)
+    assert(got.getLong(1) === (0 until 300).count(_ % 7 != 0).toLong)
+    // time travel to a pre-compaction snapshot still reads the old world
+    assert(spark.read.format("graft").option("snapshotId", "1").load(dir)
+      .count() === 100L)
+  }
+
   test("compaction: N snapshots fold into one, old generation superseded, bytes deterministic") {
     import spark.implicits._
     val input = TokenTables.synthetic(spark, nDocs = 300, seed = 11L)

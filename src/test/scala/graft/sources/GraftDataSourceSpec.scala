@@ -626,6 +626,64 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(got.forall(_.getAs[Double]("quality") == 1.0))
   }
 
+  test("metadata-column blooms prune point lookups min/max cannot (opt-in)") {
+    import spark.implicits._
+    val dir = tmp()
+    // uid: scattered longs — every chunk spans ~the full value range, so
+    // interval stats cannot discriminate a point probe; the bloom can
+    def uid(i: Int): Long = (i.toLong * 2654435761L) % 1000000007L
+    val input = (0 until 400).map { i =>
+      (f"doc$i%05d", Seq(i), 1, "web", uid(i))
+    }.toDF("doc_id", "tokens", "n_tok", "source", "uid")
+    input.write.format("graft").option("buckets", "2")
+      .option("tokensPerChunk", "32")
+      .option("graft.codec.bloomColumns", "uid")
+      .mode("append").save(dir)
+    val table = spark.read.format("graft").load(dir)
+    val (rows, m) = runWithScanMetrics(table.filter($"uid" === uid(123)))
+    assert(rows.length === 1 && rows.head.getAs[String]("doc_id") === "doc00123")
+    assert(m.getOrElse("graft segments pruned (bloom)", 0L) > 0L,
+      s"metadata bloom did not prune: $m")
+    // absent key INSIDE the value range: bloom prunes everything
+    val present = (0 until 400).map(uid).toSet
+    val absent = Iterator.from(1).map(uid(123) + _).find(!present.contains(_)).get
+    val (none, m2) = runWithScanMetrics(table.filter($"uid" === absent))
+    assert(none.isEmpty)
+    // the file-level folded bloom prunes at PLANNING: zero tasks scheduled
+    // (no task metrics at all), both part-files skipped
+    assert(m2.getOrElse("graft segments decoded", 0L) === 0L,
+      s"absent key decoded a segment: $m2")
+    assert(m2.getOrElse("graft files pruned (planning)", 0L) > 0L,
+      s"absent key planned file tasks: $m2")
+  }
+
+  test("IS NULL / IS NOT NULL prune on non-null counts; results stay exact") {
+    import spark.implicits._
+    val dir = tmp()
+    // quality: null for the first half of doc ids, set for the second —
+    // doc_id-sorted chunks come out all-null or null-free, rarely mixed
+    val input = (0 until 400).map { i =>
+      (f"doc$i%05d", Seq(i), 1, "web", if (i < 200) None else Some(i.toDouble))
+    }.toDF("doc_id", "tokens", "n_tok", "source", "quality")
+    input.write.format("graft").option("buckets", "2")
+      .option("tokensPerChunk", "32").mode("append").save(dir)
+    val table = spark.read.format("graft").load(dir)
+    val (_, mFull) = runWithScanMetrics(table)
+    val total = mFull.getOrElse("graft segments decoded", 0L)
+    // IS NOT NULL: all-null chunks drop at the parquet record filter
+    // (never materialized => fewer decoded), results exact
+    val (nn, m1) = runWithScanMetrics(table.filter($"quality".isNotNull))
+    assert(nn.length === 200)
+    assert(m1.getOrElse("graft segments decoded", 0L) +
+      m1.getOrElse("graft segments pruned (filter stats)", 0L) < total,
+      s"IS NOT NULL did not skip all-null chunks: $m1 vs total $total")
+    // IS NULL: null-free chunks prune reader-side (stats counter visible)
+    val (nl, m2) = runWithScanMetrics(table.filter($"quality".isNull))
+    assert(nl.length === 200)
+    assert(m2.getOrElse("graft segments pruned (filter stats)", 0L) > 0L,
+      s"IS NULL did not prune null-free chunks: $m2")
+  }
+
   test("MIN/MAX/COUNT over metadata columns push to headers (typed, null-aware)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{count, max, min}
