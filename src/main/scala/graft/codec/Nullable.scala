@@ -149,6 +149,33 @@ object Nullable {
     }
   }
 
+  /** Zero-copy variant: the COMPACTED non-null values as a [[Utf8Chunk]]
+    * plus the PRESENT mask and a row -> compacted-index map (identity for
+    * dense chunks, represented as null). */
+  def decodeStringsBytes(bytes: Array[Byte]): (Utf8Chunk, Array[Boolean], Array[Int]) = {
+    val in = new ByteReader(bytes)
+    in.readByte() match {
+      case FlagDense =>
+        val chunk = StringCodecs.decodeChunkBytes(in.readBytes(in.remaining))
+        (chunk, Array.fill(chunk.size)(true), null)
+      case FlagSparse =>
+        val n = in.readVarLong().toInt
+        val bits = new Array[Long](n)
+        BitPack.unpack(in, n, 1, bits, 0)
+        val chunk = StringCodecs.decodeChunkBytes(in.readBytes(in.remaining))
+        val present = new Array[Boolean](n)
+        val toCompact = new Array[Int](n)
+        var i = 0
+        var j = 0
+        while (i < n) {
+          if (bits(i) == 1L) { present(i) = true; toCompact(i) = j; j += 1 }
+          i += 1
+        }
+        (chunk, present, toCompact)
+      case other => throw new IllegalStateException(s"bad nullable flag $other")
+    }
+  }
+
   /** Absent slots decode to null. */
   def decodeStrings(bytes: Array[Byte]): Array[String] = {
     val in = new ByteReader(bytes)

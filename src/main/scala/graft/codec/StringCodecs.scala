@@ -14,6 +14,57 @@ trait StringCodec extends Serializable {
   def name: String
   def encode(values: Array[String]): Array[Byte]
   def decode(bytes: Array[Byte]): Array[String]
+  /** Zero-copy decode: values stay in one UTF-8 blob. Default derives from
+    * [[decode]]; codecs override with a native path that never builds
+    * java.lang.Strings (the connector scan's hot path — Spark wants UTF-8
+    * bytes anyway, so String round-trips decode + re-encode every value). */
+  def decodeBytes(bytes: Array[Byte]): Utf8Chunk = Utf8Chunk.fromStrings(decode(bytes))
+}
+
+/** A decoded string chunk as one UTF-8 blob + per-value (offset, len) —
+  * value i = blob[offsets(i), offsets(i)+lens(i)). Dictionary codecs point
+  * many values into the same dictionary blob (zero per-value copies). */
+final class Utf8Chunk(val blob: Array[Byte], val offsets: Array[Int],
+                      val lens: Array[Int]) {
+  def size: Int = lens.length
+  def string(i: Int): String =
+    new String(blob, offsets(i), lens(i), StandardCharsets.UTF_8)
+}
+
+object Utf8Chunk {
+  def fromStrings(values: Array[String]): Utf8Chunk = {
+    val (blob, lens) = StrUtil.concat(values)
+    fromBlob(blob, lens)
+  }
+
+  /** Consecutive values: offsets are the prefix sums of `lens`. */
+  def fromBlob(blob: Array[Byte], lens: Array[Long]): Utf8Chunk = {
+    val offs = new Array[Int](lens.length)
+    val ls = new Array[Int](lens.length)
+    var pos = 0
+    var i = 0
+    while (i < lens.length) {
+      offs(i) = pos
+      ls(i) = lens(i).toInt
+      pos += ls(i)
+      i += 1
+    }
+    new Utf8Chunk(blob, offs, ls)
+  }
+
+  /** Dictionary view: value i = dictionary entry idx(i). */
+  def fromDict(dict: Utf8Chunk, idx: Array[Long]): Utf8Chunk = {
+    val offs = new Array[Int](idx.length)
+    val ls = new Array[Int](idx.length)
+    var i = 0
+    while (i < idx.length) {
+      val d = idx(i).toInt
+      offs(i) = dict.offsets(d)
+      ls(i) = dict.lens(d)
+      i += 1
+    }
+    new Utf8Chunk(dict.blob, offs, ls)
+  }
 }
 
 private[codec] object StrUtil {
@@ -73,6 +124,12 @@ object RawStringCodec extends StringCodec {
     val blob = in.readBytes(in.remaining)
     StrUtil.split(blob, lens)
   }
+  override def decodeBytes(bytes: Array[Byte]): Utf8Chunk = {
+    val in = new ByteReader(bytes)
+    val lenLen = in.readVarLong().toInt
+    val lens = RleV2.decode(new ByteReader(in.readBytes(lenLen)))
+    Utf8Chunk.fromBlob(in.readBytes(in.remaining), lens)
+  }
 }
 
 /** Sorted dictionary + RLE v2 indexes (sorted table keeps index streams
@@ -121,6 +178,16 @@ object DictStringCodec extends StringCodec {
     while (i < idx.length) { out(i) = dict(idx(i).toInt); i += 1 }
     out
   }
+  override def decodeBytes(bytes: Array[Byte]): Utf8Chunk = {
+    val in = new ByteReader(bytes)
+    in.readVarLong() // dict size
+    val dictLenLen = in.readVarLong().toInt
+    val dictLens = RleV2.decode(new ByteReader(in.readBytes(dictLenLen)))
+    val dictBlobLen = in.readVarLong().toInt
+    val dict = Utf8Chunk.fromBlob(in.readBytes(dictBlobLen), dictLens)
+    val idxLen = in.readVarLong().toInt
+    Utf8Chunk.fromDict(dict, RleV2.decode(new ByteReader(in.readBytes(idxLen))))
+  }
 }
 
 /** [rle(lengths)][fsst(blob)] — symbol compression over the concatenated
@@ -144,6 +211,12 @@ object FsstStringCodec extends StringCodec {
     val lens = RleV2.decode(new ByteReader(in.readBytes(lenLen)))
     val blob = Fsst.decompress(in)
     StrUtil.split(blob, lens)
+  }
+  override def decodeBytes(bytes: Array[Byte]): Utf8Chunk = {
+    val in = new ByteReader(bytes)
+    val lenLen = in.readVarLong().toInt
+    val lens = RleV2.decode(new ByteReader(in.readBytes(lenLen)))
+    Utf8Chunk.fromBlob(Fsst.decompress(in), lens)
   }
 }
 
@@ -186,6 +259,13 @@ object DictFsstStringCodec extends StringCodec {
     while (i < idx.length) { out(i) = dict(idx(i).toInt); i += 1 }
     out
   }
+  override def decodeBytes(bytes: Array[Byte]): Utf8Chunk = {
+    val in = new ByteReader(bytes)
+    val dictLen = in.readVarLong().toInt
+    val dict = FsstStringCodec.decodeBytes(in.readBytes(dictLen))
+    val idxLen = in.readVarLong().toInt
+    Utf8Chunk.fromDict(dict, RleV2.decode(new ByteReader(in.readBytes(idxLen))))
+  }
 }
 
 object StringCodecs {
@@ -208,5 +288,11 @@ object StringCodecs {
   def decodeChunk(bytes: Array[Byte]): Array[String] = {
     val codec = forId(bytes(0).toInt)
     codec.decode(BlockCompression.unwrap(bytes, 1))
+  }
+
+  /** Zero-copy chunk decode (see [[StringCodec.decodeBytes]]). */
+  def decodeChunkBytes(bytes: Array[Byte]): Utf8Chunk = {
+    val codec = forId(bytes(0).toInt)
+    codec.decodeBytes(BlockCompression.unwrap(bytes, 1))
   }
 }

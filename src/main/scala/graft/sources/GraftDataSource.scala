@@ -977,8 +977,14 @@ private[sources] object StatPredicate {
 private[sources] sealed trait DecodedExtra
 private[sources] final class ExtraLongsDecoded(
     val values: Array[Long], val present: Array[Boolean]) extends DecodedExtra
+/** Strings stay UTF-8 bytes end-to-end: `chunk` holds the COMPACTED
+  * non-null values, `toCompact` maps row -> compacted index (null =
+  * identity/dense). */
 private[sources] final class ExtraStringsDecoded(
-    val values: Array[String]) extends DecodedExtra
+    val chunk: graft.codec.Utf8Chunk, val present: Array[Boolean],
+    val toCompact: Array[Int]) extends DecodedExtra {
+  def idx(i: Int): Int = if (toCompact == null) i else toCompact(i)
+}
 
 /** One decoded segment's projected column arrays (null = not projected).
   * Int streams decode straight into Array[Int] (no widen-then-narrow —
@@ -987,8 +993,8 @@ private[sources] final class ExtraStringsDecoded(
   * streams in table order); null when the projection has none. */
 private[sources] final class DecodedSegment(
     val nRows: Int,
-    val docIds: Array[String],
-    val sources: Array[String],
+    val docIds: graft.codec.Utf8Chunk,
+    val sources: graft.codec.Utf8Chunk,
     val nToks: Array[Int],
     val tokLens: Array[Int],
     val flat: Array[Int],
@@ -1217,8 +1223,11 @@ private[sources] final class SegmentScanCore(
     }
     mSegsDecoded += 1
     val nRows = segRows
-    val docIds = if (needDoc) StringCodecs.decodeChunk(byCol("doc_id").payload) else null
-    val sources = if (needSrc) StringCodecs.decodeChunk(byCol("source").payload) else null
+    // strings decode to ONE UTF-8 blob + offsets (never java.lang.String:
+    // Spark wants UTF8String/byte[] anyway — the String path decoded AND
+    // re-encoded every value in the hot loop)
+    val docIds = if (needDoc) StringCodecs.decodeChunkBytes(byCol("doc_id").payload) else null
+    val sources = if (needSrc) StringCodecs.decodeChunkBytes(byCol("source").payload) else null
     val nToks = if (needN) IntCodecs.decodeChunkInt(byCol("n_tok").payload) else null
     val tokLens = if (needTok) IntCodecs.decodeChunkInt(byCol("tok_len").payload) else null
     val flat = if (needTok) IntCodecs.decodeChunkInt(byCol("tokens").payload) else null
@@ -1228,9 +1237,11 @@ private[sources] final class SegmentScanCore(
       if (metaFields.isEmpty) null
       else metaFields.map { f =>
         val payload = byCol(f.name).payload
-        if (f.dataType == StringType)
-          new ExtraStringsDecoded(graft.codec.Nullable.decodeStrings(payload))
-        else {
+        if (f.dataType == StringType) {
+          val (chunk, present, toCompact) =
+            graft.codec.Nullable.decodeStringsBytes(payload)
+          new ExtraStringsDecoded(chunk, present, toCompact)
+        } else {
           val (vs, pr) = graft.codec.Nullable.decodeInts(payload)
           new ExtraLongsDecoded(vs, pr): DecodedExtra
         }
@@ -1283,21 +1294,26 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
       var f = 0
       required.fields.foreach { field =>
         field.name match {
-          case "doc_id" => row.update(f, UTF8String.fromString(seg.docIds(i)))
+          case "doc_id" => row.update(f,
+            UTF8String.fromBytes(seg.docIds.blob, seg.docIds.offsets(i), seg.docIds.lens(i)))
           case "tokens" =>
             val len = seg.tokLens(i)
             val t = java.util.Arrays.copyOfRange(seg.flat, pos, pos + len)
             pos += len
             row.update(f, new GenericArrayData(t))
           case "n_tok" => row.setInt(f, seg.nToks(i))
-          case "source" => row.update(f, UTF8String.fromString(seg.sources(i)))
+          case "source" => row.update(f,
+            UTF8String.fromBytes(seg.sources.blob, seg.sources.offsets(i), seg.sources.lens(i)))
           case name => seg.extras(metaIndex(name)) match {
             // metadata columns ([[MetaColumns]]): stored 64-bit domain ->
             // external type; absent PRESENT bit / null string = SQL null
             case e: ExtraStringsDecoded =>
-              val v = e.values(i)
-              if (v == null) row.setNullAt(f)
-              else row.update(f, UTF8String.fromString(v))
+              if (!e.present(i)) row.setNullAt(f)
+              else {
+                val j = e.idx(i)
+                row.update(f, UTF8String.fromBytes(
+                  e.chunk.blob, e.chunk.offsets(j), e.chunk.lens(j)))
+              }
             case e: ExtraLongsDecoded =>
               if (!e.present(i)) row.setNullAt(f)
               else field.dataType match {
@@ -1370,10 +1386,16 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
       field.name match {
         case "doc_id" =>
           var i = 0
-          while (i < n) { v.putByteArray(i, seg.docIds(i).getBytes(utf8)); i += 1 }
+          while (i < n) {
+            v.putByteArray(i, seg.docIds.blob, seg.docIds.offsets(i), seg.docIds.lens(i))
+            i += 1
+          }
         case "source" =>
           var i = 0
-          while (i < n) { v.putByteArray(i, seg.sources(i).getBytes(utf8)); i += 1 }
+          while (i < n) {
+            v.putByteArray(i, seg.sources.blob, seg.sources.offsets(i), seg.sources.lens(i))
+            i += 1
+          }
         case "n_tok" =>
           var i = 0
           while (i < n) { v.putInt(i, seg.nToks(i)); i += 1 }
@@ -1402,8 +1424,11 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
           case e: ExtraStringsDecoded =>
             var i = 0
             while (i < n) {
-              val s = e.values(i)
-              if (s == null) v.putNull(i) else v.putByteArray(i, s.getBytes(utf8))
+              if (!e.present(i)) v.putNull(i)
+              else {
+                val j = e.idx(i)
+                v.putByteArray(i, e.chunk.blob, e.chunk.offsets(j), e.chunk.lens(j))
+              }
               i += 1
             }
           case e: ExtraLongsDecoded =>

@@ -126,6 +126,33 @@ object CodecPropertySpec extends Properties("codecs") {
     StringCodecs.decodeChunk(encoded).toSeq == values.toSeq
   }
 
+  property("zero-copy byte decode matches String decode, every codec") =
+    forAll(genStrings) { values =>
+      StringCodecs.all.forall { c =>
+        val encoded = StringCodecs.encodeChunk(values, c)
+        val chunk = StringCodecs.decodeChunkBytes(encoded)
+        chunk.size == values.length &&
+          values.indices.forall(i => chunk.string(i) == values(i))
+      }
+    }
+
+  property("nullable zero-copy string decode matches nullable String decode") = {
+    val genNullable: Gen[Array[String]] = for {
+      vs <- genStrings
+      mask <- Gen.listOfN(vs.length, Gen.prob(0.3))
+    } yield vs.zip(mask).map { case (v, isNull) => if (isNull) null else v }
+    forAll(genNullable) { values =>
+      val encoded = Nullable.encodeStrings(values, RawStringCodec)
+      val viaStrings = Nullable.decodeStrings(encoded)
+      val (chunk, present, toCompact) = Nullable.decodeStringsBytes(encoded)
+      def at(i: Int): String =
+        if (!present(i)) null
+        else chunk.string(if (toCompact == null) i else toCompact(i))
+      present.length == values.length &&
+        values.indices.forall(i => at(i) == viaStrings(i) && viaStrings(i) == values(i))
+    }
+  }
+
   property("fsst round-trips arbitrary bytes") =
     forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
       val arr = bytes.toArray
