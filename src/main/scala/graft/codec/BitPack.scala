@@ -51,6 +51,35 @@ object BitPack {
     while (k * 8 < nbits) { out.writeByte((acc >>> (8 * k)).toInt & 0xff); k += 1 }
   }
 
+  /** Pack len values of width <= 32 from an Int array, treated as UNSIGNED
+    * 32-bit (`v & 0xFFFFFFFFL`) — the encode-side twin of [[unpackInt]].
+    * Bit-identical to [[pack]] over the widened values, so the two entry
+    * points share one on-disk format (pinned by CodecPropertySpec). */
+  def packInt(values: Array[Int], from: Int, len: Int, width: Int, out: ByteWriter): Unit = {
+    require(width <= 32, s"packInt supports widths <= 32, got $width")
+    if (width == 0) return
+    var acc = 0L
+    var nbits = 0
+    var i = from
+    val end = from + len
+    while (i < end) {
+      val v = values(i).toLong & 0xFFFFFFFFL
+      acc |= v << nbits
+      val used = 64 - nbits
+      if (width >= used) {
+        var k = 0
+        while (k < 8) { out.writeByte((acc >>> (8 * k)).toInt & 0xff); k += 1 }
+        acc = v >>> used // width <= 32 -> used > 32 here, so no used==64 case
+        nbits = width - used
+      } else {
+        nbits += width
+      }
+      i += 1
+    }
+    var k = 0
+    while (k * 8 < nbits) { out.writeByte((acc >>> (8 * k)).toInt & 0xff); k += 1 }
+  }
+
   /** Unpack len values of the given width into out[from, from+len). */
   def unpack(in: ByteReader, len: Int, width: Int, out: Array[Long], from: Int): Unit = {
     if (width == 0) {

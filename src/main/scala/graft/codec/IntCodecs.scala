@@ -28,6 +28,19 @@ trait IntCodec extends Serializable {
     while (i < l.length) { out(i) = l(i).toInt; i += 1 }
     out
   }
+
+  /** Int-domain encode: BYTE-IDENTICAL to `encode` over the widened values
+    * (pinned by CodecPropertySpec), so both entry points share one on-disk
+    * format. The default widens; hot codecs override to keep the dominant
+    * token stream out of transient Array[Long]s on the encode path too
+    * (the encode-side twin of [[decodeInt]] — encode throughput is the
+    * north metric). */
+  def encodeInt(values: Array[Int]): Array[Byte] = {
+    val l = new Array[Long](values.length)
+    var i = 0
+    while (i < values.length) { l(i) = values(i).toLong; i += 1 }
+    encode(l)
+  }
 }
 
 /** Uncompressed fallback — the graceful-degradation stance the reference
@@ -58,6 +71,13 @@ object RawIntCodec extends IntCodec {
     var i = 0
     while (i < n) { out(i) = in.readZigZag().toInt; i += 1 }
     out
+  }
+  override def encodeInt(values: Array[Int]): Array[Byte] = {
+    val out = new ByteWriter(values.length * 2 + 8)
+    out.writeVarLong(values.length.toLong)
+    var i = 0
+    while (i < values.length) { out.writeZigZag(values(i).toLong); i += 1 }
+    out.toArray
   }
 }
 
@@ -104,6 +124,26 @@ object BitPackCodec extends IntCodec {
     var i = 0
     while (i < n) { val z = out(i); out(i) = (z >>> 1) ^ -(z & 1); i += 1 }
     out
+  }
+  override def encodeInt(values: Array[Int]): Array[Byte] = {
+    val n = values.length
+    val zz = new Array[Int](n)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      // int-domain zigzag: low 32 bits equal ZigZag.encode(v.toLong)
+      // (any Int's long zigzag fits unsigned 32 bits)
+      val z = (values(i) << 1) ^ (values(i) >> 31)
+      zz(i) = z
+      acc |= z.toLong & 0xFFFFFFFFL
+      i += 1
+    }
+    val w = BitPack.bitWidth(acc)
+    val out = new ByteWriter(BitPack.packedBytes(n, w) + 8)
+    out.writeVarLong(n.toLong)
+    out.writeByte(w)
+    BitPack.packInt(zz, 0, n, w, out)
+    out.toArray
   }
 }
 
@@ -156,6 +196,31 @@ object ForCodec extends IntCodec {
     // computed in Long and narrowed (int-domain contract on the caller)
     while (i < n) { out(i) = (base + out(i)).toInt; i += 1 }
     out
+  }
+  override def encodeInt(values: Array[Int]): Array[Byte] = {
+    val n = values.length
+    if (n == 0) return { val o = new ByteWriter(4); o.writeVarLong(0); o.toArray }
+    var minV = values(0)
+    var i = 1
+    while (i < n) { if (values(i) < minV) minV = values(i); i += 1 }
+    val rebased = new Array[Int](n)
+    var acc = 0L
+    i = 0
+    while (i < n) {
+      // v - min in Int wraps mod 2^32; the true delta is < 2^32, so the
+      // unsigned-32 reinterpretation is exact (packInt packs unsigned)
+      val d = values(i) - minV
+      rebased(i) = d
+      acc |= d.toLong & 0xFFFFFFFFL
+      i += 1
+    }
+    val w = BitPack.bitWidth(acc)
+    val out = new ByteWriter(BitPack.packedBytes(n, w) + 16)
+    out.writeVarLong(n.toLong)
+    out.writeZigZag(minV.toLong)
+    out.writeByte(w)
+    BitPack.packInt(rebased, 0, n, w, out)
+    out.toArray
   }
 }
 
@@ -230,6 +295,38 @@ object DictIntCodec extends IntCodec {
     while (i < n) { out(i) = dict(out(i)).toInt; i += 1 }
     out
   }
+  override def encodeInt(values: Array[Int]): Array[Byte] = {
+    val n = values.length
+    // sort + dedup (same ascending table the TreeSet produces) and
+    // binary-search indexing: primitive arrays end-to-end, no boxing
+    val sorted = java.util.Arrays.copyOf(values, n)
+    java.util.Arrays.sort(sorted)
+    var d = 0
+    var i = 0
+    while (i < n) {
+      if (d == 0 || sorted(i) != sorted(d - 1)) { sorted(d) = sorted(i); d += 1 }
+      i += 1
+    }
+    val dictLong = new Array[Long](d)
+    i = 0
+    while (i < d) { dictLong(i) = sorted(i).toLong; i += 1 }
+    val idx = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      idx(i) = java.util.Arrays.binarySearch(sorted, 0, d, values(i))
+      i += 1
+    }
+    val w = BitPack.bitWidth(math.max(0L, d - 1L))
+    val dictBytes = RleV2.encode(dictLong)
+    val out = new ByteWriter(dictBytes.length + BitPack.packedBytes(n, w) + 16)
+    out.writeVarLong(n.toLong)
+    out.writeVarLong(d.toLong)
+    out.writeVarLong(dictBytes.length.toLong)
+    out.writeBytes(dictBytes)
+    out.writeByte(w)
+    BitPack.packInt(idx, 0, n, w, out)
+    out.toArray
+  }
 }
 
 object IntCodecs {
@@ -261,5 +358,16 @@ object IntCodecs {
   def decodeChunkInt(bytes: Array[Byte]): Array[Int] = {
     val codec = forId(bytes(0).toInt)
     codec.decodeInt(BlockCompression.unwrap(bytes, 1))
+  }
+
+  /** Int-domain chunk encode — byte-identical to [[encodeChunk]] over the
+    * widened values (same framing, same block wrapper). */
+  def encodeChunkInt(values: Array[Int], codec: IntCodec,
+                     conf: CodecConf = CodecConf.Default): Array[Byte] = {
+    val payload = BlockCompression.wrap(codec.encodeInt(values), conf)
+    val out = new Array[Byte](payload.length + 1)
+    out(0) = codec.id.toByte
+    System.arraycopy(payload, 0, out, 1, payload.length)
+    out
   }
 }

@@ -178,6 +178,34 @@ object SegmentBloom {
     build(values.iterator.map(hashLong), ndv)
   }
 
+  /** Int-domain twin of [[buildFromLongs]] — hashes `v.toLong`, so the
+    * bloom bytes are identical to the widened path. */
+  def buildFromInts(values: Array[Int]): Array[Byte] = {
+    if (values.isEmpty) return Array.emptyByteArray
+    var minV = values(0)
+    var maxV = values(0)
+    var i = 1
+    while (i < values.length) {
+      if (values(i) < minV) minV = values(i)
+      if (values(i) > maxV) maxV = values(i)
+      i += 1
+    }
+    val range = maxV.toLong - minV.toLong
+    val ndv =
+      if (range < (1L << 22)) {
+        val seen = new java.util.BitSet(range.toInt + 1)
+        var n = 0
+        var j = 0
+        while (j < values.length) {
+          val k = values(j) - minV
+          if (!seen.get(k)) { seen.set(k); n += 1 }
+          j += 1
+        }
+        n
+      } else values.length
+    build(values.iterator.map(v => hashLong(v.toLong)), ndv)
+  }
+
   /** Build from strings; `ndv` defaults to the value count (doc ids are
     * unique within a chunk by construction). */
   def buildFromStrings(values: Array[String]): Array[Byte] = {

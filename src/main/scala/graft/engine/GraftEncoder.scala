@@ -119,6 +119,35 @@ object TokenPack {
     * with tokens.length; trusting it would silently truncate (or index
     * past) the array while the pre-pack shuffle encoded such rows
     * faithfully. */
+  /** Value count of a pack without unpacking (continuation-bit-clear
+    * bytes). */
+  def count(pack: Array[Byte]): Int = {
+    var n = 0
+    var i = 0
+    while (i < pack.length) { if ((pack(i) & 0x80) == 0) n += 1; i += 1 }
+    n
+  }
+
+  /** Unpack straight into `dest` at `destPos`; returns the value count.
+    * Lets the per-partition encoder fill a chunk's flat token array with
+    * ZERO per-row Array[Int] allocations (the post-shuffle hot loop). */
+  def unpackInto(pack: Array[Byte], dest: Array[Int], destPos: Int): Int = {
+    var o = destPos
+    var i = 0
+    while (i < pack.length) {
+      var v = 0L
+      var shift = 0
+      var b = pack(i); i += 1
+      while ((b & 0x80) != 0) {
+        v |= (b & 0x7FL) << shift; shift += 7
+        b = pack(i); i += 1
+      }
+      v |= (b & 0xFFL) << shift
+      dest(o) = v.toInt; o += 1
+    }
+    o - destPos
+  }
+
   def unpack(pack: Array[Byte]): Array[Int] = {
     var n = 0
     var i = 0
@@ -229,12 +258,71 @@ object GraftEncoder {
     // token arrays before chunking, so segments are unchanged.
     ds.map(r => PackedRow(r.doc_id, TokenPack.pack(r.tokens), r.n_tok, r.source, r.bucket))
       .repartition(buckets, $"bucket")
-      .mapPartitions { rows =>
-        encodePartition(
-          rows.map(p => BucketedRow(p.doc_id, TokenPack.unpack(p.pack),
-            p.n_tok, p.source, p.bucket)),
-          tokensPerChunk, codecConf)
+      .mapPartitions(rows => encodePartitionPacked(rows, tokensPerChunk, codecConf))
+  }
+
+  /** Per-partition encode over still-PACKED rows: sort and chunk on the
+    * varint packs (token counts derived from the packs), then unpack each
+    * chunk's tokens STRAIGHT into its flat column array. Vs the unpack-
+    * then-[[encodePartition]] path this allocates zero per-row token
+    * arrays and keeps the partition buffered at wire size (~2.3 B/token)
+    * instead of 4 B/token until each chunk is assembled. Chunk boundaries,
+    * sort order and segment bytes are identical (pinned by
+    * EnginePipelineSpec round-trips). */
+  def encodePartitionPacked(rows: Iterator[PackedRow],
+                            tokensPerChunk: Int,
+                            codecConf: CodecConf = CodecConf.Default): Iterator[Segment] = {
+    val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
+    val buf = rows.toArray
+    java.util.Arrays.sort(buf, new java.util.Comparator[PackedRow] {
+      def compare(a: PackedRow, b: PackedRow): Int = {
+        if (a.bucket != b.bucket) return Integer.compare(a.bucket, b.bucket)
+        val s = a.source.compareTo(b.source)
+        if (s != 0) s else a.doc_id.compareTo(b.doc_id)
       }
+    })
+    val counts = new Array[Int](buf.length)
+    var i = 0
+    while (i < buf.length) { counts(i) = TokenPack.count(buf(i).pack); i += 1 }
+    new Iterator[Segment] {
+      private var idx = 0
+      private var curBucket = Int.MinValue
+      private var chunkIdx = 0
+      def hasNext: Boolean = idx < buf.length
+      def next(): Segment = {
+        val bucket = buf(idx).bucket
+        if (bucket != curBucket) { curBucket = bucket; chunkIdx = 0 }
+        val start = idx
+        var tokenCount = 0L
+        while (idx < buf.length && buf(idx).bucket == bucket &&
+          tokenCount < tokensPerChunk && (idx - start) < MaxRowsPerChunk) {
+          tokenCount += counts(idx)
+          idx += 1
+        }
+        val n = idx - start
+        val docIds = new Array[String](n)
+        val sources = new Array[String](n)
+        val nToks = new Array[Int](n)
+        val tokLens = new Array[Int](n)
+        var k = 0
+        while (k < n) {
+          val p = buf(start + k)
+          docIds(k) = p.doc_id
+          sources(k) = p.source
+          nToks(k) = p.n_tok
+          tokLens(k) = counts(start + k)
+          k += 1
+        }
+        val flat = new Array[Int](tokenCount.toInt)
+        var pos = 0
+        k = 0
+        while (k < n) { pos += TokenPack.unpackInto(buf(start + k).pack, flat, pos); k += 1 }
+        val seg = encodeColumns(docIds, sources, nToks, tokLens, flat, tokenCount,
+          pid, chunkIdx, bucket, codecConf, Nil)
+        chunkIdx += 1
+        seg
+      }
+    }
   }
 
   /** Pure per-partition encode: buffer the partition (≈ one bucket by
@@ -317,30 +405,47 @@ object GraftEncoder {
     val n = rows.length
     val docIds = new Array[String](n)
     val sources = new Array[String](n)
-    val nToks = new Array[Long](n)
-    val tokLens = new Array[Long](n)
+    val nToks = new Array[Int](n)
+    val tokLens = new Array[Int](n)
     var totalTokens = 0L
     var i = 0
     while (i < n) {
       docIds(i) = rows(i).doc_id
       sources(i) = rows(i).source
-      nToks(i) = rows(i).n_tok.toLong
-      tokLens(i) = rows(i).tokens.length.toLong
+      nToks(i) = rows(i).n_tok
+      tokLens(i) = rows(i).tokens.length
       totalTokens += rows(i).tokens.length
       i += 1
     }
-    val flat = new Array[Long](totalTokens.toInt)
+    // int32 streams stay Array[Int] end-to-end (encodeIntsAutoInt is
+    // byte-identical to the widened path): the tokens stream dominates
+    // encode bytes, and the Array[Long] widen doubled its memory traffic
+    val flat = new Array[Int](totalTokens.toInt)
     var pos = 0
     i = 0
     while (i < n) {
       val t = rows(i).tokens
-      var j = 0
-      while (j < t.length) { flat(pos) = t(j).toLong; pos += 1; j += 1 }
+      System.arraycopy(t, 0, flat, pos, t.length)
+      pos += t.length
       i += 1
     }
+    encodeColumns(docIds, sources, nToks, tokLens, flat, totalTokens,
+      pid, chunkIdx, bucket, codecConf, extras)
+  }
 
-    def intChunk(col: String, values: Array[Long], bytesInPerValue: Int): ColChunk = {
-      val (codec, payload) = CodecSelector.encodeIntsAuto(values, codecConf)
+  /** Column-level encode core shared by [[encodeChunk]] (row arrays) and
+    * [[encodePartitionPacked]] (which fills these arrays straight from the
+    * shuffle's varint packs, no per-row token array). */
+  private[engine] def encodeColumns(docIds: Array[String], sources: Array[String],
+                                    nToks: Array[Int], tokLens: Array[Int],
+                                    flat: Array[Int], totalTokens: Long,
+                                    pid: Int, chunkIdx: Int, bucket: Int,
+                                    codecConf: CodecConf,
+                                    extras: Seq[ExtraCol]): Segment = {
+    val n = docIds.length
+
+    def intChunk(col: String, values: Array[Int], bytesInPerValue: Int): ColChunk = {
+      val (codec, payload) = CodecSelector.encodeIntsAutoInt(values, codecConf)
       var minV = Long.MaxValue
       var maxV = Long.MinValue
       var k = 0
@@ -351,7 +456,7 @@ object GraftEncoder {
       }
       if (values.isEmpty) { minV = 0; maxV = 0 }
       val bloom = if (codecConf.bloomColumns.contains(col))
-        SegmentBloom.buildFromLongs(values) else Array.emptyByteArray
+        SegmentBloom.buildFromInts(values) else Array.emptyByteArray
       ColChunk(col, codec.id, codec.name, values.length.toLong,
         values.length.toLong * bytesInPerValue, payload.length.toLong,
         minV, maxV, "", "", payload, bloom)
@@ -386,7 +491,7 @@ object GraftEncoder {
       intChunk("n_tok", nToks, 4),
       strChunk("source", sources)) ++ extras.map(extraChunk(_, codecConf))
 
-    val source = if (n > 0) rows(0).source else ""
+    val source = if (n > 0) sources(0) else ""
     val bkt = if (bucket >= 0) bucket else pid
     Segment(
       segmentId = f"b$bkt%05d-c$chunkIdx%06d",

@@ -115,6 +115,57 @@ object CodecSelector {
     math.max(1, (BitPack.bitWidth(zzMax) + 6) / 7)
   }
 
+  /** [[sampleBlocks]] over an Int array, widened — same indices, so the
+    * stats (and therefore the codec choice) match the Long path exactly. */
+  def sampleBlocksInt(values: Array[Int], blocks: Int = 8, blockLen: Int = 512): Array[Long] = {
+    val n = values.length
+    if (n <= blocks * blockLen) {
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) { out(i) = values(i).toLong; i += 1 }
+      return out
+    }
+    val out = new Array[Long](blocks * blockLen)
+    val stride = (n - blockLen).toLong / (blocks - 1)
+    var b = 0
+    while (b < blocks) {
+      val from = (b * stride).toInt
+      var k = 0
+      while (k < blockLen) { out(b * blockLen + k) = values(from + k).toLong; k += 1 }
+      b += 1
+    }
+    out
+  }
+
+  private def maxVarintBytesInt(values: Array[Int]): Int = {
+    var zzMax = 0L
+    var i = 0
+    while (i < values.length) {
+      val zz = ZigZag.encode(values(i).toLong)
+      if (java.lang.Long.compareUnsigned(zz, zzMax) > 0) zzMax = zz
+      i += 1
+    }
+    math.max(1, (BitPack.bitWidth(zzMax) + 6) / 7)
+  }
+
+  /** Int-domain twin of [[encodeIntsAuto]]: same codec choice (stats run on
+    * the widened SAMPLE only — the full array never widens) and
+    * byte-identical chunk output via [[IntCodecs.encodeChunkInt]]. This is
+    * the encode hot path for the tokens/tok_len/n_tok streams. */
+  def encodeIntsAutoInt(values: Array[Int],
+                        conf: CodecConf = CodecConf.Default): (IntCodec, Array[Byte]) = {
+    val codec =
+      if (values.length < 32) BitPackCodec
+      else chooseInt(sampleBlocksInt(values), conf) // sample <= 4096: chooseInt re-samples to itself
+    val encoded = IntCodecs.encodeChunkInt(values, codec, conf)
+    if (codec.id != RawIntCodec.id &&
+      encoded.length > maxVarintBytesInt(values).toLong * values.length + 16) {
+      val raw = IntCodecs.encodeChunkInt(values, RawIntCodec, conf)
+      if (raw.length < encoded.length) return (RawIntCodec, raw)
+    }
+    (codec, encoded)
+  }
+
   /** Encode one int chunk with the auto-selected codec.
     * Returns (codec, self-describing chunk bytes). */
   def encodeIntsAuto(values: Array[Long],

@@ -115,6 +115,28 @@ object CodecPropertySpec extends Properties("codecs") {
       else Gen.listOfN(n, Gen.oneOf(if (pool.isEmpty) List("") else pool))
   } yield vs.toArray
 
+  // Int-domain generator: the full int32 range (tokens are non-negative in
+  // practice, but the codec contract is any int32)
+  private val genAnyInts32: Gen[Array[Int]] = Gen.oneOf(
+    genConstant, genSorted, genRuns, genRandom, genTokens
+  ).map(_.map(v => v.toInt))
+
+  property("int-domain encode is BYTE-identical to the widened path, every codec") =
+    forAll(genAnyInts32) { values =>
+      val widened = values.map(_.toLong)
+      IntCodecs.all.forall { c =>
+        java.util.Arrays.equals(c.encodeInt(values), c.encode(widened))
+      }
+    }
+
+  property("auto int-domain encode picks the same codec and bytes as the widened path") =
+    forAll(genAnyInts32) { values =>
+      val widened = values.map(_.toLong)
+      val (cI, bI) = CodecSelector.encodeIntsAutoInt(values)
+      val (cL, bL) = CodecSelector.encodeIntsAuto(widened)
+      cI.id == cL.id && java.util.Arrays.equals(bI, bL)
+    }
+
   property("every string codec round-trips") = forAll(genStrings) { values =>
     StringCodecs.all.forall { c =>
       StringCodecs.decodeChunk(StringCodecs.encodeChunk(values, c)).toSeq == values.toSeq

@@ -57,6 +57,35 @@ class EnginePipelineSpec extends AnyFunSuite {
     assert(seg.bytesOut < seg.bytesIn, s"must compress: ${seg.bytesOut} vs ${seg.bytesIn}")
   }
 
+  test("packed-partition encode emits byte-identical segments to the row path") {
+    val rnd = new scala.util.Random(11)
+    val rows = Array.tabulate(500) { i =>
+      val n = 1 + rnd.nextInt(400)
+      val tokens = Array.fill(n)(rnd.nextInt(50257))
+      BucketedRow(f"doc_$i%09d", tokens, n, s"src_${i % 3}", bucket = i % 4)
+    }
+    // shuffle input order: both paths must sort to the same layout
+    val shuffled = rnd.shuffle(rows.toSeq).toArray
+    val viaRows = GraftEncoder.encodePartition(
+      shuffled.iterator, tokensPerChunk = 20000).toArray
+    val viaPacked = GraftEncoder.encodePartitionPacked(
+      shuffled.iterator.map(r =>
+        PackedRow(r.doc_id, TokenPack.pack(r.tokens), r.n_tok, r.source, r.bucket)),
+      tokensPerChunk = 20000).toArray
+    assert(viaPacked.length === viaRows.length, "same chunk boundaries")
+    viaRows.zip(viaPacked).foreach { case (a, b) =>
+      assert(a.segmentId === b.segmentId)
+      assert(a.nRows === b.nRows)
+      assert(a.nTokens === b.nTokens)
+      assert(a.cols.map(_.col) === b.cols.map(_.col))
+      a.cols.zip(b.cols).foreach { case (ca, cb) =>
+        assert(java.util.Arrays.equals(ca.payload, cb.payload), s"payload of ${ca.col}")
+        assert(ca.minV === cb.minV); assert(ca.maxV === cb.maxV)
+        assert(ca.minS === cb.minS); assert(ca.maxS === cb.maxS)
+      }
+    }
+  }
+
   test("empty and single-row chunks") {
     val row = TokenRow("doc_x", Array(1, 2, 3), 3, "web")
     val seg1 = GraftEncoder.encodeChunk(Array(row), 1, 0)
