@@ -202,10 +202,19 @@ class GraftTable(path: String, catalogBacked: Boolean = false,
       catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(s"invalid snapshotId option: '$s'") }
     }
+    // `batchRows` caps rows per emitted ColumnarBatch (reference
+    // options.rs:49-55 batch-size analog); default = one batch per segment
+    val batchRows = Option(options.get("batchRows")).map { s =>
+      val n = try s.trim.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"invalid batchRows option: '$s'") }
+      require(n > 0, s"batchRows must be positive, got $n")
+      n
+    }.getOrElse(Int.MaxValue)
     new GraftScanBuilder(path, sessionConf,
       options.getBoolean("columnar", GraftScan.ColumnarDefault), asOf,
       if (asOf.isEmpty) spjBuckets else None, // as-of reads may see fewer buckets
-      resolvedSchema)
+      resolvedSchema, batchRows)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, info, sessionConf)
@@ -226,7 +235,8 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
                        columnar: Boolean = GraftScan.ColumnarDefault,
                        asOf: Option[Long] = None,
                        spjBuckets: Option[Int] = None,
-                       tableSchema: StructType = null)
+                       tableSchema: StructType = null,
+                       batchRows: Int = Int.MaxValue)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -318,7 +328,7 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
     if (aggSpecs.nonEmpty) new GraftAggScan(path, aggSpecs, hconf, asOf)
     else new GraftScan(path, required,
       StatPredicate.normalize(pushed, typeOf), limit, None, hconf, columnar, asOf,
-      spjBuckets)
+      spjBuckets, batchRows = batchRows)
 }
 
 object GraftScan {
@@ -490,7 +500,8 @@ class GraftScan(
     columnar: Boolean = GraftScan.ColumnarDefault,
     asOf: Option[Long] = None,
     spjBuckets: Option[Int] = None,
-    tokenPoints: Seq[Long] = Nil)
+    tokenPoints: Seq[Long] = Nil,
+    batchRows: Int = Int.MaxValue)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -520,7 +531,7 @@ class GraftScan(
     * `tokenRange.isEmpty`); the listing is re-derived lazily in the copy. */
   def withTokenRange(lo: Long, hi: Long, points: Seq[Long] = Nil): GraftScan =
     new GraftScan(path, required, pushed, limit, Some((lo, hi)), hconf, columnar, asOf,
-      spjBuckets, points)
+      spjBuckets, points, batchRows)
 
   /** Storage-partitioned joins: a catalog-backed ledgered table IS
     * KeyGroupedPartitioning over `bucket(n, doc_id)` — every part-file
@@ -687,14 +698,15 @@ class GraftScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, effectiveFilters, limit, tokenRange, hconf, columnar,
-      tokenPoints)
+      tokenPoints, batchRows)
 }
 
 class GraftReaderFactory(required: StructType, pushed: Array[Filter],
                          limit: Option[Int], tokenRange: Option[(Long, Long)],
                          hconf: SerializableConfiguration,
                          columnar: Boolean = false,
-                         tokenPoints: Seq[Long] = Nil)
+                         tokenPoints: Seq[Long] = Nil,
+                         batchRows: Int = Int.MaxValue)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(GraftInputPartition.fileOf(partition),
@@ -702,7 +714,7 @@ class GraftReaderFactory(required: StructType, pushed: Array[Filter],
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     new GraftColumnarPartitionReader(GraftInputPartition.fileOf(partition),
-      required, pushed, limit, tokenRange, hconf.value, tokenPoints)
+      required, pushed, limit, tokenRange, hconf.value, tokenPoints, batchRows)
 }
 
 /** Header-only aggregate scan: COUNT(*)/MIN/MAX partials per part-file from
@@ -1344,7 +1356,8 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
 class GraftColumnarPartitionReader(file: String, required: StructType,
                                    pushed: Array[Filter], limit: Option[Int],
                                    tokenRange: Option[(Long, Long)],
-                                   conf: Configuration, tokenPoints: Seq[Long] = Nil)
+                                   conf: Configuration, tokenPoints: Seq[Long] = Nil,
+                                   batchRows: Int = Int.MaxValue)
     extends PartitionReader[ColumnarBatch] {
 
   private val core = new SegmentScanCore(file, required, pushed, tokenRange, conf, tokenPoints)
@@ -1352,16 +1365,32 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
   private var mRows = 0L
   private val maxRows: Long = limit.map(_.toLong).getOrElse(Long.MaxValue)
   private val utf8 = java.nio.charset.StandardCharsets.UTF_8
+  // `batchRows` slicing state: the current segment and the next row /
+  // flat-token offsets within it (a segment larger than batchRows is
+  // emitted as several batches; decode still happens once per segment)
+  private var curSeg: DecodedSegment = _
+  private var segOff = 0
+  private var flatOff = 0
 
   override def next(): Boolean = {
     if (batch != null) { batch.close(); batch = null }
     if (mRows >= maxRows) return false
-    val seg = core.nextSegment()
-    if (seg == null) return false
+    while (curSeg == null || segOff >= curSeg.nRows) {
+      curSeg = core.nextSegment()
+      segOff = 0
+      flatOff = 0
+      if (curSeg == null) return false
+    }
     // a pushed limit truncates the final batch (validity of the emitted
     // rows is unaffected; Spark still applies the exact global limit)
-    val n = math.min(seg.nRows.toLong, maxRows - mRows).toInt
-    batch = toBatch(seg, n)
+    val n = math.min(math.min(curSeg.nRows - segOff, batchRows).toLong,
+      maxRows - mRows).toInt
+    batch = toBatch(curSeg, segOff, flatOff, n)
+    segOff += n
+    if (curSeg.tokLens != null) {
+      var i = segOff - n
+      while (i < segOff) { flatOff += curSeg.tokLens(i); i += 1 }
+    }
     mRows += n
     true
   }
@@ -1378,7 +1407,10 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
   private val metaIndex: Map[String, Int] =
     core.metaFields.map(_.name).zipWithIndex.toMap
 
-  private def toBatch(seg: DecodedSegment, n: Int): ColumnarBatch = {
+  /** Render rows [start, start+n) of a decoded segment as one batch;
+    * `flatStart` = the flat-token offset of row `start`. */
+  private def toBatch(seg: DecodedSegment, start: Int, flatStart: Int,
+                      n: Int): ColumnarBatch = {
     val vectors = OnHeapColumnVector.allocateColumns(n, required)
     var f = 0
     required.fields.foreach { field =>
@@ -1387,33 +1419,35 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
         case "doc_id" =>
           var i = 0
           while (i < n) {
-            v.putByteArray(i, seg.docIds.blob, seg.docIds.offsets(i), seg.docIds.lens(i))
+            val s = start + i
+            v.putByteArray(i, seg.docIds.blob, seg.docIds.offsets(s), seg.docIds.lens(s))
             i += 1
           }
         case "source" =>
           var i = 0
           while (i < n) {
-            v.putByteArray(i, seg.sources.blob, seg.sources.offsets(i), seg.sources.lens(i))
+            val s = start + i
+            v.putByteArray(i, seg.sources.blob, seg.sources.offsets(s), seg.sources.lens(s))
             i += 1
           }
         case "n_tok" =>
           var i = 0
-          while (i < n) { v.putInt(i, seg.nToks(i)); i += 1 }
+          while (i < n) { v.putInt(i, seg.nToks(start + i)); i += 1 }
         case "tokens" =>
           // total token count of the emitted rows (== full flat length
-          // unless the limit truncated the batch)
+          // unless the limit or batchRows sliced the segment)
           var total = 0
           var i = 0
-          while (i < n) { total += seg.tokLens(i); i += 1 }
+          while (i < n) { total += seg.tokLens(start + i); i += 1 }
           val child = v.arrayData()
           child.reserve(total)
           // flat is Array[Int] since the int-decode de-widening: one bulk
           // copy, no per-batch transient array
-          child.putInts(0, total, seg.flat, 0)
+          child.putInts(0, total, seg.flat, flatStart)
           var off = 0
           i = 0
           while (i < n) {
-            val len = seg.tokLens(i)
+            val len = seg.tokLens(start + i)
             v.putArray(i, off, len)
             off += len
             i += 1
@@ -1424,26 +1458,28 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
           case e: ExtraStringsDecoded =>
             var i = 0
             while (i < n) {
-              if (!e.present(i)) v.putNull(i)
+              val s = start + i
+              if (!e.present(s)) v.putNull(i)
               else {
-                val j = e.idx(i)
+                val j = e.idx(s)
                 v.putByteArray(i, e.chunk.blob, e.chunk.offsets(j), e.chunk.lens(j))
               }
               i += 1
             }
           case e: ExtraLongsDecoded =>
-            val put: Int => Unit = field.dataType match {
-              case IntegerType | DateType => i => v.putInt(i, e.values(i).toInt)
+            val put: (Int, Int) => Unit = field.dataType match {
+              case IntegerType | DateType => (i, s) => v.putInt(i, e.values(s).toInt)
               case LongType | TimestampType | TimestampNTZType =>
-                i => v.putLong(i, e.values(i))
+                (i, s) => v.putLong(i, e.values(s))
               case DoubleType =>
-                i => v.putDouble(i, MetaColumns.fromSortableDouble(e.values(i)))
+                (i, s) => v.putDouble(i, MetaColumns.fromSortableDouble(e.values(s)))
               case other => throw new IllegalStateException(
                 s"unreachable: unvalidated metadata type $other")
             }
             var i = 0
             while (i < n) {
-              if (!e.present(i)) v.putNull(i) else put(i)
+              val s = start + i
+              if (!e.present(s)) v.putNull(i) else put(i, s)
               i += 1
             }
         }

@@ -119,6 +119,29 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(key(f) === key(fr))
   }
 
+  test("batchRows slices segments into bounded batches; results stay exact") {
+    import spark.implicits._
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.as[graft.engine.TokenRow].collect()
+        .map(r => (r.doc_id, r.tokens.toSeq, r.n_tok, r.source)).sortBy(_._1).toSeq
+    val whole = key(spark.read.format("graft").load(bare))
+    // tiny cap: every multi-row segment must split, values must not shift
+    val sliced = spark.read.format("graft").option("batchRows", "3").load(bare)
+    assert(key(sliced) === whole)
+    // slicing composes with a pushed limit and with filters
+    val lim = spark.read.format("graft").option("batchRows", "3").load(bare)
+      .limit(7).as[graft.engine.TokenRow].collect()
+    assert(lim.length === 7)
+    val exp = whole.map(t => t._1 -> t).toMap
+    lim.foreach(g => assert(g.tokens.toSeq === exp(g.doc_id)._2))
+    val filtered = key(spark.read.format("graft").option("batchRows", "5").load(bare)
+      .filter($"n_tok" > 100))
+    assert(filtered === whole.filter(_._3 > 100))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("batchRows", "0").load(bare).collect()
+    }
+  }
+
   test("SegmentStore layout reads ONLY ledger-committed partitions") {
     val dir = tmp()
     val input = TokenTables.synthetic(spark, nDocs = 200, seed = 7L)
