@@ -207,7 +207,7 @@ object SegmentStore {
       .filter($"bucket".isin(pending.map(Int.box): _*))
     val segments = GraftEncoder.encodeBucketed(bucketedPending, buckets, tokensPerChunk)
 
-    commitSegments(spark, tableDir, snapshotId, segments.toDF(),
+    commitSegments(spark, tableDir, snapshotId, segments,
       graft.sources.SegmentLayoutV2.CanonicalStreams, pendingSet, extraLedger)
     pendingSet
   }
@@ -220,11 +220,11 @@ object SegmentStore {
     * for a metadata table's compaction). */
   private def commitSegments(spark: SparkSession, tableDir: String,
                              snapshotId: Long,
-                             segments: org.apache.spark.sql.DataFrame,
+                             segments: Dataset[Segment],
                              streams: Seq[String],
                              pendingSet: Set[Int],
                              extraLedger: Seq[LineageRow]): Unit = {
-    graft.sources.SegmentLayoutV2.flatten(segments, streams)
+    graft.sources.SegmentLayoutV2.flattenSegments(segments, streams)
       .withColumn("snapshotId", lit(snapshotId))
       .write
       .option("partitionOverwriteMode", "dynamic")
@@ -381,7 +381,7 @@ object SegmentStore {
       case Some(segs) =>
         graft.sources.GraftTableMeta.ensureForCommit(
           tableDir, spark.sessionState.newHadoopConf(), metaDdl)
-        commitSegments(spark, tableDir, compactionId, segs.toDF(),
+        commitSegments(spark, tableDir, compactionId, segs,
           graft.sources.SegmentLayoutV2.CanonicalStreams ++ metaFields.map(_.name),
           (0 until buckets).toSet, markers)
       case None =>

@@ -143,6 +143,47 @@ object SegmentLayoutV2 {
     df.select(others ++ flats: _*)
   }
 
+  /** Object-level twin of [[flatten]] for the engine write path: one pass
+    * over each Segment's cols, no Catalyst expression tree — the
+    * expression version evaluates `filter(cols, …)` once per (stream,
+    * field), each materializing a filtered struct array INCLUDING the
+    * multi-MB payload bytes (55 copies of the row's payloads per segment
+    * with the canonical five streams). A stream absent from a segment
+    * yields null fields, matching `element_at(…, 1)` on an empty filter. */
+  def flattenSegments(ds: org.apache.spark.sql.Dataset[graft.engine.Segment],
+                      streams: Seq[String] = CanonicalStreams): DataFrame = {
+    val schema = StructType(sparkSchema(streams) :+ StructField("bucket", IntegerType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val nTop = 8
+    ds.map { seg =>
+      val by = seg.cols.iterator.map(c => c.col -> c).toMap
+      val vals = new Array[Any](nTop + streams.length * StreamFields.length + 1)
+      vals(0) = seg.segmentId
+      vals(1) = seg.source
+      vals(2) = seg.partitionId
+      vals(3) = seg.chunkIdx
+      vals(4) = seg.nRows
+      vals(5) = seg.nTokens
+      vals(6) = seg.bytesIn
+      vals(7) = seg.bytesOut
+      var i = nTop
+      streams.foreach { s =>
+        by.get(s) match {
+          case Some(c) =>
+            vals(i) = c.codecId; vals(i + 1) = c.codecName; vals(i + 2) = c.nValues
+            vals(i + 3) = c.bytesIn; vals(i + 4) = c.bytesOut
+            vals(i + 5) = c.minV; vals(i + 6) = c.maxV
+            vals(i + 7) = c.minS; vals(i + 8) = c.maxS
+            vals(i + 9) = c.payload; vals(i + 10) = c.bloom
+          case None => // leave the 11 slots null
+        }
+        i += StreamFields.length
+      }
+      vals(i) = seg.bucket
+      org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+    }(enc)
+  }
+
   /** Flat v2 DataFrame -> Segment-shaped (cols array restored in canonical
     * order). `withPayload = false` substitutes empty payload/bloom bytes so
     * stats-only consumers (lineage aggregation) never read the payload

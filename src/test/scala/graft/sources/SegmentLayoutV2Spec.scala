@@ -79,6 +79,21 @@ class SegmentLayoutV2Spec extends AnyFunSuite {
       s"projected scan read $projBytes B vs full $fullBytes B — payload columns were not skipped at the IO layer")
   }
 
+  test("flattenSegments (object path) equals the expression flatten, field for field") {
+    val input = TokenTables.synthetic(spark, nDocs = 300, seed = 5L)
+    val segs = GraftEncoder.encode(input, buckets = 4)
+    val streams = SegmentLayoutV2.CanonicalStreams
+    def key(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted
+      df.selectExpr(cols.map {
+        case c if c.endsWith("__payload") || c.endsWith("__bloom") => s"hash($c) AS $c"
+        case c => c
+      }: _*).collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    }
+    assert(key(SegmentLayoutV2.flattenSegments(segs, streams)) ===
+      key(SegmentLayoutV2.flatten(segs.toDF(), streams)))
+  }
+
   test("v2 stat pruning saves parquet IO: filtered scan reads less than full scan") {
     import spark.implicits._
     // range-clustered DSv2 table: doc_id stats discriminate per file/segment
