@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType, StructTyp
 import org.apache.spark.util.SerializableConfiguration
 
 import graft.codec.CodecConf
-import graft.engine.{BucketedRow, GraftConf, GraftEncoder, Segment}
+import graft.engine.{BucketedRow, GraftConf, GraftEncoder, PackedRow, Segment, TokenPack}
 
 /** The write half of the graft connector: `df.write.format("graft")
   * .mode("append").save(dir)` and `df.writeStream.format("graft")` run the
@@ -448,7 +448,6 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
   private val iTok = schema.fieldIndex("tokens")
   private val iN = schema.fieldIndex("n_tok")
   private val iSrc = schema.fieldIndex("source")
-  private val rows = ArrayBuffer.empty[BucketedRow]
   private val stagedFile = s"$stagingDir/part-$partitionId-$taskId.parquet"
 
   // metadata columns ([[MetaColumns]]): ordinals, engine specs, and a
@@ -459,8 +458,27 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
     metaFields.map(MetaColumns.specFor)
   private val metas: ArrayBuffer[Array[AnyRef]] =
     if (metaFields.isEmpty) null else ArrayBuffer.empty[Array[AnyRef]]
+  // canonical tables buffer VARINT-PACKED rows (~2.3 B/token live in task
+  // memory instead of 4 B + array headers — the same trade the engine's
+  // shuffle makes) and encode via [[GraftEncoder.encodePartitionPacked]];
+  // metadata tables keep the unpacked row+meta buffer
+  private val packed: ArrayBuffer[PackedRow] =
+    if (metaFields.isEmpty) ArrayBuffer.empty else null
+  private val rows: ArrayBuffer[BucketedRow] =
+    if (metaFields.isEmpty) null else ArrayBuffer.empty
+
+  private def nBuffered: Int = if (packed != null) packed.length else rows.length
 
   override def write(row: InternalRow): Unit = {
+    if (packed != null) {
+      packed += PackedRow(
+        row.getUTF8String(iDoc).toString,
+        TokenPack.pack(row.getArray(iTok).toIntArray()),
+        row.getInt(iN),
+        row.getUTF8String(iSrc).toString,
+        partitionId)
+      return
+    }
     rows += BucketedRow(
       row.getUTF8String(iDoc).toString,
       row.getArray(iTok).toIntArray(),
@@ -498,17 +516,32 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
     * ever scheduled ([[GraftScan.planInputPartitions]]). */
   private def fileBloomMeta(): Map[String, String] = {
     import graft.codec.SegmentBloom
-    if (codecConf.fileBloomBytes <= 0 || rows.isEmpty) return Map.empty
+    if (codecConf.fileBloomBytes <= 0 || nBuffered == 0) return Map.empty
     val cap = codecConf.fileBloomBytes
+    // per-field views over whichever buffer is live (packed canonical /
+    // unpacked meta); token values unpack transiently per row, never all
+    def docIds: Iterator[String] =
+      if (packed != null) packed.iterator.map(_.doc_id) else rows.iterator.map(_.doc_id)
+    def srcs: Iterator[String] =
+      if (packed != null) packed.iterator.map(_.source) else rows.iterator.map(_.source)
+    def nToks: Iterator[Int] =
+      if (packed != null) packed.iterator.map(_.n_tok) else rows.iterator.map(_.n_tok)
+    def tokLens: Iterator[Int] =
+      if (packed != null) packed.iterator.map(p => TokenPack.count(p.pack))
+      else rows.iterator.map(_.tokens.length)
+    def tokens: Iterator[Int] =
+      if (packed != null) packed.iterator.flatMap(p => TokenPack.unpack(p.pack).iterator)
+      else rows.iterator.flatMap(_.tokens.iterator)
     codecConf.bloomColumns.toSeq.sorted.flatMap { col =>
       val (hashes, ndv): (Iterator[Long], Int) = col match {
-        case "doc_id" => (rows.iterator.map(r => SegmentBloom.hashString(r.doc_id)), rows.length)
-        case "source" => (rows.iterator.map(r => SegmentBloom.hashString(r.source)), rows.length)
-        case "n_tok" => (rows.iterator.map(r => SegmentBloom.hashLong(r.n_tok.toLong)), rows.length)
-        case "tok_len" => (rows.iterator.map(r => SegmentBloom.hashLong(r.tokens.length.toLong)), rows.length)
+        case "doc_id" => (docIds.map(SegmentBloom.hashString), nBuffered)
+        case "source" => (srcs.map(SegmentBloom.hashString), nBuffered)
+        case "n_tok" => (nToks.map(v => SegmentBloom.hashLong(v.toLong)), nBuffered)
+        case "tok_len" => (tokLens.map(v => SegmentBloom.hashLong(v.toLong)), nBuffered)
         case "tokens" =>
-          val total = math.min(Int.MaxValue.toLong, rows.iterator.map(_.tokens.length.toLong).sum).toInt
-          (rows.iterator.flatMap(_.tokens.iterator.map(t => SegmentBloom.hashLong(t.toLong))), total)
+          val total = math.min(Int.MaxValue.toLong,
+            tokLens.map(_.toLong).sum).toInt
+          (tokens.map(t => SegmentBloom.hashLong(t.toLong)), total)
         // metadata columns: non-null values, int-kinds hashed in the STAT
         // domain (statMap) to match the normalized point predicates
         case m if metas != null && metaFields.exists(_.name == m) =>
@@ -533,10 +566,11 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
   }
 
   override def commit(): WriterCommitMessage = {
-    if (rows.isEmpty)
+    if (nBuffered == 0)
       return GraftCommitMessage(partitionId, None, 0L, 0L, 0L, 0L, 0L, "", "", "")
     val segments =
-      if (metas == null) GraftEncoder.encodePartition(rows.iterator, tokensPerChunk, codecConf)
+      if (packed != null)
+        GraftEncoder.encodePartitionPacked(packed.iterator, tokensPerChunk, codecConf)
       else GraftEncoder.encodePartitionWithMeta(
         rows.iterator.zip(metas.iterator), metaSpecs, tokensPerChunk, codecConf)
     val s = SegmentLayoutV2.messageType(
@@ -611,5 +645,9 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
     fs.delete(p, false)
   }
 
-  override def close(): Unit = rows.clear()
+  override def close(): Unit = {
+    if (packed != null) packed.clear()
+    if (rows != null) rows.clear()
+    if (metas != null) metas.clear()
+  }
 }
