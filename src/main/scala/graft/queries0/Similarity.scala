@@ -209,6 +209,97 @@ object Similarity {
     materializeAndRelease(rankTopK(pairs), assigned, corpus)
   }
 
+  final val KmeansSample = 256
+  final val KmeansIters = 5
+
+  /** IVF with a REAL trained codebook: spherical k-means (Lloyd) over a
+    * bounded deterministic sample (lowest [[KmeansSample]] ids), fixed
+    * [[KmeansIters]] iterations, ties to the lowest centroid index — fully
+    * deterministic per corpus, so the entry reproduces run-to-run, but not
+    * SQL-expressible (Lloyd is iterative): the driver records the rows-only
+    * check and SimilaritySpec pins recall ≥ the seeded-codebook IVF's.
+    * This closes the seeded-codebook seam [[annIvf]] documents: same
+    * scale shape (tiny broadcast codebook, one narrow assignment pass,
+    * list-membership candidate generation), better list balance. At 10^12
+    * rows the sample collect stays bounded by construction and Lloyd runs
+    * driver-side on KmeansSample vectors — the classic IVF training
+    * recipe (train on a sample, assign in one distributed pass). */
+  /** Spherical k-means over a driver-side sample: init = first NCentroids
+    * sample vectors, fixed iterations, ties to the lowest index, empty
+    * clusters keep their previous centroid — deterministic per sample.
+    * Returns (index, centroid, norm) in the broadcast-codebook shape. */
+  def trainCodebook(sample: Array[(Long, Array[Double], Double)])
+      : Array[(Long, Array[Double], Double)] = {
+    val dim = sample.head._2.length
+    var cents: Array[Array[Double]] = sample.take(NCentroids).map(_._2.clone())
+    var iter = 0
+    while (iter < KmeansIters) {
+      val norms = cents.map(c => math.sqrt(dot(c, c)))
+      val sums = Array.fill(NCentroids)(new Array[Double](dim))
+      val counts = new Array[Int](NCentroids)
+      sample.foreach { case (_, emb, n) =>
+        var best = 0
+        var bestCos = Double.NegativeInfinity
+        var j = 0
+        while (j < NCentroids) {
+          val cos = dot(emb, cents(j)) / (n * norms(j))
+          if (cos > bestCos) { bestCos = cos; best = j }
+          j += 1
+        }
+        val s = sums(best)
+        var d = 0
+        while (d < dim) { s(d) += emb(d); d += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(NCentroids) { j =>
+        if (counts(j) == 0) cents(j)
+        else {
+          val m = sums(j)
+          var d = 0
+          while (d < dim) { m(d) /= counts(j); d += 1 }
+          m
+        }
+      }
+      iter += 1
+    }
+    cents.zipWithIndex.map { case (c, j) => (j.toLong, c, math.sqrt(dot(c, c))) }
+  }
+
+  def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = withNorm(spark, dir).persist()
+    val sample = corpus.filter(_._1 < KmeansSample).collect().sortBy(_._1)
+    val codebook = trainCodebook(sample)
+    val bc = spark.sparkContext.broadcast(codebook)
+    val assigned = corpus.map { case (id, emb, n) =>
+      val cs = bc.value
+      var best = 0
+      var bestCos = Double.NegativeInfinity
+      var j = 0
+      while (j < cs.length) {
+        val cos = dot(emb, cs(j)._2) / (n * cs(j)._3)
+        if (cos > bestCos) { bestCos = cos; best = j }
+        j += 1
+      }
+      (id, emb, n, best)
+    }.persist()
+    val probes = assigned.filter(_._1 < NProbes).collect().sortBy(_._1)
+    val probeLists = probes.map { case (qid, qemb, qn, _) =>
+      val scored = bc.value.map(c => (dot(qemb, c._2) / (qn * c._3), c._1.toInt))
+      val top = scored.sortBy { case (cos, cid) => (-cos, cid) }
+        .take(NProbeLists).map(_._2)
+      (qid, qemb, qn, top)
+    }
+    val bq = spark.sparkContext.broadcast(probeLists)
+    val pairs = assigned.flatMap { case (id, emb, n, cid) =>
+      bq.value.iterator.collect {
+        case (qId, qEmb, qNorm, lists) if qId != id && lists.contains(cid) =>
+          (qId, id, dot(emb, qEmb) / (n * qNorm))
+      }
+    }.toDF("q_id", "vec_id", "cosine_raw")
+    materializeAndRelease(rankTopK(pairs), assigned, corpus)
+  }
+
   /** ANN recall of the LSH path vs the exact baseline — quality telemetry.
     * Exact and approx are built over ONE shared persisted corpus (a single
     * parquet scan), instead of re-running bruteForce + LSH wholesale. */
@@ -234,6 +325,7 @@ object Similarity {
     "ann_bruteforce_topk" -> (bruteForceTopK _),
     "ann_lsh_topk" -> (annLsh _),
     "ann_ivf_topk" -> (annIvf _),
+    "ann_ivf_kmeans_topk" -> (annIvfKmeans _),
     "ann_recall" -> (annRecall _)) ++ Multimodal.all
 
   // ---- DuckDB oracles --------------------------------------------------------
