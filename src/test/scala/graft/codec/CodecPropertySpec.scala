@@ -63,6 +63,18 @@ object CodecPropertySpec extends Properties("codecs") {
         .toSeq == ints.toSeq
     }
 
+  property("TokenPack count/unpackInto agree with unpack at any offset") =
+    forAll(genAnyInts) { values =>
+      val ints = values.map(_.toInt)
+      val pack = graft.engine.TokenPack.pack(ints)
+      val n = graft.engine.TokenPack.count(pack)
+      val dest = new Array[Int](ints.length + 3)
+      val written = graft.engine.TokenPack.unpackInto(pack, dest, 3)
+      n == ints.length && written == ints.length &&
+        java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(dest, 3, 3 + ints.length), ints)
+    }
+
   property("every int codec round-trips") = forAll(genAnyInts) { values =>
     IntCodecs.all.forall { c =>
       IntCodecs.decodeChunk(IntCodecs.encodeChunk(values, c)).toSeq == values.toSeq
