@@ -435,7 +435,7 @@ object Dedup {
 
   // ---- DuckDB oracles --------------------------------------------------------
 
-  private val corpusSql =
+  private[queries0] val corpusSql =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0

@@ -108,11 +108,53 @@ object Text {
     h
   }
 
+  final val CleanMinChars = 100L
+  final val CleanMinStopRatio = 0.03
+
+  /** End-to-end CLEAN-CORPUS pipeline — the composition the individual
+    * operators exist for in a training-data flow: over the dedup corpus
+    * (planted exact + near dups), keep documents whose predicted language
+    * is English (same argmax + tie order as [[langId]]), whose length and
+    * stopword ratio clear quality thresholds (same arithmetic as
+    * [[qualityScore]]), then drop exact duplicates keeping the lowest
+    * doc_id per content hash (same md5 contract as Dedup.exact). One
+    * narrow pass + one hash aggregation + one semi-join — no all-pairs
+    * anything; at 10^12 docs every step is the already-graded scalable
+    * shape of its component. */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val en = occPlain(padded, " the ") + occPlain(padded, " and ") + occPlain(padded, " of ")
+    val de = occPlain(padded, " der ") + occPlain(padded, " und ") + occPlain(padded, " die ")
+    val fr = occPlain(padded, " le ") + occPlain(padded, " la ") + occPlain(padded, " et ")
+    val es = occPlain(padded, " el ") + occPlain(padded, " los ") + occPlain(padded, " que ")
+    val best = greatest(en, de, fr, es)
+    val text = col("text")
+    val chars = length(text).cast("long")
+    val words = occPlain(text, " ") + lit(1L)
+    val stops = occPlain(text, " the ") + occPlain(text, " and ") +
+      occPlain(text, " of ") + occPlain(text, " to ")
+    val scored = Dedup.corpus(spark, dir).select(
+        col("doc_id"), col("text"),
+        chars.as("n_chars_txt"),
+        (stops.cast("double") / words).as("stopword_ratio"),
+        (best > 0 && en === best).as("is_en"))
+      .filter(col("is_en") && col("n_chars_txt") >= CleanMinChars &&
+        col("stopword_ratio") >= CleanMinStopRatio)
+    val keep = scored
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    scored.join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("n_chars_txt"), col("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> (tokenCount _),
     "text_quality_score" -> (qualityScore _),
     "text_lang_id" -> (langId _),
-    "text_fingerprint" -> (fingerprint _))
+    "text_fingerprint" -> (fingerprint _),
+    "pipeline_clean_corpus" -> (cleanCorpus _))
 
   private val occSql = (colName: String, pat: String) =>
     s"(LENGTH($colName) - LENGTH(REPLACE($colName, '$pat', ''))) / ${pat.length}"
@@ -158,6 +200,29 @@ object Text {
 
   val oracles: Map[String, String] = Map(
     "text_fingerprint" -> fingerprintSql,
+    "pipeline_clean_corpus" ->
+      s"""WITH ${Dedup.corpusSql},
+         |scored AS (
+         |  SELECT doc_id, text,
+         |    CAST(LENGTH(text) AS BIGINT) AS n_chars_txt,
+         |    CAST(${occSql("text", " the ")} + ${occSql("text", " and ")} + ${occSql("text", " of ")} + ${occSql("text", " to ")} AS DOUBLE) / (${occSql("text", " ")} + 1) AS stopword_ratio,
+         |    ${occSql("t", " the ")} + ${occSql("t", " and ")} + ${occSql("t", " of ")} AS s_en,
+         |    ${occSql("t", " der ")} + ${occSql("t", " und ")} + ${occSql("t", " die ")} AS s_de,
+         |    ${occSql("t", " le ")} + ${occSql("t", " la ")} + ${occSql("t", " et ")} AS s_fr,
+         |    ${occSql("t", " el ")} + ${occSql("t", " los ")} + ${occSql("t", " que ")} AS s_es
+         |  FROM (SELECT doc_id, text, ' ' || LOWER(text) || ' ' AS t FROM corpus)
+         |),
+         |eng AS (
+         |  SELECT doc_id, text, n_chars_txt, stopword_ratio FROM scored
+         |  WHERE GREATEST(s_en, s_de, s_fr, s_es) > 0
+         |    AND s_en = GREATEST(s_en, s_de, s_fr, s_es)
+         |    AND n_chars_txt >= $CleanMinChars
+         |    AND stopword_ratio >= $CleanMinStopRatio
+         |),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM eng GROUP BY md5(text))
+         |SELECT e.doc_id, e.n_chars_txt, e.stopword_ratio
+         |FROM eng e JOIN keep k ON e.doc_id = k.doc_id
+         |ORDER BY e.doc_id""".stripMargin,
     "text_token_count" ->
       s"""SELECT doc_id,
          |  CAST(${occSql("text", " ")} + 1 AS BIGINT) AS n_tokens_ws,
