@@ -203,14 +203,18 @@ class GraftTable(path: String, catalogBacked: Boolean = false,
         throw new IllegalArgumentException(s"invalid snapshotId option: '$s'") }
     }
     // `batchRows` caps rows per emitted ColumnarBatch (reference
-    // options.rs:49-55 batch-size analog); default = one batch per segment
-    val batchRows = Option(options.get("batchRows")).map { s =>
-      val n = try s.trim.toInt
-      catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(s"invalid batchRows option: '$s'") }
-      require(n > 0, s"batchRows must be positive, got $n")
-      n
-    }.getOrElse(Int.MaxValue)
+    // options.rs:49-55 batch-size analog); per-read option wins over the
+    // session conf `graft.scan.batchRows`; default = one batch per segment
+    val batchRows = Option(options.get("batchRows"))
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(_.conf.getOption(GraftScan.BatchRowsConf)))
+      .map { s =>
+        val n = try s.trim.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"invalid batchRows option: '$s'") }
+        require(n > 0, s"batchRows must be positive, got $n")
+        n
+      }.getOrElse(Int.MaxValue)
     new GraftScanBuilder(path, sessionConf,
       options.getBoolean("columnar", GraftScan.ColumnarDefault), asOf,
       if (asOf.isEmpty) spjBuckets else None, // as-of reads may see fewer buckets
@@ -337,6 +341,11 @@ object GraftScan {
     * OnHeapColumnVectors, the Spark-native analog of the reference's Arrow
     * RecordBatch stream. */
   final val ColumnarDefault = true
+
+  /** Session-conf default for the `batchRows` read option (the reference
+    * factory accepts `orc.batch_size` at the format level too,
+    * file_format.rs:42-86). */
+  final val BatchRowsConf = "graft.scan.batchRows"
 
   /** Stats-prunable filter shapes: string/int-kind comparisons on
     * stats-bearing columns (canonical doc_id/source/n_tok AND metadata

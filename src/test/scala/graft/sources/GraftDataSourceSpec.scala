@@ -140,6 +140,12 @@ class GraftDataSourceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       spark.read.format("graft").option("batchRows", "0").load(bare).collect()
     }
+    // session-conf default form; the per-read option wins over it
+    spark.conf.set(GraftScan.BatchRowsConf, "4")
+    try {
+      assert(key(spark.read.format("graft").load(bare)) === whole)
+      assert(key(spark.read.format("graft").option("batchRows", "2").load(bare)) === whole)
+    } finally spark.conf.unset(GraftScan.BatchRowsConf)
   }
 
   test("SegmentStore layout reads ONLY ledger-committed partitions") {
