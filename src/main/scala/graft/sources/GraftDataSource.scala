@@ -1310,46 +1310,54 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
 
   private def rowsOf(seg: DecodedSegment): Iterator[InternalRow] = {
     var pos = 0
-    (0 until seg.nRows).iterator.map { i =>
-      val row = new GenericInternalRow(required.length)
-      var f = 0
-      required.fields.foreach { field =>
+    // one writer per projected field, resolved ONCE per segment — the old
+    // shape string-matched field names (and metadata types) on EVERY row
+    val fillers: Array[(GenericInternalRow, Int, Int) => Unit] =
+      required.fields.map { field =>
         field.name match {
-          case "doc_id" => row.update(f,
+          case "doc_id" => (row: GenericInternalRow, f: Int, i: Int) => row.update(f,
             UTF8String.fromBytes(seg.docIds.blob, seg.docIds.offsets(i), seg.docIds.lens(i)))
-          case "tokens" =>
+          case "tokens" => (row: GenericInternalRow, f: Int, i: Int) => {
             val len = seg.tokLens(i)
             val t = java.util.Arrays.copyOfRange(seg.flat, pos, pos + len)
             pos += len
             row.update(f, new GenericArrayData(t))
-          case "n_tok" => row.setInt(f, seg.nToks(i))
-          case "source" => row.update(f,
+          }
+          case "n_tok" =>
+            (row: GenericInternalRow, f: Int, i: Int) => row.setInt(f, seg.nToks(i))
+          case "source" => (row: GenericInternalRow, f: Int, i: Int) => row.update(f,
             UTF8String.fromBytes(seg.sources.blob, seg.sources.offsets(i), seg.sources.lens(i)))
           case name => seg.extras(metaIndex(name)) match {
             // metadata columns ([[MetaColumns]]): stored 64-bit domain ->
             // external type; absent PRESENT bit / null string = SQL null
             case e: ExtraStringsDecoded =>
-              if (!e.present(i)) row.setNullAt(f)
-              else {
-                val j = e.idx(i)
-                row.update(f, UTF8String.fromBytes(
-                  e.chunk.blob, e.chunk.offsets(j), e.chunk.lens(j)))
-              }
+              (row: GenericInternalRow, f: Int, i: Int) =>
+                if (!e.present(i)) row.setNullAt(f)
+                else {
+                  val j = e.idx(i)
+                  row.update(f, UTF8String.fromBytes(
+                    e.chunk.blob, e.chunk.offsets(j), e.chunk.lens(j)))
+                }
             case e: ExtraLongsDecoded =>
-              if (!e.present(i)) row.setNullAt(f)
-              else field.dataType match {
-                case IntegerType | DateType => row.setInt(f, e.values(i).toInt)
+              val put: (GenericInternalRow, Int, Int) => Unit = field.dataType match {
+                case IntegerType | DateType =>
+                  (row, f, i) => row.setInt(f, e.values(i).toInt)
                 case LongType | TimestampType | TimestampNTZType =>
-                  row.setLong(f, e.values(i))
+                  (row, f, i) => row.setLong(f, e.values(i))
                 case DoubleType =>
-                  row.setDouble(f, MetaColumns.fromSortableDouble(e.values(i)))
+                  (row, f, i) => row.setDouble(f, MetaColumns.fromSortableDouble(e.values(i)))
                 case other => throw new IllegalStateException(
                   s"unreachable: unvalidated metadata type $other")
               }
+              (row: GenericInternalRow, f: Int, i: Int) =>
+                if (!e.present(i)) row.setNullAt(f) else put(row, f, i)
           }
         }
-        f += 1
       }
+    (0 until seg.nRows).iterator.map { i =>
+      val row = new GenericInternalRow(required.length)
+      var f = 0
+      while (f < fillers.length) { fillers(f)(row, f, i); f += 1 }
       row
     }
   }
