@@ -1150,17 +1150,28 @@ private[sources] final class SegmentScanCore(
     * streams the projection / point predicates put in the requested
     * schema — everything else was never read from parquet. */
   private def chunksV2(g: Group): Map[String, ChunkStats] = {
-    footer.streams.map { s =>
+    footer.streams.flatMap { s =>
       def fld(f: String) = SegmentLayoutV2.field(s, f)
+      def has(f: String): Boolean = g.getFieldRepetitionCount(fld(f)) > 0
       def bin(f: String): Array[Byte] =
-        if (g.getFieldRepetitionCount(fld(f)) > 0) g.getBinary(fld(f), 0).getBytes
-        else Array.emptyByteArray
-      val payload = if (payloadStreams(s)) bin("payload") else Array.emptyByteArray
-      val bloom = if (bloomStreams(s)) bin("bloom") else Array.emptyByteArray
-      s -> ChunkStats(
-        g.getLong(fld("minV"), 0), g.getLong(fld("maxV"), 0),
-        g.getString(fld("minS"), 0), g.getString(fld("maxS"), 0),
-        payload, bloom, g.getLong(fld("bytesOut"), 0), g.getLong(fld("nValues"), 0))
+        if (has(f)) g.getBinary(fld(f), 0).getBytes else Array.emptyByteArray
+      // flattenSegments writes NULL stream fields for a segment that lacks
+      // a footer-listed stream (schema-evolved or foreign files): treat an
+      // absent stream as "no chunk" — the read path then degrades soundly
+      // (unknown stats, decode-as-null) instead of crashing on a stat read.
+      if (!has("nValues")) None
+      else {
+        val payload = if (payloadStreams(s)) bin("payload") else Array.emptyByteArray
+        val bloom = if (bloomStreams(s)) bin("bloom") else Array.emptyByteArray
+        Some(s -> ChunkStats(
+          if (has("minV")) g.getLong(fld("minV"), 0) else 0L,
+          if (has("maxV")) g.getLong(fld("maxV"), 0) else 0L,
+          if (has("minS")) g.getString(fld("minS"), 0) else "",
+          if (has("maxS")) g.getString(fld("maxS"), 0) else "",
+          payload, bloom,
+          if (has("bytesOut")) g.getLong(fld("bytesOut"), 0) else 0L,
+          g.getLong(fld("nValues"), 0)))
+      }
     }.toMap
   }
 

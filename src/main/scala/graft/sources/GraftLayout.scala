@@ -131,8 +131,15 @@ object GraftLayout {
       while (g != null) {
         rows += g.getInteger("nRows", 0)
         fi.streams.foreach { s =>
+          def has(f: String): Boolean =
+            g.getFieldRepetitionCount(SegmentLayoutV2.field(s, f)) > 0
+          // a segment missing this stream entirely (flattenSegments writes
+          // NULL stream fields then) contributes nothing — same soundness
+          // stance as the chunk reader's absent-stream guard
+          if (!has("nValues")) ()
+          else {
           bytes.updateWith(s)(v => Some(v.getOrElse(0L) +
-            g.getLong(SegmentLayoutV2.field(s, "bytesIn"), 0)))
+            (if (has("bytesIn")) g.getLong(SegmentLayoutV2.field(s, "bytesIn"), 0) else 0L)))
           val nv = g.getLong(SegmentLayoutV2.field(s, "nValues"), 0)
           nVals.updateWith(s)(v => Some(v.getOrElse(0L) + nv))
           // a VALUE-LESS chunk stream (empty token flat, or an all-null
@@ -144,10 +151,10 @@ object GraftLayout {
           // values present.
           if (nv > 0L) {
             val r = ColRange(
-              g.getLong(SegmentLayoutV2.field(s, "minV"), 0),
-              g.getLong(SegmentLayoutV2.field(s, "maxV"), 0),
-              g.getString(SegmentLayoutV2.field(s, "minS"), 0),
-              g.getString(SegmentLayoutV2.field(s, "maxS"), 0))
+              if (has("minV")) g.getLong(SegmentLayoutV2.field(s, "minV"), 0) else 0L,
+              if (has("maxV")) g.getLong(SegmentLayoutV2.field(s, "maxV"), 0) else 0L,
+              if (has("minS")) g.getString(SegmentLayoutV2.field(s, "minS"), 0) else "",
+              if (has("maxS")) g.getString(SegmentLayoutV2.field(s, "maxS"), 0) else "")
             ranges.updateWith(s) {
               case None => Some(r)
               case Some(p) => Some(ColRange(
@@ -155,6 +162,7 @@ object GraftLayout {
                 if (cmp(r.minS, p.minS) < 0) r.minS else p.minS,
                 if (cmp(r.maxS, p.maxS) > 0) r.maxS else p.maxS))
             }
+          }
           }
         }
         g = reader.read()

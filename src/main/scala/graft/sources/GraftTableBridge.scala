@@ -40,7 +40,10 @@ object GraftTableBridge {
     require(names.map(metaName).distinct.length == names.length,
       s"bridge rename collision in ${names.mkString(",")}")
     val carrier = Seq(
-      col(names.head).cast("string").as("doc_id"),
+      // doc_id is a carrier, not data: coalesce nulls in the key column to
+      // a placeholder so the writer (which requires doc_id non-null) never
+      // NPEs on a nullable first column.
+      coalesce(col(names.head).cast("string"), lit("")).as("doc_id"),
       typedLit(Array.empty[Int]).as("tokens"),
       lit(0).as("n_tok"),
       lit(tableName).as("source"))

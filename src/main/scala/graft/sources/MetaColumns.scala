@@ -189,9 +189,13 @@ object MetaColumns {
     case (LongType, i: Int) => Some(i.toLong)
     case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
     case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay)
+    // getTime already carries the sub-second millis (for pre-epoch values
+    // too), so micros = millis*1000 + sub-milli micros — Spark's
+    // DateTimeUtils.fromJavaTimestamp. A seconds-first split via truncating
+    // division was one second high for pre-1970 fractional timestamps.
     case (TimestampType, t: java.sql.Timestamp) =>
-      Some(Math.addExact(Math.multiplyExact(t.getTime / 1000L, 1000000L),
-        (t.getNanos / 1000).toLong))
+      Some(Math.addExact(Math.multiplyExact(t.getTime, 1000L),
+        ((t.getNanos % 1000000) / 1000).toLong))
     case (TimestampType, i: java.time.Instant) =>
       Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
         (i.getNano / 1000).toLong))

@@ -46,6 +46,17 @@ class GraftTableBridgeSpec extends AnyFunSuite {
     assert(out.collect().toSet === in.collect().toSet)
   }
 
+  test("a null in the key (first) column does not break the synthesized doc_id") {
+    val root = tmp()
+    import spark.implicits._
+    val in = Seq[(java.lang.Long, String)]((null, "a"), (1L, "b"), (2L, null))
+      .toDF("k", "v")
+    GraftTableBridge.write(in, s"$root/t", "t", buckets = 2)
+    val out = GraftTableBridge.read(spark, s"$root/t")
+    assert(out.schema === in.schema)
+    assert(out.collect().toSet === in.collect().toSet)
+  }
+
   test("relational entries over graft storage equal the parquet path") {
     import graft.queries0.Relational
     val root = tmp()

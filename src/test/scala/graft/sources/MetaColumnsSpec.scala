@@ -55,6 +55,18 @@ class MetaColumnsSpec extends AnyFunSuite {
       Some(1000001L + inst.getEpochSecond * 1000000L - 1000000L))
     assert(MetaColumns.statLong(TimestampType,
       java.sql.Timestamp.from(inst)) === MetaColumns.statLong(TimestampType, inst))
+    // pre-epoch fractional timestamps: 1969-12-31 23:59:59.5 is -500000
+    // micros; a truncating seconds split would answer +500000 (one second
+    // high) and mis-prune segments. Timestamp and Instant shapes must agree.
+    val preEpoch = java.time.Instant.parse("1969-12-31T23:59:59.500Z")
+    assert(MetaColumns.statLong(TimestampType, preEpoch) === Some(-500000L))
+    assert(MetaColumns.statLong(TimestampType,
+      java.sql.Timestamp.from(preEpoch)) === Some(-500000L))
+    // sub-milli component rides getNanos, not getTime
+    val preEpochMicros = java.time.Instant.parse("1969-12-31T23:59:59.123456Z")
+    assert(MetaColumns.statLong(TimestampType,
+      java.sql.Timestamp.from(preEpochMicros)) ===
+      MetaColumns.statLong(TimestampType, preEpochMicros))
     assert(MetaColumns.statLong(StringType, "x") === None) // strings pass through elsewhere
     assert(MetaColumns.statLong(IntegerType, "x") === None)
   }
