@@ -176,6 +176,35 @@ object Nullable {
     }
   }
 
+  /** Byte-domain decode (BINARY metadata columns): per-value byte arrays,
+    * absent slots null. Same framing as the string path; the inner chunk
+    * decodes through [[StringCodecs.decodeChunkBytes]]'s byte-exact
+    * blob+offsets view and is sliced per value. */
+  def decodeBinary(bytes: Array[Byte]): Array[Array[Byte]] = {
+    def slice(c: Utf8Chunk, i: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(c.blob, c.offsets(i), c.offsets(i) + c.lens(i))
+    val in = new ByteReader(bytes)
+    in.readByte() match {
+      case FlagDense =>
+        val chunk = StringCodecs.decodeChunkBytes(in.readBytes(in.remaining))
+        Array.tabulate(chunk.size)(slice(chunk, _))
+      case FlagSparse =>
+        val n = in.readVarLong().toInt
+        val bits = new Array[Long](n)
+        BitPack.unpack(in, n, 1, bits, 0)
+        val chunk = StringCodecs.decodeChunkBytes(in.readBytes(in.remaining))
+        val values = new Array[Array[Byte]](n)
+        var i = 0
+        var j = 0
+        while (i < n) {
+          if (bits(i) == 1L) { values(i) = slice(chunk, j); j += 1 }
+          i += 1
+        }
+        values
+      case other => throw new IllegalStateException(s"bad nullable flag $other")
+    }
+  }
+
   /** Absent slots decode to null. */
   def decodeStrings(bytes: Array[Byte]): Array[String] = {
     val in = new ByteReader(bytes)

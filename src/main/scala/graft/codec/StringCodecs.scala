@@ -19,6 +19,15 @@ trait StringCodec extends Serializable {
     * java.lang.Strings (the connector scan's hot path — Spark wants UTF-8
     * bytes anyway, so String round-trips decode + re-encode every value). */
   def decodeBytes(bytes: Array[Byte]): Utf8Chunk = Utf8Chunk.fromStrings(decode(bytes))
+
+  /** Encode RAW byte values (BINARY metadata columns): identical payload
+    * framing to [[encode]], but the values never render through
+    * java.lang.String — arbitrary (UTF-8-invalid) bytes round-trip
+    * bit-exactly via [[decodeBytes]], whose blob+offsets view is
+    * byte-domain already. Dictionary variants order the symbol table by
+    * unsigned byte order instead of String order (order is a layout
+    * detail; values are index-addressed). */
+  def encodeBytes(values: Array[Array[Byte]]): Array[Byte]
 }
 
 /** A decoded string chunk as one UTF-8 blob + per-value (offset, len) —
@@ -90,6 +99,47 @@ private[codec] object StrUtil {
     (blob, lens)
   }
 
+  /** Byte-domain twin of [[concat]]. */
+  def concatBytes(values: Array[Array[Byte]]): (Array[Byte], Array[Long]) = {
+    val lens = new Array[Long](values.length)
+    var total = 0
+    var i = 0
+    while (i < values.length) {
+      lens(i) = values(i).length.toLong
+      total += values(i).length
+      i += 1
+    }
+    val blob = new Array[Byte](total)
+    var pos = 0
+    i = 0
+    while (i < values.length) {
+      System.arraycopy(values(i), 0, blob, pos, values(i).length)
+      pos += values(i).length
+      i += 1
+    }
+    (blob, lens)
+  }
+
+  /** Distinct values sorted by unsigned byte order + per-value dict index
+    * (the byte-domain analog of the TreeSet the string dicts build). */
+  def dictBytes(values: Array[Array[Byte]]): (Array[Array[Byte]], Array[Long]) = {
+    val cmp = new java.util.Comparator[Array[Byte]] {
+      def compare(a: Array[Byte], b: Array[Byte]): Int =
+        java.util.Arrays.compareUnsigned(a, b)
+    }
+    val distinct = new java.util.TreeMap[Array[Byte], Integer](cmp)
+    var i = 0
+    while (i < values.length) { distinct.put(values(i), 0); i += 1 }
+    val dict = new Array[Array[Byte]](distinct.size)
+    val it = distinct.keySet().iterator()
+    i = 0
+    while (it.hasNext) { val k = it.next(); dict(i) = k; distinct.put(k, i); i += 1 }
+    val idx = new Array[Long](values.length)
+    i = 0
+    while (i < values.length) { idx(i) = distinct.get(values(i)).toLong; i += 1 }
+    (dict, idx)
+  }
+
   def split(blob: Array[Byte], lens: Array[Long]): Array[String] = {
     val out = new Array[String](lens.length)
     var pos = 0
@@ -129,6 +179,15 @@ object RawStringCodec extends StringCodec {
     val lenLen = in.readVarLong().toInt
     val lens = RleV2.decode(new ByteReader(in.readBytes(lenLen)))
     Utf8Chunk.fromBlob(in.readBytes(in.remaining), lens)
+  }
+  def encodeBytes(values: Array[Array[Byte]]): Array[Byte] = {
+    val (blob, lens) = StrUtil.concatBytes(values)
+    val lenBytes = RleV2.encode(lens)
+    val out = new ByteWriter(blob.length + lenBytes.length + 16)
+    out.writeVarLong(lenBytes.length.toLong)
+    out.writeBytes(lenBytes)
+    out.writeBytes(blob)
+    out.toArray
   }
 }
 
@@ -188,6 +247,21 @@ object DictStringCodec extends StringCodec {
     val idxLen = in.readVarLong().toInt
     Utf8Chunk.fromDict(dict, RleV2.decode(new ByteReader(in.readBytes(idxLen))))
   }
+  def encodeBytes(values: Array[Array[Byte]]): Array[Byte] = {
+    val (dict, idx) = StrUtil.dictBytes(values)
+    val (dictBlob, dictLens) = StrUtil.concatBytes(dict)
+    val dictLenBytes = RleV2.encode(dictLens)
+    val idxBytes = RleV2.encode(idx)
+    val out = new ByteWriter(dictBlob.length + dictLenBytes.length + idxBytes.length + 24)
+    out.writeVarLong(dict.length.toLong)
+    out.writeVarLong(dictLenBytes.length.toLong)
+    out.writeBytes(dictLenBytes)
+    out.writeVarLong(dictBlob.length.toLong)
+    out.writeBytes(dictBlob)
+    out.writeVarLong(idxBytes.length.toLong)
+    out.writeBytes(idxBytes)
+    out.toArray
+  }
 }
 
 /** [rle(lengths)][fsst(blob)] — symbol compression over the concatenated
@@ -217,6 +291,16 @@ object FsstStringCodec extends StringCodec {
     val lenLen = in.readVarLong().toInt
     val lens = RleV2.decode(new ByteReader(in.readBytes(lenLen)))
     Utf8Chunk.fromBlob(Fsst.decompress(in), lens)
+  }
+  def encodeBytes(values: Array[Array[Byte]]): Array[Byte] = {
+    val (blob, lens) = StrUtil.concatBytes(values)
+    val lenBytes = RleV2.encode(lens)
+    val fsst = Fsst.compress(blob)
+    val out = new ByteWriter(fsst.length + lenBytes.length + 16)
+    out.writeVarLong(lenBytes.length.toLong)
+    out.writeBytes(lenBytes)
+    out.writeBytes(fsst)
+    out.toArray
   }
 }
 
@@ -266,6 +350,17 @@ object DictFsstStringCodec extends StringCodec {
     val idxLen = in.readVarLong().toInt
     Utf8Chunk.fromDict(dict, RleV2.decode(new ByteReader(in.readBytes(idxLen))))
   }
+  def encodeBytes(values: Array[Array[Byte]]): Array[Byte] = {
+    val (dict, idx) = StrUtil.dictBytes(values)
+    val dictPayload = FsstStringCodec.encodeBytes(dict)
+    val idxBytes = RleV2.encode(idx)
+    val out = new ByteWriter(dictPayload.length + idxBytes.length + 16)
+    out.writeVarLong(dictPayload.length.toLong)
+    out.writeBytes(dictPayload)
+    out.writeVarLong(idxBytes.length.toLong)
+    out.writeBytes(idxBytes)
+    out.toArray
+  }
 }
 
 object StringCodecs {
@@ -288,6 +383,17 @@ object StringCodecs {
   def decodeChunk(bytes: Array[Byte]): Array[String] = {
     val codec = forId(bytes(0).toInt)
     codec.decode(BlockCompression.unwrap(bytes, 1))
+  }
+
+  /** Byte-domain chunk encode (BINARY metadata columns) — decodes with
+    * [[decodeChunkBytes]], whose Utf8Chunk view is already byte-exact. */
+  def encodeChunkBytes(values: Array[Array[Byte]], codec: StringCodec,
+                       conf: CodecConf = CodecConf.Default): Array[Byte] = {
+    val payload = BlockCompression.wrap(codec.encodeBytes(values), conf)
+    val out = new Array[Byte](payload.length + 1)
+    out(0) = codec.id.toByte
+    System.arraycopy(payload, 0, out, 1, payload.length)
+    out
   }
 
   /** Zero-copy chunk decode (see [[StringCodec.decodeBytes]]). */

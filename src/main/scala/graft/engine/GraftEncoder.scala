@@ -69,11 +69,20 @@ final case class ExtraLongs(name: String, values: Array[Long],
 /** String metadata values; null = SQL null. */
 final case class ExtraStrings(name: String, values: Array[String]) extends ExtraCol
 
+/** Binary metadata values; null = SQL null. Rides the string selector's
+  * byte path (same payload framing, raw bytes instead of UTF-8-rendered
+  * strings) with NO ordered stats — byte blobs carry no SQL order the
+  * pruning machinery uses, so chunks record neutral stats and binary
+  * predicates never prune (Spark re-filters; null pruning via nValues
+  * still applies). */
+final case class ExtraBinary(name: String, values: Array[Array[Byte]]) extends ExtraCol
+
 /** Engine-facing spec of one metadata column for
   * [[GraftEncoder.encodePartitionWithMeta]]. */
 final case class MetaColSpec(name: String, isString: Boolean,
                              bytesInPerValue: Int = 8,
-                             statMap: Long => Long = identity)
+                             statMap: Long => Long = identity,
+                             isBinary: Boolean = false)
 
 /** Shuffle wire form of a [[BucketedRow]]: the token array varint-packed
   * map-side, BEFORE the bucket exchange. Vocab ids are zipf-heavy small
@@ -571,6 +580,30 @@ object GraftEncoder {
         else Array.emptyByteArray
       ColChunk(name, codec.id, codec.name, nPresent.toLong, bytesIn,
         payload.length.toLong, 0L, 0L, minS, maxS, payload, bloom)
+    case ExtraBinary(name, values) =>
+      val present = new Array[Boolean](values.length)
+      var nPresent = 0
+      var k = 0
+      while (k < values.length) {
+        if (values(k) != null) { present(k) = true; nPresent += 1 }
+        k += 1
+      }
+      val compacted = new Array[Array[Byte]](nPresent)
+      var j = 0
+      k = 0
+      while (k < values.length) {
+        if (present(k)) { compacted(j) = values(k); j += 1 }
+        k += 1
+      }
+      val (codec, inner) = CodecSelector.encodeBinaryAuto(compacted, conf)
+      val payload = Nullable.frame(present, inner)
+      var bytesIn = 0L
+      k = 0
+      while (k < compacted.length) { bytesIn += compacted(k).length; k += 1 }
+      // neutral stats ("", 0): binary chunks never range-prune; nValues
+      // still carries the non-null count for null pruning / COUNT pushdown
+      ColChunk(name, codec.id, codec.name, nPresent.toLong, bytesIn,
+        payload.length.toLong, 0L, 0L, "", "", payload, Array.emptyByteArray)
   }
 
   /** [[encodePartition]] with metadata columns riding beside each row:
@@ -615,7 +648,12 @@ object GraftEncoder {
         }
         val n = rowBuf.length
         val extras: Seq[ExtraCol] = specs.zipWithIndex.map { case (spec, j) =>
-          if (spec.isString) {
+          if (spec.isBinary) {
+            val values = new Array[Array[Byte]](n)
+            var i = 0
+            while (i < n) { values(i) = metaBuf(i)(j).asInstanceOf[Array[Byte]]; i += 1 }
+            ExtraBinary(spec.name, values)
+          } else if (spec.isString) {
             val values = new Array[String](n)
             var i = 0
             while (i < n) { values(i) = metaBuf(i)(j).asInstanceOf[String]; i += 1 }
@@ -660,7 +698,8 @@ object GraftEncoder {
     val flat = IntCodecs.decodeChunkInt(byCol("tokens").payload)
     val metaCols: Array[AnyRef] = specs.map { s =>
       val payload = byCol(s.name).payload
-      if (s.isString) Nullable.decodeStrings(payload): AnyRef
+      if (s.isBinary) Nullable.decodeBinary(payload): AnyRef
+      else if (s.isString) Nullable.decodeStrings(payload): AnyRef
       else Nullable.decodeInts(payload): AnyRef
     }.toArray
     var pos = 0
@@ -673,6 +712,7 @@ object GraftEncoder {
       while (j < specs.length) {
         metaCols(j) match {
           case ss: Array[String] => metas(j) = ss(i)
+          case bb: Array[Array[Byte]] => metas(j) = bb(i)
           case lp: (Array[Long], Array[Boolean]) @unchecked =>
             if (lp._2(i)) metas(j) = java.lang.Long.valueOf(lp._1(i))
         }

@@ -557,6 +557,78 @@ object Encode {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** THE FULL SCALAR TYPE MATRIX through the connector (round-5 top item:
+    * the reference reads boolean/int8/int16/int32/int64/float32/float64/
+    * decimal(15,5)/binary/utf8/date32 first-class, src/lib.rs:139-156 and
+    * the alltypes fixture of tests/basic_reading.rs:192; graft round-4
+    * supported only the int/long/date/timestamp/double/string subset).
+    * One column per new type rides beside the token streams — boolean,
+    * byte, short, float (32-bit sortable-bits stream), decimal(15,5)
+    * (unscaled-long stream), binary (byte-domain string selector) — every
+    * value derived from n_tok so DuckDB replays it from raw documents.
+    * The entry (1) writes and reads the widened table, (2) asserts a
+    * DECIMAL predicate reaches the scan pushed, (3) null-safe-audits every
+    * value of every new column against the pre-write input (n_mismatch
+    * must be 0), and (4) aggregates one exact (integer-domain) figure per
+    * column. */
+  def dsv2MetaAllTypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-alltypes-q").toString
+    try {
+      val input = TokenTables.fromDocuments(spark, dir)
+        .toDF("doc_id", "tokens", "n_tok", "source")
+        .withColumn("flag", when($"n_tok" % 11 =!= 0, $"n_tok" % 2 === 0))
+        .withColumn("tiny", when($"n_tok" % 7 =!= 0,
+          ($"n_tok" % 200 - 100).cast("byte")))
+        .withColumn("small", when($"n_tok" % 5 =!= 0,
+          (($"n_tok" * 7) % 30000 - 15000).cast("short")))
+        .withColumn("ratio", when($"n_tok" % 13 =!= 0,
+          ($"n_tok" * 3).cast("float"))) // integer-valued: exact in float
+        .withColumn("price", when($"n_tok" % 9 =!= 0,
+          ($"n_tok" * 137).cast(DecimalType(15, 5))))
+        .withColumn("blob", when($"n_tok" % 6 =!= 0,
+          concat(lit("b"), ($"n_tok" % 17).cast("string")).cast("binary")))
+      input.write.format("graft").option("buckets", "8")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(base)
+      val table = spark.read.format("graft").load(base)
+      require(table.schema.fields.map(f => f.name -> f.dataType).toSeq.drop(4) ==
+        Seq("flag" -> BooleanType, "tiny" -> ByteType, "small" -> ShortType,
+          "ratio" -> FloatType, "price" -> DecimalType(15, 5), "blob" -> BinaryType),
+        s"recorded type matrix mismatch: ${table.schema.simpleString}")
+      // a DECIMAL range predicate negotiates into the scan like any other
+      val pushedDesc = table.filter($"price" > new java.math.BigDecimal("137.00000"))
+        .queryExecution.executedPlan.toString
+      require(pushedDesc.contains("PushedFilters: [GreaterThan(price,"),
+        s"decimal filter did not reach the graft scan:\n${pushedDesc.take(800)}")
+      // null-safe bit-exact audit of every new-type value (<=> compares
+      // binary by bytes, decimal by value, float by IEEE equality)
+      val dec = table.toDF("doc_id", "tokens_d", "n_tok_d", "source_d",
+        "flag_d", "tiny_d", "small_d", "ratio_d", "price_d", "blob_d")
+      val nMismatch = input.join(dec, Seq("doc_id"), "full_outer")
+        .filter(!($"flag" <=> $"flag_d" && $"tiny" <=> $"tiny_d" &&
+          $"small" <=> $"small_d" && $"ratio" <=> $"ratio_d" &&
+          $"price" <=> $"price_d" && $"blob" <=> $"blob_d"))
+        .count()
+      val row = table.agg(
+        count(lit(1)).as("n_docs"),
+        count($"flag").as("n_flag"),
+        sum(when($"flag", 1L).otherwise(0L)).as("n_true"),
+        sum($"tiny".cast("long")).as("sum_tiny"),
+        sum($"small".cast("long")).as("sum_small"),
+        sum($"ratio".cast("long")).as("sum_ratio"),
+        sum($"price").cast("long").as("sum_price"),
+        sum(octet_length($"blob").cast("long")).as("sum_blob_len"))
+        .withColumn("n_mismatch", lit(nMismatch))
+        .collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(row, 1),
+        StructType(Seq("n_docs", "n_flag", "n_true", "sum_tiny", "sum_small",
+          "sum_ratio", "sum_price", "sum_blob_len", "n_mismatch")
+          .map(n => StructField(n, LongType))))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
   /** METADATA-TABLE COMPACTION end-to-end: the widened table lands in
     * THREE connector appends (the streaming-accretion shape), compacts
     * into one snapshot through the stored-domain re-chunk path
@@ -851,6 +923,33 @@ object Encode {
         |       CAST(0 AS BIGINT) AS n_mismatch
         |FROM meta WHERE quality IS NULL OR quality > -4.0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "encode_dsv2_meta_alltypes" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> x <> '')) AS n_tok
+        |  FROM documents
+        |),
+        |meta AS (
+        |  SELECT doc_id, n_tok,
+        |    CASE WHEN n_tok % 11 <> 0 THEN n_tok % 2 = 0 END AS flag,
+        |    CASE WHEN n_tok % 7 <> 0 THEN CAST(n_tok % 200 - 100 AS TINYINT) END AS tiny,
+        |    CASE WHEN n_tok % 5 <> 0 THEN CAST((n_tok * 7) % 30000 - 15000 AS SMALLINT) END AS small,
+        |    CASE WHEN n_tok % 13 <> 0 THEN CAST(n_tok * 3 AS REAL) END AS ratio,
+        |    CASE WHEN n_tok % 9 <> 0 THEN CAST(n_tok * 137 AS DECIMAL(15,5)) END AS price,
+        |    CASE WHEN n_tok % 6 <> 0 THEN CAST('b' || CAST(n_tok % 17 AS VARCHAR) AS BLOB) END AS blob
+        |  FROM tok
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(flag) AS BIGINT) AS n_flag,
+        |  CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |  CAST(SUM(CAST(tiny AS BIGINT)) AS BIGINT) AS sum_tiny,
+        |  CAST(SUM(CAST(small AS BIGINT)) AS BIGINT) AS sum_small,
+        |  CAST(SUM(CAST(ratio AS BIGINT)) AS BIGINT) AS sum_ratio,
+        |  CAST(SUM(price) AS BIGINT) AS sum_price,
+        |  CAST(SUM(octet_length(blob)) AS BIGINT) AS sum_blob_len,
+        |  CAST(0 AS BIGINT) AS n_mismatch
+        |FROM meta""".stripMargin,
     "encode_compaction_meta" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -914,6 +1013,7 @@ object Encode {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "encode_dsv2_write" -> (dsv2Write _),
     "encode_dsv2_meta" -> (dsv2Meta _),
+    "encode_dsv2_meta_alltypes" -> (dsv2MetaAllTypes _),
     "encode_compaction_meta" -> (compactionMeta _),
     "encode_dsv2_streaming_write" -> (dsv2StreamingWrite _),
     "encode_dsv2_scan" -> (dsv2Scan _),

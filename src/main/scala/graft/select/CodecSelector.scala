@@ -225,4 +225,45 @@ object CodecSelector {
     }
     (codec, encoded)
   }
+
+  /** Byte-domain twin of [[encodeStringsAuto]] (BINARY metadata columns):
+    * the same dict-threshold heuristic over sampled distinct ratio (bytes
+    * wrapped for hashing), the same raw-fallback guard. */
+  def encodeBinaryAuto(values: Array[Array[Byte]],
+                       conf: CodecConf = CodecConf.Default): (StringCodec, Array[Byte]) = {
+    val codec: StringCodec =
+      if (values.isEmpty) RawStringCodec
+      else {
+        val max = 2048
+        val s =
+          if (values.length <= max) values
+          else {
+            val out = new Array[Array[Byte]](max)
+            val stride = values.length.toDouble / max
+            var i = 0
+            while (i < max) { out(i) = values((i * stride).toInt); i += 1 }
+            out
+          }
+        val distinct = new java.util.HashSet[java.nio.ByteBuffer]()
+        var i = 0
+        while (i < s.length) { distinct.add(java.nio.ByteBuffer.wrap(s(i))); i += 1 }
+        val ratio = distinct.size.toDouble / s.length
+        val candidates: List[StringCodec] =
+          if (ratio <= conf.dictThreshold) List(DictStringCodec, DictFsstStringCodec)
+          else List(RawStringCodec, FsstStringCodec)
+        var best: StringCodec = candidates.head
+        var bestSize = Long.MaxValue
+        candidates.foreach { c =>
+          val sz = StringCodecs.encodeChunkBytes(s, c, conf).length.toLong
+          if (sz < bestSize) { best = c; bestSize = sz }
+        }
+        best
+      }
+    val encoded = StringCodecs.encodeChunkBytes(values, codec, conf)
+    if (codec.id != RawStringCodec.id) {
+      val raw = StringCodecs.encodeChunkBytes(values, RawStringCodec, conf)
+      if (raw.length < encoded.length) return (RawStringCodec, raw)
+    }
+    (codec, encoded)
+  }
 }

@@ -310,8 +310,11 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
     // excluded: SQL MIN over an array column is lexicographic array order,
     // which element stats cannot answer (GraftStatsAggPushdown handles the
     // element shapes instead).
+    // binary columns record neutral stats (no SQL order) — MIN/MAX cannot
+    // fold from headers for them (COUNT still can)
     val statCols = fullSchema.fields.collect {
-      case f if f.name != "tokens" => f.name
+      case f if f.name != "tokens" &&
+        f.dataType != org.apache.spark.sql.types.BinaryType => f.name
     }.toSet
     // COUNT(col) = rows for the non-nullable canonical columns, the
     // header-summed non-null count for metadata columns
@@ -803,6 +806,12 @@ class GraftAggReader(file: String, specs: Seq[AggSpec], conf: Configuration,
       case IntegerType | DateType => out.setInt(i, v.toInt)
       case LongType | TimestampType | TimestampNTZType => out.setLong(i, v)
       case DoubleType => out.setDouble(i, MetaColumns.fromSortableDouble(v))
+      case FloatType => out.setFloat(i, MetaColumns.fromSortableFloat(v))
+      case BooleanType => out.setBoolean(i, v != 0L)
+      case ByteType => out.setByte(i, v.toByte)
+      case ShortType => out.setShort(i, v.toShort)
+      case d: DecimalType => out.update(i,
+        org.apache.spark.sql.types.Decimal.createUnsafe(v, d.precision, d.scale))
       case _ => out.update(i, UTF8String.fromString(if (isMin) r.minS else r.maxS))
     }
   }
@@ -1269,7 +1278,9 @@ private[sources] final class SegmentScanCore(
       if (metaFields.isEmpty) null
       else metaFields.map { f =>
         val payload = byCol(f.name).payload
-        if (f.dataType == StringType) {
+        // BinaryType shares the string payload shape: the Utf8Chunk view
+        // is blob+offsets, byte-exact for arbitrary bytes
+        if (f.dataType == StringType || f.dataType == BinaryType) {
           val (chunk, present, toCompact) =
             graft.codec.Nullable.decodeStringsBytes(payload)
           new ExtraStringsDecoded(chunk, present, toCompact)
@@ -1341,6 +1352,14 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
           case name => seg.extras(metaIndex(name)) match {
             // metadata columns ([[MetaColumns]]): stored 64-bit domain ->
             // external type; absent PRESENT bit / null string = SQL null
+            case e: ExtraStringsDecoded if field.dataType == BinaryType =>
+              (row: GenericInternalRow, f: Int, i: Int) =>
+                if (!e.present(i)) row.setNullAt(f)
+                else {
+                  val j = e.idx(i)
+                  row.update(f, java.util.Arrays.copyOfRange(
+                    e.chunk.blob, e.chunk.offsets(j), e.chunk.offsets(j) + e.chunk.lens(j)))
+                }
             case e: ExtraStringsDecoded =>
               (row: GenericInternalRow, f: Int, i: Int) =>
                 if (!e.present(i)) row.setNullAt(f)
@@ -1357,6 +1376,16 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
                   (row, f, i) => row.setLong(f, e.values(i))
                 case DoubleType =>
                   (row, f, i) => row.setDouble(f, MetaColumns.fromSortableDouble(e.values(i)))
+                case FloatType =>
+                  (row, f, i) => row.setFloat(f, MetaColumns.fromSortableFloat(e.values(i)))
+                case BooleanType =>
+                  (row, f, i) => row.setBoolean(f, e.values(i) != 0L)
+                case ByteType => (row, f, i) => row.setByte(f, e.values(i).toByte)
+                case ShortType => (row, f, i) => row.setShort(f, e.values(i).toShort)
+                case d: DecimalType =>
+                  (row, f, i) => row.update(f,
+                    org.apache.spark.sql.types.Decimal.createUnsafe(
+                      e.values(i), d.precision, d.scale))
                 case other => throw new IllegalStateException(
                   s"unreachable: unvalidated metadata type $other")
               }
@@ -1501,6 +1530,14 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
                 (i, s) => v.putLong(i, e.values(s))
               case DoubleType =>
                 (i, s) => v.putDouble(i, MetaColumns.fromSortableDouble(e.values(s)))
+              case FloatType =>
+                (i, s) => v.putFloat(i, MetaColumns.fromSortableFloat(e.values(s)))
+              case BooleanType => (i, s) => v.putBoolean(i, e.values(s) != 0L)
+              case ByteType => (i, s) => v.putByte(i, e.values(s).toByte)
+              case ShortType => (i, s) => v.putShort(i, e.values(s).toShort)
+              case d: DecimalType => (i, s) => v.putDecimal(i,
+                org.apache.spark.sql.types.Decimal.createUnsafe(
+                  e.values(s), d.precision, d.scale), d.precision)
               case other => throw new IllegalStateException(
                 s"unreachable: unvalidated metadata type $other")
             }

@@ -493,12 +493,22 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
         val ord = metaOrdinals(j)
         if (!row.isNullAt(ord)) m(j) = metaFields(j).dataType match {
           case StringType => row.getUTF8String(ord).toString
+          case BinaryType => row.getBinary(ord)
           case IntegerType => java.lang.Long.valueOf(row.getInt(ord).toLong)
           case DateType => java.lang.Long.valueOf(row.getInt(ord).toLong)
           case LongType => java.lang.Long.valueOf(row.getLong(ord))
           case TimestampType | TimestampNTZType => java.lang.Long.valueOf(row.getLong(ord))
           case DoubleType =>
             java.lang.Long.valueOf(MetaColumns.sortableDouble(row.getDouble(ord)))
+          case BooleanType =>
+            java.lang.Long.valueOf(if (row.getBoolean(ord)) 1L else 0L)
+          case ByteType => java.lang.Long.valueOf(row.getByte(ord).toLong)
+          case ShortType => java.lang.Long.valueOf(row.getShort(ord).toLong)
+          case FloatType =>
+            java.lang.Long.valueOf(MetaColumns.sortableFloat(row.getFloat(ord)))
+          // stored domain = unscaled long at the column's fixed scale
+          case d: DecimalType =>
+            java.lang.Long.valueOf(row.getDecimal(ord, d.precision, d.scale).toUnscaledLong)
           case other => throw new IllegalStateException(
             s"unreachable: unvalidated metadata type $other")
         }
@@ -543,8 +553,11 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
             tokLens.map(_.toLong).sum).toInt
           (tokens.map(t => SegmentBloom.hashLong(t.toLong)), total)
         // metadata columns: non-null values, int-kinds hashed in the STAT
-        // domain (statMap) to match the normalized point predicates
-        case m if metas != null && metaFields.exists(_.name == m) =>
+        // domain (statMap) to match the normalized point predicates.
+        // Binary columns are excluded — their predicates never normalize,
+        // so a bloom would never be probed.
+        case m if metas != null && metaFields.exists(_.name == m) &&
+          !metaSpecs(metaFields.indexWhere(_.name == m)).isBinary =>
           val j = metaFields.indexWhere(_.name == m)
           val spec = metaSpecs(j)
           val nonNull = metas.count(_(j) != null)

@@ -37,15 +37,25 @@ object MetaColumns {
 
   private val NameRe = "[a-z][a-z0-9_]*".r
 
+  /** The reference's full scalar matrix (src/lib.rs:139-156; the alltypes
+    * fixture of tests/basic_reading.rs:192 adds Decimal128(15,5), binary,
+    * boolean, int8, int16, float32): every scalar type reads first-class.
+    * DECIMAL is bounded at precision 18 — the unscaled value must fit the
+    * stored 64-bit domain (the Decimal128 general case would need a
+    * two-long stream; the reference's own TPC-DS decimals are all p<=18). */
   def isSupported(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | DateType | TimestampType |
-         TimestampNTZType | DoubleType | StringType => true
+         TimestampNTZType | DoubleType | StringType |
+         BooleanType | ByteType | ShortType | FloatType | BinaryType => true
+    case d: DecimalType => d.precision <= 18
     case _ => false
   }
 
   def isIntKind(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | DateType | TimestampType |
-         TimestampNTZType | DoubleType => true
+         TimestampNTZType | DoubleType |
+         BooleanType | ByteType | ShortType | FloatType => true
+    case _: DecimalType => true
     case _ => false
   }
 
@@ -70,7 +80,8 @@ object MetaColumns {
     metas.foreach { f =>
       require(isSupported(f.dataType),
         s"unsupported graft metadata column type: ${f.name} ${f.dataType.simpleString} " +
-          "(supported: int, long, date, timestamp, double, string)")
+          "(supported: boolean, byte, short, int, long, date, timestamp, " +
+          "float, double, decimal(p<=18), string, binary)")
       require(NameRe.matches(f.name) && !f.name.contains("__") &&
         !ReservedNames.contains(f.name),
         s"illegal graft metadata column name '${f.name}': must match " +
@@ -91,9 +102,18 @@ object MetaColumns {
     case TimestampNTZType => "timestamp_ntz"
     case DoubleType => "double"
     case StringType => "string"
+    case BooleanType => "boolean"
+    case ByteType => "byte"
+    case ShortType => "short"
+    case FloatType => "float"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal(${d.precision};${d.scale})"
     case ArrayType(IntegerType, _) => "array<int>"
     case other => throw new IllegalArgumentException(s"unsupported type $other")
   }
+
+  // ';' not ',' inside decimal: parseDdl splits entries on ','
+  private val DecimalRe = """decimal\((\d+);(\d+)\)""".r
 
   private def parseType(s: String): DataType = s match {
     case "int" => IntegerType
@@ -103,6 +123,12 @@ object MetaColumns {
     case "timestamp_ntz" => TimestampNTZType
     case "double" => DoubleType
     case "string" => StringType
+    case "boolean" => BooleanType
+    case "byte" => ByteType
+    case "short" => ShortType
+    case "float" => FloatType
+    case "binary" => BinaryType
+    case DecimalRe(p, sc) => DecimalType(p.toInt, sc.toInt)
     case "array<int>" => ArrayType(IntegerType, containsNull = false)
     case other => throw new IllegalArgumentException(
       s"unsupported type '$other' in recorded graft schema")
@@ -143,8 +169,18 @@ object MetaColumns {
     * stats agree with predicate conversion. */
   def specFor(f: StructField): graft.engine.MetaColSpec = f.dataType match {
     case StringType => graft.engine.MetaColSpec(f.name, isString = true)
+    case BinaryType => graft.engine.MetaColSpec(f.name, isString = false,
+      isBinary = true)
     case IntegerType | DateType =>
       graft.engine.MetaColSpec(f.name, isString = false, bytesInPerValue = 4)
+    case BooleanType | ByteType =>
+      graft.engine.MetaColSpec(f.name, isString = false, bytesInPerValue = 1)
+    case ShortType =>
+      graft.engine.MetaColSpec(f.name, isString = false, bytesInPerValue = 2)
+    // float stores 32-bit sortable bits; -1L is sortable(-0.0f), same
+    // sentinel as the double path (see statDouble)
+    case FloatType => graft.engine.MetaColSpec(f.name, isString = false,
+      bytesInPerValue = 4, statMap = v => if (v == -1L) 0L else v)
     case DoubleType => graft.engine.MetaColSpec(f.name, isString = false,
       statMap = v => if (v == -1L) 0L else v) // sortable(-0.0) -> sortable(+0.0)
     case _ => graft.engine.MetaColSpec(f.name, isString = false)
@@ -163,6 +199,33 @@ object MetaColumns {
 
   def fromSortableDouble(s: Long): Double =
     java.lang.Double.longBitsToDouble(if (s >= 0) s else (~s) | Long.MinValue)
+
+  /** 32-bit twin of [[sortableDouble]]: float -> order-preserving long in
+    * [-2^31, 2^31). The narrow domain matters — FoR/bit-pack over 32-bit
+    * sortable bits is far tighter than the 64-bit image an upcast to
+    * double would produce. sortableFloat(-0.0f) == -1L, the same sentinel
+    * the double path collapses in the stat domain. */
+  def sortableFloat(f: Float): Long = {
+    val b = java.lang.Float.floatToIntBits(f) // canonicalizes NaN
+    (if (b >= 0) b else ~(b & Int.MaxValue)).toLong
+  }
+
+  def fromSortableFloat(s: Long): Float = {
+    val i = s.toInt
+    java.lang.Float.intBitsToFloat(if (i >= 0) i else (~i) | Int.MinValue)
+  }
+
+  def statFloat(f: Float): Long = {
+    val s = sortableFloat(f)
+    if (s == -1L) 0L else s // -1 is exactly sortable(-0.0f)
+  }
+
+  /** Unscaled long of a pushed decimal value AT the column's scale; None
+    * when rescaling needs rounding or overflows 64 bits (the predicate is
+    * then un-prunable, never a false prune). */
+  def statDecimal(dt: DecimalType, bd: java.math.BigDecimal): Option[Long] =
+    try Some(bd.setScale(dt.scale).unscaledValue().longValueExact())
+    catch { case _: ArithmeticException => None }
 
   /** Stat-domain value of a stored double: like [[sortableDouble]] but
     * mapping -0.0 onto +0.0, because SQL comparison semantics treat them
@@ -207,6 +270,20 @@ object MetaColumns {
         (i.getNano / 1000).toLong))
     case (DoubleType, d: Double) => Some(statDouble(d))
     case (DoubleType, d: java.lang.Double) => Some(statDouble(d.doubleValue()))
+    case (FloatType, f: Float) => Some(statFloat(f))
+    case (FloatType, f: java.lang.Float) => Some(statFloat(f.floatValue()))
+    case (BooleanType, b: Boolean) => Some(if (b) 1L else 0L)
+    case (BooleanType, b: java.lang.Boolean) => Some(if (b.booleanValue()) 1L else 0L)
+    case (ByteType, b: Byte) => Some(b.toLong)
+    case (ByteType, b: java.lang.Byte) => Some(b.longValue())
+    case (ShortType, s: Short) => Some(s.toLong)
+    case (ShortType, s: java.lang.Short) => Some(s.longValue())
+    case (dt: DecimalType, bd: java.math.BigDecimal) => statDecimal(dt, bd)
+    case (dt: DecimalType, bd: scala.math.BigDecimal) => statDecimal(dt, bd.bigDecimal)
+    case (dt: DecimalType, d: org.apache.spark.sql.types.Decimal) =>
+      statDecimal(dt, d.toJavaBigDecimal)
+    // binary columns record no ordered stats: answer None so every pushed
+    // binary predicate degrades to un-prunable (Spark re-filters)
     case _ => None
   }
 }

@@ -175,6 +175,37 @@ class AllTypesGoldenSpec extends AnyFunSuite {
       s"expected pushed filter in plan:\n$plan")
   }
 
+  test("alltypes fixture round-trips bit-identically through GRAFT storage " +
+    "(the reference type matrix, src/lib.rs:139-156, on the graft codec stack)") {
+    import graft.sources.GraftTableBridge
+    val root = java.nio.file.Files.createTempDirectory("graft-alltypes-rt").toString
+    val in = alltypes
+    GraftTableBridge.write(in, s"$root/alltypes", "alltypes", buckets = 2)
+    val out = GraftTableBridge.read(spark, s"$root/alltypes")
+    assert(out.schema === in.schema, "schema drift through graft storage")
+    // multiset equality (two identical all-NULL rows must BOTH survive)
+    assert(out.count() === 11L)
+    assert(out.exceptAll(in).count() === 0L, "rows present in graft output only")
+    assert(in.exceptAll(out).count() === 0L, "rows lost through graft storage")
+    // the reference's predicate goldens replay against the graft table
+    assert(out.filter(col("int8") > 51).select("int8").collect()
+      .map(_.getByte(0)).sorted.toSeq === Seq(52.toByte, 53.toByte, 127.toByte))
+    assert(out.filter(col("int8").isNull).count() === 2L)
+    assert(out.filter(col("boolean") === true && col("int8") < 51).count() === 3L)
+    assert(out.filter(col("decimal") === dec("123456789.12345")).count() === 1L)
+    assert(out.filter(col("float32") > 3.0f && col("float32") < 4.0f)
+      .collect().map(_.getFloat(5)).toSeq === Seq(3.1415927f))
+    // binary equality predicate (re-filtered by Spark; no stats pruning)
+    assert(out.filter(col("binary") === lit("encode".getBytes("UTF-8"))).count() === 1L)
+    // extrema fold from headers in the column's own type
+    val mm = out.agg(min(col("int16")), max(col("int16")),
+      min(col("decimal")), max(col("decimal")), min(col("float32"))).collect()(0)
+    assert(mm.getShort(0) === (-32768).toShort && mm.getShort(1) === 32767.toShort)
+    assert(mm.getDecimal(2) === dec("-999999999.99999"))
+    assert(mm.getDecimal(3) === dec("123456789.12345"))
+    assert(mm.getFloat(4).isNegInfinity)
+  }
+
   test("map_list fixture golden (basic_reading.rs:402-408)") {
     import spark.implicits._
     val df = Seq((1L, Map("one" -> "1", "zero" -> "0"), Seq("test", "blaze"), "blaze"))

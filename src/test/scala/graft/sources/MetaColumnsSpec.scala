@@ -71,6 +71,47 @@ class MetaColumnsSpec extends AnyFunSuite {
     assert(MetaColumns.statLong(IntegerType, "x") === None)
   }
 
+  test("sortableFloat is an order-preserving bijection; statFloat collapses -0.0f") {
+    val rnd = new scala.util.Random(43L)
+    val samples = Array.fill(2000)(
+      java.lang.Float.intBitsToFloat(rnd.nextInt())).filterNot(_.isNaN) ++
+      Array(0.0f, -0.0f, 1.5f, -1.5f, Float.MinValue, Float.MaxValue,
+        Float.MinPositiveValue, Float.NegativeInfinity, Float.PositiveInfinity)
+    for (a <- samples.take(200); b <- samples.take(200)) {
+      val (sa, sb) = (MetaColumns.sortableFloat(a), MetaColumns.sortableFloat(b))
+      assert(java.lang.Float.compare(a, b).sign === java.lang.Long.compare(sa, sb).sign,
+        s"order broken at ($a, $b)")
+    }
+    for (f <- samples) {
+      val r = MetaColumns.fromSortableFloat(MetaColumns.sortableFloat(f))
+      assert(java.lang.Float.floatToRawIntBits(r) ===
+        java.lang.Float.floatToRawIntBits(f), s"round-trip of $f gave $r")
+    }
+    assert(MetaColumns.sortableFloat(-0.0f) === -1L) // the shared sentinel
+    assert(MetaColumns.statFloat(-0.0f) === MetaColumns.statFloat(0.0f))
+  }
+
+  test("statLong covers the round-5 type matrix (bool/byte/short/float/decimal)") {
+    assert(MetaColumns.statLong(BooleanType, true) === Some(1L))
+    assert(MetaColumns.statLong(BooleanType, java.lang.Boolean.FALSE) === Some(0L))
+    assert(MetaColumns.statLong(ByteType, (-7).toByte) === Some(-7L))
+    assert(MetaColumns.statLong(ShortType, 300.toShort) === Some(300L))
+    assert(MetaColumns.statLong(FloatType, 1.5f) ===
+      Some(MetaColumns.sortableFloat(1.5f)))
+    val d155 = DecimalType(15, 5)
+    assert(MetaColumns.statLong(d155, new java.math.BigDecimal("1.10000")) ===
+      Some(110000L))
+    // coarser-scale literal rescales exactly
+    assert(MetaColumns.statLong(d155, new java.math.BigDecimal("2")) === Some(200000L))
+    // a literal needing rounding at the column scale is un-prunable, not wrong
+    assert(MetaColumns.statLong(d155, new java.math.BigDecimal("0.000001")) === None)
+    // unscaled overflow past 64 bits is un-prunable
+    assert(MetaColumns.statLong(DecimalType(18, 0),
+      new java.math.BigDecimal("99999999999999999999")) === None)
+    // binary predicates never normalize (no ordered stats recorded)
+    assert(MetaColumns.statLong(BinaryType, Array[Byte](1, 2)) === None)
+  }
+
   test("ddl round-trips the full type matrix; canonical columns always lead") {
     val s = StructType(Seq(
       StructField("quality", DoubleType), // metadata deliberately FIRST
@@ -81,12 +122,23 @@ class MetaColumnsSpec extends AnyFunSuite {
       StructField("views", LongType),
       StructField("created", DateType),
       StructField("ts", TimestampType),
-      StructField("lang", StringType)))
+      StructField("lang", StringType),
+      StructField("flag", BooleanType),
+      StructField("tiny", ByteType),
+      StructField("small", ShortType),
+      StructField("ratio", FloatType),
+      StructField("price", DecimalType(15, 5)),
+      StructField("blob", BinaryType)))
     val ddl = MetaColumns.ddl(s)
     assert(ddl.startsWith("doc_id:string,tokens:array<int>,n_tok:int,source:string,"))
+    assert(ddl.contains("price:decimal(15;5)")) // ';' — entries split on ','
     val back = MetaColumns.parseDdl(ddl)
     assert(back.fieldNames.toSeq ===
-      Seq("doc_id", "tokens", "n_tok", "source", "quality", "views", "created", "ts", "lang"))
+      Seq("doc_id", "tokens", "n_tok", "source", "quality", "views", "created",
+        "ts", "lang", "flag", "tiny", "small", "ratio", "price", "blob"))
+    assert(back("price").dataType === DecimalType(15, 5))
+    assert(back("blob").dataType === BinaryType)
+    assert(back("ratio").dataType === FloatType)
     assert(back("quality").dataType === DoubleType && back("quality").nullable)
     assert(back("doc_id").dataType === StringType && !back("doc_id").nullable)
     assert(MetaColumns.parseDdl(MetaColumns.CanonicalDdl) === MetaColumns.parseDdl(
@@ -104,8 +156,15 @@ class MetaColumnsSpec extends AnyFunSuite {
     assert(rejected(StructField("a__b", DoubleType)).contains("illegal"))
     assert(rejected(StructField("tok_len", LongType)).contains("illegal"))
     assert(rejected(StructField("nRows", LongType)).contains("illegal"))
-    assert(rejected(StructField("bad", BinaryType)).contains("unsupported"))
+    // DECIMAL beyond the 64-bit unscaled domain is fenced by name
+    assert(rejected(StructField("bad", DecimalType(20, 2))).contains("unsupported"))
+    assert(rejected(StructField("bad", MapType(StringType, StringType))).contains("unsupported"))
     assert(rejected(StructField("bad", ArrayType(LongType))).contains("unsupported"))
+    // the round-5 matrix additions all validate
+    MetaColumns.validate(base(StructField("flag", BooleanType),
+      StructField("tiny", ByteType), StructField("small", ShortType),
+      StructField("ratio", FloatType), StructField("price", DecimalType(18, 2)),
+      StructField("blob", BinaryType)))
     assert(rejected(
       StructField("dup", LongType), StructField("dup", LongType)).contains("duplicate"))
     // canonical column with the wrong type fails by name
