@@ -77,12 +77,34 @@ final case class ExtraStrings(name: String, values: Array[String]) extends Extra
   * still applies). */
 final case class ExtraBinary(name: String, values: Array[Array[Byte]]) extends ExtraCol
 
+/** One row's int-kind LIST value in the stored domain (`present(i)` false
+  * = null ELEMENT); a null list is a null slot, not an empty ListLongs. */
+final case class ListLongs(values: Array[Long], present: Array[Boolean])
+
+/** One row's string LIST value; null element = SQL null. */
+final case class ListStrings(values: Array[String])
+
+/** List metadata column: LENGTH framing generalized from tokens/tok_len
+  * (the map_list fixture's shape, tests/basic_reading.rs:233) — one
+  * element stream named `name` (selector-encoded, element stats/bloom)
+  * plus one length stream `name__len` whose PRESENT mask carries list
+  * nulls. `lists(i)` null = null list. */
+final case class ExtraListLongs(name: String, lists: Array[ListLongs],
+                                bytesInPerValue: Int = 8) extends ExtraCol
+
+final case class ExtraListStrings(name: String, lists: Array[ListStrings]) extends ExtraCol
+
 /** Engine-facing spec of one metadata column for
-  * [[GraftEncoder.encodePartitionWithMeta]]. */
+  * [[GraftEncoder.encodePartitionWithMeta]]. `isList` columns use
+  * `isString` for the ELEMENT kind and occupy TWO disk streams (the
+  * element stream plus `<name>__len`). */
 final case class MetaColSpec(name: String, isString: Boolean,
                              bytesInPerValue: Int = 8,
                              statMap: Long => Long = identity,
-                             isBinary: Boolean = false)
+                             isBinary: Boolean = false,
+                             isList: Boolean = false) {
+  def lenStream: String = s"${name}__len"
+}
 
 /** Shuffle wire form of a [[BucketedRow]]: the token array varint-packed
   * map-side, BEFORE the bucket exchange. Vocab ids are zipf-heavy small
@@ -498,7 +520,7 @@ object GraftEncoder {
       intChunk("tok_len", tokLens, 4),
       intChunk("tokens", flat, 4),
       intChunk("n_tok", nToks, 4),
-      strChunk("source", sources)) ++ extras.map(extraChunk(_, codecConf))
+      strChunk("source", sources)) ++ extras.flatMap(extraChunks(_, codecConf))
 
     val source = if (n > 0) sources(0) else ""
     val bkt = if (bucket >= 0) bucket else pid
@@ -523,6 +545,108 @@ object GraftEncoder {
     * count, NOT the slot count: the header fold skips nValues==0 chunks'
     * neutral stats, and COUNT(col) pushdown sums these per file — both
     * need the SQL-visible (null-ignoring) cardinality. */
+  /** LIST column -> (element chunk, length chunk). The length stream's
+    * PRESENT mask carries list nulls (its nValues = non-null LIST count,
+    * the SQL COUNT(col) domain); the element stream carries the flattened
+    * elements of the non-null lists with their own null framing (its
+    * nValues = non-null ELEMENT count, stats/bloom over elements — the
+    * array_contains pruning domain, exactly like tokens). */
+  private def listChunks(e: ExtraCol, conf: CodecConf): Seq[ColChunk] = {
+    val (name, n, lensOf): (String, Int, Int => Int) = e match {
+      case ExtraListLongs(nm, ls, _) =>
+        (nm, ls.length, (i: Int) => if (ls(i) == null) -1 else ls(i).values.length)
+      case ExtraListStrings(nm, ls) =>
+        (nm, ls.length, (i: Int) => if (ls(i) == null) -1 else ls(i).values.length)
+      case other => throw new IllegalStateException(s"not a list col: $other")
+    }
+    // length stream (list-level PRESENT framing)
+    val listPresent = new Array[Boolean](n)
+    val lens = new Array[Long](n)
+    var i = 0
+    var nLists = 0
+    var nElems = 0
+    while (i < n) {
+      val l = lensOf(i)
+      if (l >= 0) { listPresent(i) = true; lens(i) = l.toLong; nLists += 1; nElems += l }
+      i += 1
+    }
+    val lenCompact = Nullable.compactLongs(lens, listPresent)
+    val (lenCodec, lenInner) = CodecSelector.encodeIntsAuto(lenCompact, conf)
+    val lenPayload = Nullable.frame(listPresent, lenInner)
+    var lenMin = Long.MaxValue
+    var lenMax = Long.MinValue
+    i = 0
+    while (i < lenCompact.length) {
+      if (lenCompact(i) < lenMin) lenMin = lenCompact(i)
+      if (lenCompact(i) > lenMax) lenMax = lenCompact(i)
+      i += 1
+    }
+    if (lenCompact.isEmpty) { lenMin = 0L; lenMax = 0L }
+    val lenName = s"${name}__len"
+    val lenChunk = ColChunk(lenName, lenCodec.id, lenCodec.name, nLists.toLong,
+      nLists.toLong * 4, lenPayload.length.toLong, lenMin, lenMax, "", "",
+      lenPayload, Array.emptyByteArray)
+    // element stream (flattened, element-level null framing)
+    val elemChunk = e match {
+      case ExtraListLongs(_, ls, bytesPer) =>
+        val flat = new Array[Long](nElems)
+        val flatPresent = new Array[Boolean](nElems)
+        var o = 0
+        i = 0
+        while (i < n) {
+          if (ls(i) != null) {
+            val v = ls(i)
+            var j = 0
+            while (j < v.values.length) {
+              flat(o) = v.values(j); flatPresent(o) = v.present(j); o += 1; j += 1
+            }
+          }
+          i += 1
+        }
+        val compacted = Nullable.compactLongs(flat, flatPresent)
+        val (codec, inner) = CodecSelector.encodeIntsAuto(compacted, conf)
+        val payload = Nullable.frame(flatPresent, inner)
+        var minV = Long.MaxValue
+        var maxV = Long.MinValue
+        var k = 0
+        while (k < compacted.length) {
+          if (compacted(k) < minV) minV = compacted(k)
+          if (compacted(k) > maxV) maxV = compacted(k)
+          k += 1
+        }
+        if (compacted.isEmpty) { minV = 0L; maxV = 0L }
+        val bloom =
+          if (conf.bloomColumns.contains(name) && compacted.nonEmpty)
+            SegmentBloom.buildFromLongs(compacted)
+          else Array.emptyByteArray
+        ColChunk(name, codec.id, codec.name, compacted.length.toLong,
+          compacted.length.toLong * bytesPer, payload.length.toLong,
+          minV, maxV, "", "", payload, bloom)
+      case ExtraListStrings(_, ls) =>
+        val flat = new Array[String](nElems)
+        var o = 0
+        i = 0
+        while (i < n) {
+          if (ls(i) != null) {
+            val v = ls(i)
+            var j = 0
+            while (j < v.values.length) { flat(o) = v.values(j); o += 1; j += 1 }
+          }
+          i += 1
+        }
+        // reuse the nullable-string meta encode (null elements = null slots)
+        extraChunks(ExtraStrings(name, flat), conf).head
+      case other => throw new IllegalStateException(s"not a list col: $other")
+    }
+    Seq(elemChunk, lenChunk)
+  }
+
+  private def extraChunks(e: ExtraCol, conf: CodecConf): Seq[ColChunk] = e match {
+    case l: ExtraListLongs => listChunks(l, conf)
+    case l: ExtraListStrings => listChunks(l, conf)
+    case other => Seq(extraChunk(other, conf))
+  }
+
   private def extraChunk(e: ExtraCol, conf: CodecConf): ColChunk = e match {
     case ExtraLongs(name, values, present, bytesInPerValue, statMap) =>
       val compacted = Nullable.compactLongs(values, present)
@@ -648,7 +772,17 @@ object GraftEncoder {
         }
         val n = rowBuf.length
         val extras: Seq[ExtraCol] = specs.zipWithIndex.map { case (spec, j) =>
-          if (spec.isBinary) {
+          if (spec.isList && spec.isString) {
+            val values = new Array[ListStrings](n)
+            var i = 0
+            while (i < n) { values(i) = metaBuf(i)(j).asInstanceOf[ListStrings]; i += 1 }
+            ExtraListStrings(spec.name, values)
+          } else if (spec.isList) {
+            val values = new Array[ListLongs](n)
+            var i = 0
+            while (i < n) { values(i) = metaBuf(i)(j).asInstanceOf[ListLongs]; i += 1 }
+            ExtraListLongs(spec.name, values, spec.bytesInPerValue)
+          } else if (spec.isBinary) {
             val values = new Array[Array[Byte]](n)
             var i = 0
             while (i < n) { values(i) = metaBuf(i)(j).asInstanceOf[Array[Byte]]; i += 1 }
@@ -696,12 +830,25 @@ object GraftEncoder {
     val nToks = IntCodecs.decodeChunkInt(byCol("n_tok").payload)
     val tokLens = IntCodecs.decodeChunkInt(byCol("tok_len").payload)
     val flat = IntCodecs.decodeChunkInt(byCol("tokens").payload)
+    // list columns decode lengths + flattened elements and re-slice per
+    // row (nulls preserved at both list and element level); the per-column
+    // running element offset lives in `listPos`
+    final case class DecodedList(lens: Array[Long], listPresent: Array[Boolean],
+                                 elems: AnyRef)
     val metaCols: Array[AnyRef] = specs.map { s =>
       val payload = byCol(s.name).payload
-      if (s.isBinary) Nullable.decodeBinary(payload): AnyRef
+      if (s.isList) {
+        val (lens, lp) = Nullable.decodeInts(byCol(s.lenStream).payload)
+        val elems: AnyRef =
+          if (s.isString) Nullable.decodeStrings(payload)
+          else Nullable.decodeInts(payload)
+        DecodedList(lens, lp, elems): AnyRef
+      }
+      else if (s.isBinary) Nullable.decodeBinary(payload): AnyRef
       else if (s.isString) Nullable.decodeStrings(payload): AnyRef
       else Nullable.decodeInts(payload): AnyRef
     }.toArray
+    val listPos = new Array[Int](specs.length)
     var pos = 0
     (0 until seg.nRows).iterator.map { i =>
       val len = tokLens(i)
@@ -711,6 +858,19 @@ object GraftEncoder {
       var j = 0
       while (j < specs.length) {
         metaCols(j) match {
+          case dl: DecodedList =>
+            if (dl.listPresent(i)) {
+              val l = dl.lens(i).toInt
+              val from = listPos(j)
+              listPos(j) = from + l
+              metas(j) = dl.elems match {
+                case ss: Array[String] =>
+                  ListStrings(java.util.Arrays.copyOfRange(ss, from, from + l))
+                case ep: (Array[Long], Array[Boolean]) @unchecked =>
+                  ListLongs(java.util.Arrays.copyOfRange(ep._1, from, from + l),
+                    java.util.Arrays.copyOfRange(ep._2, from, from + l))
+              }
+            }
           case ss: Array[String] => metas(j) = ss(i)
           case bb: Array[Array[Byte]] => metas(j) = bb(i)
           case lp: (Array[Long], Array[Boolean]) @unchecked =>

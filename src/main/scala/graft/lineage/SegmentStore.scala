@@ -382,7 +382,8 @@ object SegmentStore {
         graft.sources.GraftTableMeta.ensureForCommit(
           tableDir, spark.sessionState.newHadoopConf(), metaDdl)
         commitSegments(spark, tableDir, compactionId, segs,
-          graft.sources.SegmentLayoutV2.CanonicalStreams ++ metaFields.map(_.name),
+          graft.sources.SegmentLayoutV2.CanonicalStreams ++
+            metaFields.flatMap(graft.sources.MetaColumns.streamsFor),
           (0 until buckets).toSet, markers)
       case None =>
         encodeCommitWith(input, tableDir, compactionId, buckets, tokensPerChunk,

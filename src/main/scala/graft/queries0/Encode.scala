@@ -629,6 +629,68 @@ object Encode {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** LIST METADATA COLUMNS through the connector (round-5 item 2 — the
+    * map_list fixture's List shape, tests/basic_reading.rs:233, via the
+    * LENGTH framing tokens/tok_len already use, generalized): an
+    * `array<int>` column (`tags`, nullable lists) and an `array<string>`
+    * column (`words`) ride beside the token streams as element+length
+    * stream pairs. The entry (1) writes and reads the widened table,
+    * (2) asserts an `array_contains` predicate reaches the scan as a
+    * pushed element point (the generalized token-range rule), (3)
+    * null-safe-audits every list value, and (4) aggregates contains/size
+    * figures DuckDB replays with list_contains/len. */
+  def dsv2MetaList(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-list-q").toString
+    try {
+      graft.sources.GraftTokenRangePushdown.install(spark)
+      val input = TokenTables.fromDocuments(spark, dir)
+        .toDF("doc_id", "tokens", "n_tok", "source")
+        .withColumn("tags", when($"n_tok" % 4 =!= 0,
+          array($"n_tok" % 50, ($"n_tok" * 3) % 50, ($"n_tok" * 7) % 50)))
+        .withColumn("words", when($"n_tok" % 10 =!= 0,
+          array(concat(lit("w"), ($"n_tok" % 5).cast("string")),
+            concat(lit("w"), ($"n_tok" % 11).cast("string")))))
+      input.write.format("graft").option("buckets", "8")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(base)
+      val table = spark.read.format("graft").load(base)
+      // containsNull follows the input's element nullability — pin only
+      // the element types here
+      require(table.schema.fields.map {
+        case f @ StructField(_, ArrayType(et, _), _, _) => f.name -> et
+        case f => f.name -> f.dataType
+      }.toSeq.drop(4) ==
+        Seq("tags" -> IntegerType, "words" -> StringType),
+        s"recorded list schema mismatch: ${table.schema.simpleString}")
+      // the element predicate reaches the scan (point + degenerate range)
+      val has7 = table.filter(array_contains($"tags", 7))
+      val plan = has7.queryExecution.executedPlan.toString
+      require(plan.contains("PushedElemPoints: [tags:[7]]"),
+        s"array_contains did not reach the graft scan:\n${plan.take(800)}")
+      val n7 = has7.count()
+      // null-safe bit-exact audit of both list columns
+      val dec = table.toDF("doc_id", "tokens_d", "n_tok_d", "source_d",
+        "tags_d", "words_d")
+      val nMismatch = input.join(dec, Seq("doc_id"), "full_outer")
+        .filter(!($"tags" <=> $"tags_d" && $"words" <=> $"words_d"))
+        .count()
+      val row = table.agg(
+        count(lit(1)).as("n_docs"),
+        count($"tags").as("n_tags"),
+        sum(size($"tags").cast("long")).as("sum_tag_len"),
+        count($"words").as("n_words"),
+        sum(when(array_contains($"words", "w3"), 1L).otherwise(0L)).as("n_w3"))
+        .withColumn("n_has7", lit(n7))
+        .withColumn("n_mismatch", lit(nMismatch))
+        .collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(row, 1),
+        StructType(Seq("n_docs", "n_tags", "sum_tag_len", "n_words", "n_w3",
+          "n_has7", "n_mismatch").map(n => StructField(n, LongType))))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
   /** METADATA-TABLE COMPACTION end-to-end: the widened table lands in
     * THREE connector appends (the streaming-accretion shape), compacts
     * into one snapshot through the stored-domain re-chunk path
@@ -950,6 +1012,29 @@ object Encode {
         |  CAST(SUM(octet_length(blob)) AS BIGINT) AS sum_blob_len,
         |  CAST(0 AS BIGINT) AS n_mismatch
         |FROM meta""".stripMargin,
+    "encode_dsv2_meta_list" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> x <> '')) AS n_tok
+        |  FROM documents
+        |),
+        |meta AS (
+        |  SELECT doc_id, n_tok,
+        |    CASE WHEN n_tok % 4 <> 0
+        |      THEN [n_tok % 50, (n_tok * 3) % 50, (n_tok * 7) % 50] END AS tags,
+        |    CASE WHEN n_tok % 10 <> 0
+        |      THEN ['w' || CAST(n_tok % 5 AS VARCHAR), 'w' || CAST(n_tok % 11 AS VARCHAR)] END AS words
+        |  FROM tok
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(tags) AS BIGINT) AS n_tags,
+        |  CAST(SUM(len(tags)) AS BIGINT) AS sum_tag_len,
+        |  CAST(COUNT(words) AS BIGINT) AS n_words,
+        |  CAST(SUM(CASE WHEN list_contains(words, 'w3') THEN 1 ELSE 0 END) AS BIGINT) AS n_w3,
+        |  CAST(SUM(CASE WHEN list_contains(tags, 7) THEN 1 ELSE 0 END) AS BIGINT) AS n_has7,
+        |  CAST(0 AS BIGINT) AS n_mismatch
+        |FROM meta""".stripMargin,
     "encode_compaction_meta" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1014,6 +1099,7 @@ object Encode {
     "encode_dsv2_write" -> (dsv2Write _),
     "encode_dsv2_meta" -> (dsv2Meta _),
     "encode_dsv2_meta_alltypes" -> (dsv2MetaAllTypes _),
+    "encode_dsv2_meta_list" -> (dsv2MetaList _),
     "encode_compaction_meta" -> (compactionMeta _),
     "encode_dsv2_streaming_write" -> (dsv2StreamingWrite _),
     "encode_dsv2_scan" -> (dsv2Scan _),

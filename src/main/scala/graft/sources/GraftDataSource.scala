@@ -310,11 +310,13 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
     // excluded: SQL MIN over an array column is lexicographic array order,
     // which element stats cannot answer (GraftStatsAggPushdown handles the
     // element shapes instead).
-    // binary columns record neutral stats (no SQL order) — MIN/MAX cannot
-    // fold from headers for them (COUNT still can)
+    // binary columns record neutral stats (no SQL order) and array columns'
+    // element stats can't answer SQL's lexicographic array MIN/MAX — both
+    // are excluded from MIN/MAX folding (COUNT still folds)
     val statCols = fullSchema.fields.collect {
       case f if f.name != "tokens" &&
-        f.dataType != org.apache.spark.sql.types.BinaryType => f.name
+        f.dataType != org.apache.spark.sql.types.BinaryType &&
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => f.name
     }.toSet
     // COUNT(col) = rows for the non-nullable canonical columns, the
     // header-summed non-null count for metadata columns
@@ -513,7 +515,9 @@ class GraftScan(
     asOf: Option[Long] = None,
     spjBuckets: Option[Int] = None,
     tokenPoints: Seq[Long] = Nil,
-    batchRows: Int = Int.MaxValue)
+    batchRows: Int = Int.MaxValue,
+    val elemRanges: Map[String, (Long, Long)] = Map.empty,
+    val elemPoints: Map[String, Seq[Long]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -524,6 +528,12 @@ class GraftScan(
       limit.map(n => s", PushedLimit: $n").getOrElse("") +
       tokenRange.map { case (lo, hi) => s", PushedTokenRange: [$lo, $hi]" }.getOrElse("") +
       (if (tokenPoints.nonEmpty) s", PushedTokenPoints: [${tokenPoints.mkString(", ")}]" else "") +
+      (if (elemRanges.nonEmpty)
+        s", PushedElemRanges: [${elemRanges.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi)) => s"$c:[$lo, $hi]" }.mkString(", ")}]" else "") +
+      (if (elemPoints.nonEmpty)
+        s", PushedElemPoints: [${elemPoints.toSeq.sortBy(_._1)
+          .map { case (c, ps) => s"$c:[${ps.mkString(", ")}]" }.mkString(", ")}]" else "") +
       asOf.map(n => s", AsOfSnapshot: $n").getOrElse("")
 
   override def supportedCustomMetrics(): Array[CustomMetric] = GraftScan.customMetrics
@@ -533,7 +543,8 @@ class GraftScan(
     * predicate changes the aggregate's input set, and runtime filters
     * cannot arrive later because an agg scan opts out of them. */
   def statsAggEligible: Boolean =
-    pushed.isEmpty && limit.isEmpty && tokenRange.isEmpty && tokenPoints.isEmpty
+    pushed.isEmpty && limit.isEmpty && tokenRange.isEmpty && tokenPoints.isEmpty &&
+      elemRanges.isEmpty && elemPoints.isEmpty
 
   /** Header-stat aggregate twin of this scan ([[GraftStatsAggPushdown]]). */
   def toStatsAggScan(specs: Seq[AggSpec]): GraftAggScan =
@@ -543,7 +554,18 @@ class GraftScan(
     * `tokenRange.isEmpty`); the listing is re-derived lazily in the copy. */
   def withTokenRange(lo: Long, hi: Long, points: Seq[Long] = Nil): GraftScan =
     new GraftScan(path, required, pushed, limit, Some((lo, hi)), hconf, columnar, asOf,
-      spjBuckets, points, batchRows)
+      spjBuckets, points, batchRows, elemRanges, elemPoints)
+
+  /** [[GraftTokenRangePushdown]] generalized to LIST metadata columns:
+    * attach element ranges/points per column (tokens keeps its own
+    * dedicated slot and metrics). Applied at most once per scan. */
+  def withElemPreds(tok: Option[(Long, Long, Seq[Long])],
+                    ranges: Map[String, (Long, Long)],
+                    points: Map[String, Seq[Long]]): GraftScan =
+    new GraftScan(path, required, pushed, limit,
+      tok.map { case (lo, hi, _) => (lo, hi) }.orElse(tokenRange),
+      hconf, columnar, asOf, spjBuckets,
+      tok.map(_._3).getOrElse(tokenPoints), batchRows, ranges, points)
 
   /** Storage-partitioned joins: a catalog-backed ledgered table IS
     * KeyGroupedPartitioning over `bucket(n, doc_id)` — every part-file
@@ -641,7 +663,8 @@ class GraftScan(
     // inside a task). Same predicate tree as the segment skip; headers are
     // memoized per immutable file, so this is a map lookup after first use.
     val afterPrune =
-      if (active.isEmpty && tokenRange.isEmpty && tokenPoints.isEmpty) files
+      if (active.isEmpty && tokenRange.isEmpty && tokenPoints.isEmpty &&
+        elemRanges.isEmpty && elemPoints.isEmpty) files
       else files.filter { f =>
         val h = GraftLayout.header(f, conf)
         val get = h.ranges.get _
@@ -664,7 +687,12 @@ class GraftScan(
           StatPredicate.bloomMayMatch(getBloom, fl)) &&
           tokenRange.forall { case (lo, hi) => StatPredicate.tokenRangeMayMatch(get, lo, hi) } &&
           tokenPoints.forall(p => StatPredicate.tokenRangeMayMatch(get, p, p) &&
-            h.blooms.get("tokens").forall(SegmentBloom.mightContainLong(_, p)))
+            h.blooms.get("tokens").forall(SegmentBloom.mightContainLong(_, p))) &&
+          elemRanges.forall { case (c, (lo, hi)) =>
+            StatPredicate.elemRangeMayMatch(get, c, lo, hi) } &&
+          elemPoints.forall { case (c, ps) => ps.forall(p =>
+            StatPredicate.elemRangeMayMatch(get, c, p, p) &&
+              h.blooms.get(c).forall(SegmentBloom.mightContainLong(_, p))) }
       }
     mFilesPrunedPlanning = (files.length - afterPrune.length).toLong
     // LIMIT planning, composed with pushed filters (round-3 judge #9):
@@ -677,7 +705,8 @@ class GraftScan(
     // Token predicates guarantee nothing (array membership is not
     // provable from stats), so they force the full plan.
     val chosen = limit match {
-      case Some(n) if tokenRange.isEmpty && tokenPoints.isEmpty =>
+      case Some(n) if tokenRange.isEmpty && tokenPoints.isEmpty &&
+        elemRanges.isEmpty && elemPoints.isEmpty =>
         val out = ArrayBuffer.empty[String]
         var guaranteed = 0L
         val it = afterPrune.iterator
@@ -710,7 +739,7 @@ class GraftScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, effectiveFilters, limit, tokenRange, hconf, columnar,
-      tokenPoints, batchRows)
+      tokenPoints, batchRows, elemRanges, elemPoints)
 }
 
 class GraftReaderFactory(required: StructType, pushed: Array[Filter],
@@ -718,15 +747,19 @@ class GraftReaderFactory(required: StructType, pushed: Array[Filter],
                          hconf: SerializableConfiguration,
                          columnar: Boolean = false,
                          tokenPoints: Seq[Long] = Nil,
-                         batchRows: Int = Int.MaxValue)
+                         batchRows: Int = Int.MaxValue,
+                         elemRanges: Map[String, (Long, Long)] = Map.empty,
+                         elemPoints: Map[String, Seq[Long]] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(GraftInputPartition.fileOf(partition),
-      required, pushed, limit, tokenRange, hconf.value, tokenPoints)
+      required, pushed, limit, tokenRange, hconf.value, tokenPoints,
+      elemRanges, elemPoints)
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     new GraftColumnarPartitionReader(GraftInputPartition.fileOf(partition),
-      required, pushed, limit, tokenRange, hconf.value, tokenPoints, batchRows)
+      required, pushed, limit, tokenRange, hconf.value, tokenPoints, batchRows,
+      elemRanges, elemPoints)
 }
 
 /** Header-only aggregate scan: COUNT(*)/MIN/MAX partials per part-file from
@@ -824,9 +857,13 @@ class GraftAggReader(file: String, specs: Seq[AggSpec], conf: Configuration,
     specs.zipWithIndex.foreach {
       case (AggSpec.CountAll, i) => out.setLong(i, h.rows)
       // COUNT(col): rows for the non-nullable canonical columns; the
-      // header-summed non-null chunk cardinality for metadata columns
+      // header-summed non-null chunk cardinality for metadata columns.
+      // LIST metadata columns count non-null LISTS — that lives in the
+      // __len stream's nValues (the element stream's counts elements).
       case (AggSpec.CountOf(c), i) =>
         if (MetaColumns.CanonicalNames.contains(c)) out.setLong(i, h.rows)
+        else if (types.get(c).exists(MetaColumns.isList))
+          out.setLong(i, h.nValues.getOrElse(MetaColumns.lenStream(c), 0L))
         else out.setLong(i, h.nValues.getOrElse(c, 0L))
       // token ELEMENT extrema: the fold skips value-less chunks, so the
       // range is exact over the tokens present; a token-free file emits
@@ -936,7 +973,13 @@ private[sources] object StatPredicate {
 
   /** A [lo, hi] token range may have matches in stats `s`. */
   def tokenRangeMayMatch(get: String => Option[ColRange], lo: Long, hi: Long): Boolean =
-    get("tokens").forall(s => s.minV <= hi && s.maxV >= lo)
+    elemRangeMayMatch(get, "tokens", lo, hi)
+
+  /** Per-column element-range may-match — tokens generalized to any LIST
+    * metadata column's element stats ([[MetaColumns.isList]]). */
+  def elemRangeMayMatch(get: String => Option[ColRange], col: String,
+                        lo: Long, hi: Long): Boolean =
+    get(col).forall(s => s.minV <= hi && s.maxV >= lo)
 
   /** Sound may-match of point predicates against split-block blooms —
     * shared by the per-chunk probe and the planner's per-FILE probe over
@@ -1015,6 +1058,13 @@ private[sources] final class ExtraStringsDecoded(
     val toCompact: Array[Int]) extends DecodedExtra {
   def idx(i: Int): Int = if (toCompact == null) i else toCompact(i)
 }
+/** A decoded LIST metadata column: per-row element offsets into the
+  * flattened element stream (`offsets(i)` meaningful only where
+  * `listPresent(i)`), elements as [[ExtraLongsDecoded]]-shaped values or
+  * an [[ExtraStringsDecoded]] — the generalized tokens/tok_len framing. */
+private[sources] final class ExtraListDecoded(
+    val lens: Array[Long], val listPresent: Array[Boolean],
+    val offsets: Array[Int], val elems: DecodedExtra) extends DecodedExtra
 
 /** One decoded segment's projected column arrays (null = not projected).
   * Int streams decode straight into Array[Int] (no widen-then-narrow —
@@ -1047,7 +1097,9 @@ private[sources] final class DecodedSegment(
 private[sources] final class SegmentScanCore(
     file: String, required: StructType, pushed: Array[Filter],
     tokenRange: Option[(Long, Long)], conf: Configuration,
-    tokenPoints: Seq[Long] = Nil) {
+    tokenPoints: Seq[Long] = Nil,
+    elemRanges: Map[String, (Long, Long)] = Map.empty,
+    elemPoints: Map[String, Seq[Long]] = Map.empty) {
 
   private val footer = GraftLayout.footerInfo(file, conf)
 
@@ -1067,7 +1119,7 @@ private[sources] final class SegmentScanCore(
       (if (needSrc) Set("source") else Set.empty[String]) ++
       (if (needN) Set("n_tok") else Set.empty[String]) ++
       (if (needTok) Set("tokens", "tok_len") else Set.empty[String]) ++
-      metaFields.map(_.name)
+      metaFields.flatMap(MetaColumns.streamsFor)
 
   /** Streams whose bloom a point predicate consults. */
   private val bloomStreams: Set[String] = {
@@ -1079,7 +1131,8 @@ private[sources] final class SegmentScanCore(
       case _ => Set.empty
     }
     pushed.iterator.flatMap(cols).toSet ++
-      (if (tokenPoints.nonEmpty) Set("tokens") else Set.empty[String])
+      (if (tokenPoints.nonEmpty) Set("tokens") else Set.empty[String]) ++
+      elemPoints.keySet
   }
 
   private val reader: ParquetReader[Group] =
@@ -1096,7 +1149,7 @@ private[sources] final class SegmentScanCore(
         .builder(new NameFilterReadSupport(wanted.contains _), new HPath(file))
         .withConf(conf)
       SegmentLayoutV2.statFilter(pushed.toSeq, tokenRange, tokenPoints,
-        footer.fieldNames.contains _) match {
+        footer.fieldNames.contains _, elemRanges, elemPoints) match {
         case Some(p) =>
           b.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(p)).build()
         case None => b.build()
@@ -1262,6 +1315,34 @@ private[sources] final class SegmentScanCore(
         i += 1
       }
     }
+    // element predicates on LIST metadata columns — the tokens skip
+    // generalized per column. Zero-element chunks record neutral 0/0
+    // stats, but pruning them is still sound: array_contains/exists is
+    // never true over empty or null lists.
+    for ((col, (lo, hi)) <- elemRanges) byCol.get(col).foreach { c =>
+      if (c.nValues == 0L || c.minV > hi || c.maxV < lo) {
+        mSegsPrunedTok += 1
+        mBytesPruned += payloadBytes(byCol)
+        return null
+      }
+    }
+    for ((col, ps) <- elemPoints) byCol.get(col).foreach { c =>
+      var i = 0
+      while (i < ps.length) {
+        val p = ps(i)
+        if (c.nValues == 0L || p < c.minV || p > c.maxV) {
+          mSegsPrunedTok += 1
+          mBytesPruned += payloadBytes(byCol)
+          return null
+        }
+        if (!SegmentBloom.mightContainLong(c.bloom, p)) {
+          mSegsPrunedBloom += 1
+          mBytesPruned += payloadBytes(byCol)
+          return null
+        }
+        i += 1
+      }
+    }
     mSegsDecoded += 1
     val nRows = segRows
     // strings decode to ONE UTF-8 blob + offsets (never java.lang.String:
@@ -1278,15 +1359,40 @@ private[sources] final class SegmentScanCore(
       if (metaFields.isEmpty) null
       else metaFields.map { f =>
         val payload = byCol(f.name).payload
-        // BinaryType shares the string payload shape: the Utf8Chunk view
-        // is blob+offsets, byte-exact for arbitrary bytes
-        if (f.dataType == StringType || f.dataType == BinaryType) {
-          val (chunk, present, toCompact) =
-            graft.codec.Nullable.decodeStringsBytes(payload)
-          new ExtraStringsDecoded(chunk, present, toCompact)
-        } else {
-          val (vs, pr) = graft.codec.Nullable.decodeInts(payload)
-          new ExtraLongsDecoded(vs, pr): DecodedExtra
+        f.dataType match {
+          // LIST columns: lengths from the __len stream + flattened
+          // elements; per-row offsets are the prefix sums over non-null
+          // lists (the tokens/tok_len walk, generalized)
+          case ArrayType(et, _) =>
+            val (lens, lp) =
+              graft.codec.Nullable.decodeInts(byCol(MetaColumns.lenStream(f.name)).payload)
+            val offsets = new Array[Int](lens.length)
+            var off = 0
+            var i = 0
+            while (i < lens.length) {
+              offsets(i) = off
+              if (lp(i)) off += lens(i).toInt
+              i += 1
+            }
+            val elems: DecodedExtra =
+              if (et == StringType) {
+                val (chunk, present, toCompact) =
+                  graft.codec.Nullable.decodeStringsBytes(payload)
+                new ExtraStringsDecoded(chunk, present, toCompact)
+              } else {
+                val (vs, pr) = graft.codec.Nullable.decodeInts(payload)
+                new ExtraLongsDecoded(vs, pr)
+              }
+            new ExtraListDecoded(lens, lp, offsets, elems): DecodedExtra
+          // BinaryType shares the string payload shape: the Utf8Chunk view
+          // is blob+offsets, byte-exact for arbitrary bytes
+          case StringType | BinaryType =>
+            val (chunk, present, toCompact) =
+              graft.codec.Nullable.decodeStringsBytes(payload)
+            new ExtraStringsDecoded(chunk, present, toCompact)
+          case _ =>
+            val (vs, pr) = graft.codec.Nullable.decodeInts(payload)
+            new ExtraLongsDecoded(vs, pr): DecodedExtra
         }
       }
     mBytesDecoded += byCol.iterator.collect {
@@ -1300,10 +1406,13 @@ private[sources] final class SegmentScanCore(
   * stops at the pushed limit. */
 class GraftPartitionReader(file: String, required: StructType, pushed: Array[Filter],
                            limit: Option[Int], tokenRange: Option[(Long, Long)],
-                           conf: Configuration, tokenPoints: Seq[Long] = Nil)
+                           conf: Configuration, tokenPoints: Seq[Long] = Nil,
+                           elemRanges: Map[String, (Long, Long)] = Map.empty,
+                           elemPoints: Map[String, Seq[Long]] = Map.empty)
     extends PartitionReader[InternalRow] {
 
-  private val core = new SegmentScanCore(file, required, pushed, tokenRange, conf, tokenPoints)
+  private val core = new SegmentScanCore(file, required, pushed, tokenRange, conf,
+    tokenPoints, elemRanges, elemPoints)
   private var rows: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
   private var mRows = 0L
@@ -1350,6 +1459,36 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
           case "source" => (row: GenericInternalRow, f: Int, i: Int) => row.update(f,
             UTF8String.fromBytes(seg.sources.blob, seg.sources.offsets(i), seg.sources.lens(i)))
           case name => seg.extras(metaIndex(name)) match {
+            // LIST metadata columns: slice the flattened element stream by
+            // the row's offset/length; null list / null elements preserved
+            case e: ExtraListDecoded =>
+              val elemOf: Int => AnyRef = (field.dataType, e.elems) match {
+                case (ArrayType(StringType, _), es: ExtraStringsDecoded) =>
+                  (k: Int) =>
+                    if (!es.present(k)) null
+                    else {
+                      val j = es.idx(k)
+                      UTF8String.fromBytes(es.chunk.blob, es.chunk.offsets(j), es.chunk.lens(j))
+                    }
+                case (ArrayType(IntegerType, _), el: ExtraLongsDecoded) =>
+                  (k: Int) => if (!el.present(k)) null
+                    else java.lang.Integer.valueOf(el.values(k).toInt)
+                case (ArrayType(LongType, _), el: ExtraLongsDecoded) =>
+                  (k: Int) => if (!el.present(k)) null
+                    else java.lang.Long.valueOf(el.values(k))
+                case other => throw new IllegalStateException(
+                  s"unreachable: list column shape $other")
+              }
+              (row: GenericInternalRow, f: Int, i: Int) =>
+                if (!e.listPresent(i)) row.setNullAt(f)
+                else {
+                  val from = e.offsets(i)
+                  val n = e.lens(i).toInt
+                  val out = new Array[Any](n)
+                  var k = 0
+                  while (k < n) { out(k) = elemOf(from + k); k += 1 }
+                  row.update(f, new GenericArrayData(out))
+                }
             // metadata columns ([[MetaColumns]]): stored 64-bit domain ->
             // external type; absent PRESENT bit / null string = SQL null
             case e: ExtraStringsDecoded if field.dataType == BinaryType =>
@@ -1414,10 +1553,13 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
                                    pushed: Array[Filter], limit: Option[Int],
                                    tokenRange: Option[(Long, Long)],
                                    conf: Configuration, tokenPoints: Seq[Long] = Nil,
-                                   batchRows: Int = Int.MaxValue)
+                                   batchRows: Int = Int.MaxValue,
+                                   elemRanges: Map[String, (Long, Long)] = Map.empty,
+                                   elemPoints: Map[String, Seq[Long]] = Map.empty)
     extends PartitionReader[ColumnarBatch] {
 
-  private val core = new SegmentScanCore(file, required, pushed, tokenRange, conf, tokenPoints)
+  private val core = new SegmentScanCore(file, required, pushed, tokenRange, conf,
+    tokenPoints, elemRanges, elemPoints)
   private var batch: ColumnarBatch = _
   private var mRows = 0L
   private val maxRows: Long = limit.map(_.toLong).getOrElse(Long.MaxValue)
@@ -1510,6 +1652,50 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
             i += 1
           }
         case name => seg.extras(metaIndex(name)) match {
+          // LIST metadata columns: child vector holds the window's
+          // flattened elements, rows point in via putArray (tokens shape)
+          case e: ExtraListDecoded =>
+            var total = 0
+            var i = 0
+            while (i < n) {
+              val s = start + i
+              if (e.listPresent(s)) total += e.lens(s).toInt
+              i += 1
+            }
+            val child = v.arrayData()
+            child.reserve(total)
+            val elemPut: (Int, Int) => Unit = (field.dataType, e.elems) match {
+              case (ArrayType(StringType, _), es: ExtraStringsDecoded) =>
+                (ci, k) =>
+                  if (!es.present(k)) child.putNull(ci)
+                  else {
+                    val j = es.idx(k)
+                    child.putByteArray(ci, es.chunk.blob, es.chunk.offsets(j), es.chunk.lens(j))
+                  }
+              case (ArrayType(IntegerType, _), el: ExtraLongsDecoded) =>
+                (ci, k) =>
+                  if (!el.present(k)) child.putNull(ci) else child.putInt(ci, el.values(k).toInt)
+              case (ArrayType(LongType, _), el: ExtraLongsDecoded) =>
+                (ci, k) =>
+                  if (!el.present(k)) child.putNull(ci) else child.putLong(ci, el.values(k))
+              case other => throw new IllegalStateException(
+                s"unreachable: list column shape $other")
+            }
+            var off = 0
+            i = 0
+            while (i < n) {
+              val s = start + i
+              if (!e.listPresent(s)) v.putNull(i)
+              else {
+                val len = e.lens(s).toInt
+                val from = e.offsets(s)
+                var k = 0
+                while (k < len) { elemPut(off + k, from + k); k += 1 }
+                v.putArray(i, off, len)
+                off += len
+              }
+              i += 1
+            }
           // metadata columns ([[MetaColumns]]): stored 64-bit domain ->
           // vector puts per external type; nulls via putNull
           case e: ExtraStringsDecoded =>

@@ -37,37 +37,51 @@ object GraftTokenRangePushdown extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, r: DataSourceV2ScanRelation)
-        if r.scan.isInstanceOf[GraftScan] &&
-          r.scan.asInstanceOf[GraftScan].tokenRange.isEmpty =>
+        if r.scan.isInstanceOf[GraftScan] && {
+          val gs = r.scan.asInstanceOf[GraftScan]
+          gs.tokenRange.isEmpty && gs.elemRanges.isEmpty && gs.elemPoints.isEmpty
+        } =>
       val cs = conjuncts(cond)
-      val ranges = cs.flatMap(rangeOf)
-      if (ranges.isEmpty) f
+      // per-column extraction: `tokens` keeps its dedicated scan slot and
+      // metrics; every other int-kind-element LIST metadata column rides
+      // the generalized elemRanges/elemPoints (round-5 item 2 — the same
+      // element-stat + bloom skip, per column).
+      val ranges = cs.flatMap(rangeOf).groupBy(_._1)
+        .view.mapValues(rs => (rs.map(_._2).max, rs.map(_._3).min)).toMap
+      val points = cs.flatMap(pointsOf).distinct.groupBy(_._1)
+        .view.mapValues(_.map(_._2)).toMap
+      if (ranges.isEmpty && points.isEmpty) f
       else {
-        // several token conjuncts intersect (all must hold on the doc).
-        // Point values are collected SEPARATELY: only a conjunct that
-        // itself demands one exact token (array_contains / exists ==)
-        // licenses a bloom membership test — a degenerate range produced
-        // by INTERSECTING distinct inequalities (x >= 7 AND x <= 7 via two
-        // exists) does NOT imply any row contains 7, and bloom-pruning on
-        // it would drop true matches.
-        val lo = ranges.map(_._1).max
-        val hi = ranges.map(_._2).min
-        val points = cs.flatMap(pointsOf).distinct
+        // several conjuncts on one column intersect (all must hold on the
+        // doc). Point values are collected SEPARATELY: only a conjunct
+        // that itself demands one exact element (array_contains /
+        // exists ==) licenses a bloom membership test — a degenerate range
+        // produced by INTERSECTING distinct inequalities (x >= 7 AND
+        // x <= 7 via two exists) does NOT imply any row contains 7, and
+        // bloom-pruning on it would drop true matches.
+        val tok: Option[(Long, Long, Seq[Long])] =
+          ranges.get("tokens").map { case (lo, hi) =>
+            (lo, hi, points.getOrElse("tokens", Nil))
+          }.orElse(points.get("tokens").map(ps =>
+            (Long.MinValue, Long.MaxValue, ps)))
         f.copy(child = r.copy(
-          scan = r.scan.asInstanceOf[GraftScan].withTokenRange(lo, hi, points)))
+          scan = r.scan.asInstanceOf[GraftScan].withElemPreds(tok,
+            ranges - "tokens", points - "tokens")))
       }
   }
 
-  /** Token values some conjunct REQUIRES to be present in the array —
-    * the sound inputs for a bloom membership prune. */
-  private def pointsOf(e: Expression): Seq[Long] = e match {
-    case ArrayContains(col, l: Literal) if isTokens(col) => longOf(l).toSeq
-    case ArrayExists(col, LambdaFunction(body, Seq(v: NamedLambdaVariable), _), _)
-        if isTokens(col) =>
-      conjuncts(body).flatMap {
-        case EqualTo(x, l: Literal) if sameVar(x, v) => longOf(l)
-        case EqualTo(l: Literal, x) if sameVar(x, v) => longOf(l)
-        case _ => None
+  /** Element values some conjunct REQUIRES to be present in the array —
+    * the sound inputs for a bloom membership prune. Keyed by column. */
+  private def pointsOf(e: Expression): Seq[(String, Long)] = e match {
+    case ArrayContains(col, l: Literal) =>
+      colOf(col).toSeq.flatMap(c => longOf(l).map(c -> _))
+    case ArrayExists(col, LambdaFunction(body, Seq(v: NamedLambdaVariable), _), _) =>
+      colOf(col).toSeq.flatMap { c =>
+        conjuncts(body).flatMap {
+          case EqualTo(x, l: Literal) if sameVar(x, v) => longOf(l).map(c -> _)
+          case EqualTo(l: Literal, x) if sameVar(x, v) => longOf(l).map(c -> _)
+          case _ => None
+        }
       }
     case _ => Nil
   }
@@ -77,9 +91,19 @@ object GraftTokenRangePushdown extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  private def isTokens(e: Expression): Boolean = e match {
-    case a: Attribute => a.name == "tokens"
-    case _ => false
+  /** The prunable array column an expression references: `tokens` or any
+    * int-kind-element ARRAY column (LIST metadata, [[MetaColumns]] —
+    * their element streams carry the same exact min/max + bloom the
+    * tokens stream does). String-element lists are excluded here: their
+    * element stats are UTF-8 ranges this long-domain path doesn't carry. */
+  private def colOf(e: Expression): Option[String] = e match {
+    case a: Attribute => a.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.LongType, _) => Some(a.name)
+      case _ => None
+    }
+    case _ => None
   }
 
   private def longOf(l: Literal): Option[Long] = l.value match {
@@ -89,15 +113,16 @@ object GraftTokenRangePushdown extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** A token range implied by one conjunct, if any. */
-  private def rangeOf(e: Expression): Option[(Long, Long)] = e match {
-    case ArrayContains(col, l: Literal) if isTokens(col) =>
-      longOf(l).map(v => (v, v))
-    case ArrayExists(col, LambdaFunction(body, Seq(v: NamedLambdaVariable), _), _)
-        if isTokens(col) =>
-      val bounds = conjuncts(body).flatMap(boundOf(_, v))
-      if (bounds.isEmpty) None
-      else Some((bounds.map(_._1).max, bounds.map(_._2).min))
+  /** An element range implied by one conjunct, if any; keyed by column. */
+  private def rangeOf(e: Expression): Option[(String, Long, Long)] = e match {
+    case ArrayContains(col, l: Literal) =>
+      for { c <- colOf(col); v <- longOf(l) } yield (c, v, v)
+    case ArrayExists(col, LambdaFunction(body, Seq(v: NamedLambdaVariable), _), _) =>
+      colOf(col).flatMap { c =>
+        val bounds = conjuncts(body).flatMap(boundOf(_, v))
+        if (bounds.isEmpty) None
+        else Some((c, bounds.map(_._1).max, bounds.map(_._2).min))
+      }
     case _ => None
   }
 

@@ -492,6 +492,29 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
       while (j < metaFields.length) {
         val ord = metaOrdinals(j)
         if (!row.isNullAt(ord)) m(j) = metaFields(j).dataType match {
+          case ArrayType(StringType, _) =>
+            val arr = row.getArray(ord)
+            val vs = new Array[String](arr.numElements())
+            var k = 0
+            while (k < vs.length) {
+              if (!arr.isNullAt(k)) vs(k) = arr.getUTF8String(k).toString
+              k += 1
+            }
+            graft.engine.ListStrings(vs)
+          case ArrayType(et, _) =>
+            val arr = row.getArray(ord)
+            val n = arr.numElements()
+            val vs = new Array[Long](n)
+            val pr = new Array[Boolean](n)
+            var k = 0
+            while (k < n) {
+              if (!arr.isNullAt(k)) {
+                pr(k) = true
+                vs(k) = if (et == IntegerType) arr.getInt(k).toLong else arr.getLong(k)
+              }
+              k += 1
+            }
+            graft.engine.ListLongs(vs, pr)
           case StringType => row.getUTF8String(ord).toString
           case BinaryType => row.getBinary(ord)
           case IntegerType => java.lang.Long.valueOf(row.getInt(ord).toLong)
@@ -560,6 +583,30 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
           !metaSpecs(metaFields.indexWhere(_.name == m)).isBinary =>
           val j = metaFields.indexWhere(_.name == m)
           val spec = metaSpecs(j)
+          if (spec.isList) {
+            // list columns: file bloom over non-null ELEMENTS (the
+            // array_contains membership domain, like the tokens bloom)
+            var nElems = 0L
+            metas.foreach { a =>
+              a(j) match {
+                case l: graft.engine.ListLongs => nElems += l.present.count(identity)
+                case l: graft.engine.ListStrings => nElems += l.values.count(_ != null)
+                case _ => ()
+              }
+            }
+            val hs = metas.iterator.flatMap { a =>
+              a(j) match {
+                case l: graft.engine.ListLongs =>
+                  l.values.indices.iterator.collect {
+                    case k if l.present(k) => SegmentBloom.hashLong(l.values(k)) }
+                case l: graft.engine.ListStrings =>
+                  l.values.iterator.collect {
+                    case v if v != null => SegmentBloom.hashString(v) }
+                case _ => Iterator.empty
+              }
+            }
+            (hs, math.min(Int.MaxValue.toLong, nElems).toInt)
+          } else {
           val nonNull = metas.count(_(j) != null)
           val hs =
             if (spec.isString)
@@ -570,6 +617,7 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
                 SegmentBloom.hashLong(spec.statMap(
                   a(j).asInstanceOf[java.lang.Long].longValue())) }
           (hs, nonNull)
+          }
         case _ => (Iterator.empty, 0)
       }
       if (ndv == 0) None
@@ -587,7 +635,7 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
       else GraftEncoder.encodePartitionWithMeta(
         rows.iterator.zip(metas.iterator), metaSpecs, tokensPerChunk, codecConf)
     val s = SegmentLayoutV2.messageType(
-      SegmentLayoutV2.CanonicalStreams ++ metaFields.map(_.name))
+      SegmentLayoutV2.CanonicalStreams ++ metaFields.flatMap(MetaColumns.streamsFor))
     val writer: ParquetWriter[Group] = ExampleParquetWriter.builder(new HPath(stagedFile))
       .withConf(conf).withType(s)
       .withCompressionCodec(CompressionCodecName.SNAPPY)

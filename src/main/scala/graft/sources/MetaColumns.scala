@@ -48,8 +48,33 @@ object MetaColumns {
          TimestampNTZType | DoubleType | StringType |
          BooleanType | ByteType | ShortType | FloatType | BinaryType => true
     case d: DecimalType => d.precision <= 18
+    case ArrayType(et, _) => isListElem(et)
     case _ => false
   }
+
+  /** LIST metadata columns (round-5 item 2: the map_list fixture's
+    * `l: List(Utf8)`, tests/basic_reading.rs:233, generalized from the
+    * hard-coded tokens/tok_len LENGTH framing): element types int, long,
+    * string; element nulls ride the element stream's own PRESENT/null
+    * framing, list nulls the LENGTH stream's. */
+  def isListElem(et: DataType): Boolean = et match {
+    case IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  def isList(dt: DataType): Boolean = dt match {
+    case ArrayType(et, _) => isListElem(et)
+    case _ => false
+  }
+
+  /** Disk stream name of a list column's LENGTH stream. `__` is the v2
+    * field separator, which user column names may never contain — so the
+    * suffix can never collide with another column. */
+  def lenStream(c: String): String = s"${c}__len"
+
+  /** All disk streams of one metadata field (list fields carry two). */
+  def streamsFor(f: StructField): Seq[String] =
+    if (isList(f.dataType)) Seq(f.name, lenStream(f.name)) else Seq(f.name)
 
   def isIntKind(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | DateType | TimestampType |
@@ -108,7 +133,10 @@ object MetaColumns {
     case FloatType => "float"
     case BinaryType => "binary"
     case d: DecimalType => s"decimal(${d.precision};${d.scale})"
-    case ArrayType(IntegerType, _) => "array<int>"
+    // '?' marks nullable ELEMENTS; the canonical tokens column renders as
+    // the legacy bare form (containsNull=false) for ddl stability
+    case ArrayType(et, containsNull) =>
+      s"array<${typeName(et)}${if (containsNull) "?" else ""}>"
     case other => throw new IllegalArgumentException(s"unsupported type $other")
   }
 
@@ -129,7 +157,11 @@ object MetaColumns {
     case "float" => FloatType
     case "binary" => BinaryType
     case DecimalRe(p, sc) => DecimalType(p.toInt, sc.toInt)
-    case "array<int>" => ArrayType(IntegerType, containsNull = false)
+    case s if s.startsWith("array<") && s.endsWith(">") =>
+      val inner = s.substring(6, s.length - 1)
+      if (inner.endsWith("?"))
+        ArrayType(parseType(inner.dropRight(1)), containsNull = true)
+      else ArrayType(parseType(inner), containsNull = false)
     case other => throw new IllegalArgumentException(
       s"unsupported type '$other' in recorded graft schema")
   }
@@ -168,6 +200,9 @@ object MetaColumns {
     * int/date), doubles carry the -0.0 -> +0.0 stat collapse so chunk
     * stats agree with predicate conversion. */
   def specFor(f: StructField): graft.engine.MetaColSpec = f.dataType match {
+    case ArrayType(et, _) =>
+      graft.engine.MetaColSpec(f.name, isString = et == StringType,
+        bytesInPerValue = if (et == IntegerType) 4 else 8, isList = true)
     case StringType => graft.engine.MetaColSpec(f.name, isString = true)
     case BinaryType => graft.engine.MetaColSpec(f.name, isString = false,
       isBinary = true)

@@ -226,7 +226,9 @@ object SegmentLayoutV2 {
     * schema: parquet rejects predicates naming absent columns, and schema
     * evolution (extra metadata streams) makes per-file presence real. */
   def statFilter(pushed: Seq[Filter], tokenRange: Option[(Long, Long)],
-                 tokenPoints: Seq[Long], hasCol: String => Boolean): Option[FilterPredicate] = {
+                 tokenPoints: Seq[Long], hasCol: String => Boolean,
+                 elemRanges: Map[String, (Long, Long)] = Map.empty,
+                 elemPoints: Map[String, Seq[Long]] = Map.empty): Option[FilterPredicate] = {
     def sCol(a: String, f: String) = FilterApi.binaryColumn(field(a, f))
     def iCol(a: String, f: String) = FilterApi.longColumn(field(a, f))
     def strStatsPresent(a: String) = hasCol(field(a, "minS")) && hasCol(field(a, "maxS"))
@@ -297,7 +299,20 @@ object SegmentLayoutV2 {
           FilterApi.gtEq(iCol("tokens", "maxV"), java.lang.Long.valueOf(lo)))
       }.toSeq ++ tokenPoints.map(p => intEq("tokens", p))
 
-    val parts = pushed.flatMap(conv) ++ tokenParts
+    // element predicates on LIST metadata columns: the tokenParts shape
+    // per column (range intersect + per-point containment over the
+    // element stream's stat columns)
+    val elemParts: Seq[FilterPredicate] =
+      elemRanges.toSeq.collect {
+        case (c, (lo, hi)) if intStatsPresent(c) =>
+          FilterApi.and(
+            FilterApi.ltEq(iCol(c, "minV"), java.lang.Long.valueOf(hi)),
+            FilterApi.gtEq(iCol(c, "maxV"), java.lang.Long.valueOf(lo)))
+      } ++ elemPoints.toSeq.flatMap { case (c, ps) =>
+        if (!intStatsPresent(c)) Nil else ps.map(p => intEq(c, p))
+      }
+
+    val parts = pushed.flatMap(conv) ++ tokenParts ++ elemParts
     parts.reduceOption(FilterApi.and)
   }
 }

@@ -321,6 +321,55 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(contains.collect().map(_.getString(0)).toSet === expected2)
   }
 
+  test("element predicates on LIST metadata columns prune via element stats " +
+    "(tokens skip generalized, round-5 item 2)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftTokenRangePushdown.install(spark)
+    val dir = tmp()
+    val input = TokenTables.synthetic(spark, nDocs = 400, seed = 42L)
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      // tags correlate with doc_id, so the sorted chunks carry tight
+      // element ranges — the layout where element stats actually prune
+      .withColumn("d", expr("cast(substring(doc_id, 5) as int)"))
+      .withColumn("tags", array($"d" * 10, $"d" * 10 + 1))
+      .drop("d")
+    input.write.format("graft").option("buckets", "4")
+      .option("tokensPerChunk", "64")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(dir)
+    val table = spark.read.format("graft").load(dir)
+    // array_contains -> point + degenerate range on the tags element stream
+    val q = table.filter(array_contains($"tags", 2000))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedElemRanges: [tags:[2000, 2000]]"), s"no elem range:\n$plan")
+    assert(plan.contains("PushedElemPoints: [tags:[2000]]"), s"no elem point:\n$plan")
+    val (rows, m) = runWithScanMetrics(q.select("doc_id"))
+    assert(rows.map(_.getString(0)).toSeq === Seq("doc_000000000200"))
+    // the element predicate rides to parquet as a FilterPredicate over the
+    // tags stat columns, so non-matching segments are skipped at the IO
+    // layer — they never reach the reader-side counters. Evidence is the
+    // decode count: a full scan decodes every segment, this must not.
+    val totalSegments = spark.read.parquet(s"$dir/data").count()
+    val decoded = m.getOrElse("graft segments decoded", Long.MaxValue) +
+      m.getOrElse("graft segments pruned (token range)", 0L) +
+      m.getOrElse("graft segments pruned (bloom)", 0L)
+    assert(decoded < totalSegments / 2,
+      s"element predicate must skip most of the $totalSegments segments: $m")
+    // exists with bounds -> interval on the element stream
+    val r = table.filter(expr("exists(tags, x -> x >= 3000 and x <= 3010)"))
+    val plan2 = r.queryExecution.executedPlan.toString
+    assert(plan2.contains("PushedElemRanges: [tags:[3000, 3010]]"), plan2)
+    assert(r.select("doc_id").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("doc_000000000300", "doc_000000000301"))
+    // tokens predicates still ride their dedicated slot alongside
+    val both = table.filter(array_contains($"tags", 2000) &&
+      expr("exists(tokens, x -> x >= 0)"))
+    val plan3 = both.queryExecution.executedPlan.toString
+    assert(plan3.contains("PushedTokenRange:") && plan3.contains("PushedElemRanges:"), plan3)
+    assert(both.select("doc_id").collect().map(_.getString(0)).toSeq ===
+      Seq("doc_000000000200"))
+  }
+
   test("doc_id point lookup prunes via the chunk bloom where min/max cannot (hash layout)") {
     import spark.implicits._
     // `bare` is hash-bucketed: each chunk holds a random ~quarter of the

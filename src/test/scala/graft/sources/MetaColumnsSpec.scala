@@ -139,6 +139,17 @@ class MetaColumnsSpec extends AnyFunSuite {
     assert(back("price").dataType === DecimalType(15, 5))
     assert(back("blob").dataType === BinaryType)
     assert(back("ratio").dataType === FloatType)
+    // list columns: element nullability rides the '?' marker
+    val lists = StructType(GraftTable.TokenSchema.fields.toSeq ++ Seq(
+      StructField("tags", ArrayType(IntegerType, containsNull = true)),
+      StructField("words", ArrayType(StringType, containsNull = false)),
+      StructField("ids", ArrayType(LongType, containsNull = true))))
+    val back2 = MetaColumns.parseDdl(MetaColumns.ddl(lists))
+    assert(back2("tags").dataType === ArrayType(IntegerType, containsNull = true))
+    assert(back2("words").dataType === ArrayType(StringType, containsNull = false))
+    assert(back2("ids").dataType === ArrayType(LongType, containsNull = true))
+    assert(MetaColumns.streamsFor(lists("tags")) === Seq("tags", "tags__len"))
+    assert(MetaColumns.streamsFor(lists("doc_id")) === Seq("doc_id"))
     assert(back("quality").dataType === DoubleType && back("quality").nullable)
     assert(back("doc_id").dataType === StringType && !back("doc_id").nullable)
     assert(MetaColumns.parseDdl(MetaColumns.CanonicalDdl) === MetaColumns.parseDdl(
@@ -159,12 +170,14 @@ class MetaColumnsSpec extends AnyFunSuite {
     // DECIMAL beyond the 64-bit unscaled domain is fenced by name
     assert(rejected(StructField("bad", DecimalType(20, 2))).contains("unsupported"))
     assert(rejected(StructField("bad", MapType(StringType, StringType))).contains("unsupported"))
-    assert(rejected(StructField("bad", ArrayType(LongType))).contains("unsupported"))
+    assert(rejected(StructField("bad", ArrayType(DoubleType))).contains("unsupported"))
     // the round-5 matrix additions all validate
     MetaColumns.validate(base(StructField("flag", BooleanType),
       StructField("tiny", ByteType), StructField("small", ShortType),
       StructField("ratio", FloatType), StructField("price", DecimalType(18, 2)),
-      StructField("blob", BinaryType)))
+      StructField("blob", BinaryType),
+      StructField("tags", ArrayType(IntegerType, containsNull = true)),
+      StructField("words", ArrayType(StringType))))
     assert(rejected(
       StructField("dup", LongType), StructField("dup", LongType)).contains("duplicate"))
     // canonical column with the wrong type fails by name
