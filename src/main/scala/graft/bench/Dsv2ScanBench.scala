@@ -61,16 +61,30 @@ object Dsv2ScanBench {
         best
       }
 
+      // pruning A-B: a selective point lookup with pushdown+bloom on vs the
+      // kill switches off ([[graft.sources.ScanToggles]]) — the measured
+      // win of the stat/bloom machinery on the SAME data and query
+      def pointScan(pushdown: Boolean): DataFrame =
+        spark.read.format("graft")
+          .option("pushdown", pushdown.toString).option("bloom", pushdown.toString)
+          .load(base)
+          .filter(col("doc_id") === f"doc_${nDocs / 2}%012d")
+          .agg(sum(col("n_tok")).as("s1"))
+
       val rowFull = time(fullScan(columnar = false))
       val colFull = time(fullScan(columnar = true))
       val rowProj = time(projScan(columnar = false))
       val colProj = time(projScan(columnar = true))
+      val prunedOn = time(pointScan(pushdown = true))
+      val prunedOff = time(pointScan(pushdown = false))
       val gb = decodedBytes / 1e9
       println(f"""{"bench":"dsv2_scan","n_docs":$nDocs,"decoded_gb":$gb%.3f,""" +
         f""""full_row_sec":$rowFull%.3f,"full_columnar_sec":$colFull%.3f,""" +
         f""""full_row_gbps":${gb / rowFull}%.3f,"full_columnar_gbps":${gb / colFull}%.3f,""" +
         f""""proj_row_sec":$rowProj%.3f,"proj_columnar_sec":$colProj%.3f,""" +
-        f""""columnar_speedup_full":${rowFull / colFull}%.3f,"columnar_speedup_proj":${rowProj / colProj}%.3f}""")
+        f""""columnar_speedup_full":${rowFull / colFull}%.3f,"columnar_speedup_proj":${rowProj / colProj}%.3f,""" +
+        f""""point_pruned_sec":$prunedOn%.3f,"point_unpruned_sec":$prunedOff%.3f,""" +
+        f""""pruning_speedup":${prunedOff / prunedOn}%.3f}""")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)

@@ -836,6 +836,16 @@ object GraftEncoder {
     final case class DecodedList(lens: Array[Long], listPresent: Array[Boolean],
                                  elems: AnyRef)
     val metaCols: Array[AnyRef] = specs.map { s =>
+      // schema evolution: a pre-evolution segment has no stream for a
+      // later-added column — it decodes all-null (compaction then
+      // re-encodes the column as explicit nulls, normalizing generations)
+      if (!byCol.contains(s.name)) {
+        val n = seg.nRows
+        if (s.isList) DecodedList(new Array[Long](n), new Array[Boolean](n), null): AnyRef
+        else if (s.isBinary) new Array[Array[Byte]](n): AnyRef
+        else if (s.isString) new Array[String](n): AnyRef
+        else (new Array[Long](n), new Array[Boolean](n)): AnyRef
+      } else {
       val payload = byCol(s.name).payload
       if (s.isList) {
         val (lens, lp) = Nullable.decodeInts(byCol(s.lenStream).payload)
@@ -847,6 +857,7 @@ object GraftEncoder {
       else if (s.isBinary) Nullable.decodeBinary(payload): AnyRef
       else if (s.isString) Nullable.decodeStrings(payload): AnyRef
       else Nullable.decodeInts(payload): AnyRef
+      }
     }.toArray
     val listPos = new Array[Int](specs.length)
     var pos = 0

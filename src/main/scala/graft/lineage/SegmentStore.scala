@@ -115,11 +115,17 @@ object SegmentStore {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], segmentTableSchema)
     val (v2Files, legacyFiles) =
       files.partition(f => graft.sources.GraftLayout.footerInfo(f, conf).v2)
-    // one fixed stream set per table (schema recorded at creation), so the
-    // first v2 footer names every stream — metadata streams included
-    val v2Streams = v2Files.headOption
-      .map(f => graft.sources.GraftLayout.footerInfo(f, conf).streams)
-      .getOrElse(graft.sources.SegmentLayoutV2.CanonicalStreams)
+    // schema evolution means files can carry DIFFERENT stream sets (older
+    // generations lack later-added columns) — take the union across all v2
+    // footers (footer info is memoized per immutable file); unflatten drops
+    // the absent streams per segment
+    val v2Streams = {
+      val all = v2Files.flatMap(f =>
+        graft.sources.GraftLayout.footerInfo(f, conf).streams).distinct
+      if (all.isEmpty) graft.sources.SegmentLayoutV2.CanonicalStreams
+      else graft.sources.SegmentLayoutV2.CanonicalStreams.filter(all.contains) ++
+        all.filterNot(graft.sources.SegmentLayoutV2.CanonicalStreams.contains).sorted
+    }
     val parts = Seq(
       if (legacyFiles.isEmpty) None
       else Some(spark.read.schema(segmentTableSchema)

@@ -691,6 +691,58 @@ object Encode {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** SCHEMA EVOLUTION end-to-end (round-5 item 3; the reference's
+    * Schema::try_merge across files, file_format.rs:146-161, rendered as
+    * add-column-with-null-default INSIDE one table): generation 1 lands
+    * without `lang`, the table evolves, generation 2 lands with it; files
+    * written before the evolution read the column as NULL. The entry
+    * audits generation-2 values bit-exactly, asserts generation-1 rows are
+    * all-NULL for the new column, and aggregates per lang (nulls = the old
+    * generation) — all derived from n_tok, so DuckDB replays it. */
+  def dsv2SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-evolve-q").toString
+    try {
+      val all = TokenTables.fromDocuments(spark, dir)
+        .toDF("doc_id", "tokens", "n_tok", "source")
+      val gen1 = all.filter($"n_tok" % 2 === 0)
+      val gen2in = all.filter($"n_tok" % 2 =!= 0)
+        .withColumn("lang", concat(lit("l"), ($"n_tok" % 3).cast("string")))
+      gen1.write.format("graft").option("buckets", "8")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(base)
+      val v = graft.sources.GraftTableMeta.evolve(
+        base, spark.sessionState.newHadoopConf(), gen2in.schema)
+      require(v == 1, s"expected schema version 1, got $v")
+      gen2in.write.format("graft").option("buckets", "8")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(base)
+      val table = spark.read.format("graft").load(base)
+      require(table.schema.fieldNames.toSeq ==
+        Seq("doc_id", "tokens", "n_tok", "source", "lang"),
+        s"evolved schema mismatch: ${table.schema.simpleString}")
+      // generation-1 rows must read lang as NULL; generation-2 bit-exact
+      val nOldNonNull = table.filter($"n_tok" % 2 === 0 && $"lang".isNotNull).count()
+      val dec = table.filter($"n_tok" % 2 =!= 0)
+        .toDF("doc_id", "tokens_d", "n_tok_d", "source_d", "lang_d")
+      val nMismatch = gen2in.join(dec, Seq("doc_id"), "full_outer")
+        .filter(!($"lang" <=> $"lang_d")).count() + nOldNonNull
+      val rows = table
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok".cast("long")).as("sum_tokens"))
+        .withColumn("n_mismatch", lit(nMismatch))
+        .orderBy($"lang")
+        .collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("lang", StringType),
+          StructField("n_docs", LongType),
+          StructField("sum_tokens", LongType),
+          StructField("n_mismatch", LongType))))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
   /** METADATA-TABLE COMPACTION end-to-end: the widened table lands in
     * THREE connector appends (the streaming-accretion shape), compacts
     * into one snapshot through the stored-domain re-chunk path
@@ -1012,6 +1064,24 @@ object Encode {
         |  CAST(SUM(octet_length(blob)) AS BIGINT) AS sum_blob_len,
         |  CAST(0 AS BIGINT) AS n_mismatch
         |FROM meta""".stripMargin,
+    "encode_dsv2_schema_evolution" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> x <> '')) AS n_tok
+        |  FROM documents
+        |),
+        |meta AS (
+        |  SELECT doc_id, n_tok,
+        |    CASE WHEN n_tok % 2 <> 0
+        |      THEN 'l' || CAST(n_tok % 3 AS VARCHAR) END AS lang
+        |  FROM tok
+        |)
+        |SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(0 AS BIGINT) AS n_mismatch
+        |FROM meta GROUP BY lang ORDER BY lang""".stripMargin,
     "encode_dsv2_meta_list" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1100,6 +1170,7 @@ object Encode {
     "encode_dsv2_meta" -> (dsv2Meta _),
     "encode_dsv2_meta_alltypes" -> (dsv2MetaAllTypes _),
     "encode_dsv2_meta_list" -> (dsv2MetaList _),
+    "encode_dsv2_schema_evolution" -> (dsv2SchemaEvolution _),
     "encode_compaction_meta" -> (compactionMeta _),
     "encode_dsv2_streaming_write" -> (dsv2StreamingWrite _),
     "encode_dsv2_scan" -> (dsv2Scan _),

@@ -215,10 +215,20 @@ class GraftTable(path: String, catalogBacked: Boolean = false,
         require(n > 0, s"batchRows must be positive, got $n")
         n
       }.getOrElse(Int.MaxValue)
+    // pruning kill switches: per-read option wins over session conf
+    def toggle(opt: String, confKey: String): Boolean =
+      Option(options.get(opt))
+        .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+          .flatMap(_.conf.getOption(confKey)))
+        .forall(_.trim.toBoolean)
+    val toggles = ScanToggles(
+      pushdown = toggle("pushdown", GraftScan.PushdownConf),
+      bloom = toggle("bloom", GraftScan.BloomConf),
+      limitPlanning = toggle("limitPlanning", GraftScan.LimitPlanningConf))
     new GraftScanBuilder(path, sessionConf,
       options.getBoolean("columnar", GraftScan.ColumnarDefault), asOf,
       if (asOf.isEmpty) spjBuckets else None, // as-of reads may see fewer buckets
-      resolvedSchema, batchRows)
+      resolvedSchema, batchRows, toggles)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, info, sessionConf)
@@ -240,7 +250,8 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
                        asOf: Option[Long] = None,
                        spjBuckets: Option[Int] = None,
                        tableSchema: StructType = null,
-                       batchRows: Int = Int.MaxValue)
+                       batchRows: Int = Int.MaxValue,
+                       toggles: ScanToggles = ScanToggles.Default)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -263,6 +274,7 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
     * IsNotNull of every filtered column first, and plan-descriptor order
     * is the only thing the position changes. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (!toggles.pushdown) return filters // kill switch: nothing prunes
     def isNullCheck(f: Filter): Boolean = f match {
       case IsNull(_) | IsNotNull(_) => true
       case _ => false
@@ -321,6 +333,7 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
     // COUNT(col) = rows for the non-nullable canonical columns, the
     // header-summed non-null count for metadata columns
     val countCols = statCols ++ Set("tokens")
+    if (!toggles.pushdown) return false // kill switch
     if (pushed.nonEmpty || limit.isDefined || aggregation.groupByExpressions.nonEmpty ||
       aggregation.aggregateExpressions.isEmpty) return false
     val specs = aggregation.aggregateExpressions.map {
@@ -337,7 +350,7 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
     if (aggSpecs.nonEmpty) new GraftAggScan(path, aggSpecs, hconf, asOf)
     else new GraftScan(path, required,
       StatPredicate.normalize(pushed, typeOf), limit, None, hconf, columnar, asOf,
-      spjBuckets, batchRows = batchRows)
+      spjBuckets, batchRows = batchRows, toggles = toggles)
 }
 
 object GraftScan {
@@ -351,6 +364,16 @@ object GraftScan {
     * factory accepts `orc.batch_size` at the format level too,
     * file_format.rs:42-86). */
   final val BatchRowsConf = "graft.scan.batchRows"
+
+  /** Pushdown/pruning kill switches, mirroring the reference's
+    * `orc.pushdown_predicate` user toggle (options.rs:34, :57-60, :85-87)
+    * — debugging escape hatches for a suspected wrong prune, and the A-B
+    * knob for measuring the pruning win. Results must be IDENTICAL with
+    * any of them off; only work moves. Read options `pushdown`/`bloom`/
+    * `limitPlanning` win over these session confs. */
+  final val PushdownConf = "graft.scan.pushdown"
+  final val BloomConf = "graft.scan.bloom"
+  final val LimitPlanningConf = "graft.scan.limitPlanning"
 
   /** Stats-prunable filter shapes: string/int-kind comparisons on
     * stats-bearing columns (canonical doc_id/source/n_tok AND metadata
@@ -473,6 +496,14 @@ final case class GraftTaskMetric(metricName: String, metricValue: Long) extends 
   override def value(): Long = metricValue
 }
 
+/** Resolved pruning kill switches of one scan ([[GraftScan.PushdownConf]]
+  * etc.); all-on in normal operation. */
+final case class ScanToggles(pushdown: Boolean = true, bloom: Boolean = true,
+                             limitPlanning: Boolean = true)
+object ScanToggles {
+  val Default: ScanToggles = ScanToggles()
+}
+
 final case class GraftInputPartition(file: String) extends InputPartition
 
 object GraftInputPartition {
@@ -517,7 +548,8 @@ class GraftScan(
     tokenPoints: Seq[Long] = Nil,
     batchRows: Int = Int.MaxValue,
     val elemRanges: Map[String, (Long, Long)] = Map.empty,
-    val elemPoints: Map[String, Seq[Long]] = Map.empty)
+    val elemPoints: Map[String, Seq[Long]] = Map.empty,
+    val toggles: ScanToggles = ScanToggles.Default)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -554,7 +586,7 @@ class GraftScan(
     * `tokenRange.isEmpty`); the listing is re-derived lazily in the copy. */
   def withTokenRange(lo: Long, hi: Long, points: Seq[Long] = Nil): GraftScan =
     new GraftScan(path, required, pushed, limit, Some((lo, hi)), hconf, columnar, asOf,
-      spjBuckets, points, batchRows, elemRanges, elemPoints)
+      spjBuckets, points, batchRows, elemRanges, elemPoints, toggles)
 
   /** [[GraftTokenRangePushdown]] generalized to LIST metadata columns:
     * attach element ranges/points per column (tokens keeps its own
@@ -565,7 +597,7 @@ class GraftScan(
     new GraftScan(path, required, pushed, limit,
       tok.map { case (lo, hi, _) => (lo, hi) }.orElse(tokenRange),
       hconf, columnar, asOf, spjBuckets,
-      tok.map(_._3).getOrElse(tokenPoints), batchRows, ranges, points)
+      tok.map(_._3).getOrElse(tokenPoints), batchRows, ranges, points, toggles)
 
   /** Storage-partitioned joins: a catalog-backed ledgered table IS
     * KeyGroupedPartitioning over `bucket(n, doc_id)` — every part-file
@@ -615,8 +647,9 @@ class GraftScan(
     m.get _
   }
   override def filter(predicates: Array[VPredicate]): Unit =
-    runtimeFilters = StatPredicate.normalize(
-      predicates.flatMap(GraftScan.v2ToSourceFilter), statTypeOf)
+    if (toggles.pushdown)
+      runtimeFilters = StatPredicate.normalize(
+        predicates.flatMap(GraftScan.v2ToSourceFilter), statTypeOf)
 
   /** All filters active at execution: negotiated + runtime. */
   private def effectiveFilters: Array[Filter] = pushed ++ runtimeFilters
@@ -668,7 +701,8 @@ class GraftScan(
       else files.filter { f =>
         val h = GraftLayout.header(f, conf)
         val get = h.ranges.get _
-        val getBloom = (c: String) => h.blooms.get(c)
+        val getBloom = (c: String) =>
+          if (!toggles.bloom) None else h.blooms.get(c)
         // file-level null facts from the header-summed non-null counts
         // (arrays excluded: the tokens stream's nValues counts elements)
         val nullsOf = (c: String) =>
@@ -687,12 +721,12 @@ class GraftScan(
           StatPredicate.bloomMayMatch(getBloom, fl)) &&
           tokenRange.forall { case (lo, hi) => StatPredicate.tokenRangeMayMatch(get, lo, hi) } &&
           tokenPoints.forall(p => StatPredicate.tokenRangeMayMatch(get, p, p) &&
-            h.blooms.get("tokens").forall(SegmentBloom.mightContainLong(_, p))) &&
+            getBloom("tokens").forall(SegmentBloom.mightContainLong(_, p))) &&
           elemRanges.forall { case (c, (lo, hi)) =>
             StatPredicate.elemRangeMayMatch(get, c, lo, hi) } &&
           elemPoints.forall { case (c, ps) => ps.forall(p =>
             StatPredicate.elemRangeMayMatch(get, c, p, p) &&
-              h.blooms.get(c).forall(SegmentBloom.mightContainLong(_, p))) }
+              getBloom(c).forall(SegmentBloom.mightContainLong(_, p))) }
       }
     mFilesPrunedPlanning = (files.length - afterPrune.length).toLong
     // LIMIT planning, composed with pushed filters (round-3 judge #9):
@@ -705,8 +739,8 @@ class GraftScan(
     // Token predicates guarantee nothing (array membership is not
     // provable from stats), so they force the full plan.
     val chosen = limit match {
-      case Some(n) if tokenRange.isEmpty && tokenPoints.isEmpty &&
-        elemRanges.isEmpty && elemPoints.isEmpty =>
+      case Some(n) if toggles.limitPlanning && tokenRange.isEmpty &&
+        tokenPoints.isEmpty && elemRanges.isEmpty && elemPoints.isEmpty =>
         val out = ArrayBuffer.empty[String]
         var guaranteed = 0L
         val it = afterPrune.iterator
@@ -739,7 +773,7 @@ class GraftScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, effectiveFilters, limit, tokenRange, hconf, columnar,
-      tokenPoints, batchRows, elemRanges, elemPoints)
+      tokenPoints, batchRows, elemRanges, elemPoints, toggles.bloom)
 }
 
 class GraftReaderFactory(required: StructType, pushed: Array[Filter],
@@ -749,17 +783,18 @@ class GraftReaderFactory(required: StructType, pushed: Array[Filter],
                          tokenPoints: Seq[Long] = Nil,
                          batchRows: Int = Int.MaxValue,
                          elemRanges: Map[String, (Long, Long)] = Map.empty,
-                         elemPoints: Map[String, Seq[Long]] = Map.empty)
+                         elemPoints: Map[String, Seq[Long]] = Map.empty,
+                         bloomEnabled: Boolean = true)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(GraftInputPartition.fileOf(partition),
       required, pushed, limit, tokenRange, hconf.value, tokenPoints,
-      elemRanges, elemPoints)
+      elemRanges, elemPoints, bloomEnabled)
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     new GraftColumnarPartitionReader(GraftInputPartition.fileOf(partition),
       required, pushed, limit, tokenRange, hconf.value, tokenPoints, batchRows,
-      elemRanges, elemPoints)
+      elemRanges, elemPoints, bloomEnabled)
 }
 
 /** Header-only aggregate scan: COUNT(*)/MIN/MAX partials per part-file from
@@ -1099,7 +1134,8 @@ private[sources] final class SegmentScanCore(
     tokenRange: Option[(Long, Long)], conf: Configuration,
     tokenPoints: Seq[Long] = Nil,
     elemRanges: Map[String, (Long, Long)] = Map.empty,
-    elemPoints: Map[String, Seq[Long]] = Map.empty) {
+    elemPoints: Map[String, Seq[Long]] = Map.empty,
+    bloomEnabled: Boolean = true) {
 
   private val footer = GraftLayout.footerInfo(file, conf)
 
@@ -1121,8 +1157,10 @@ private[sources] final class SegmentScanCore(
       (if (needTok) Set("tokens", "tok_len") else Set.empty[String]) ++
       metaFields.flatMap(MetaColumns.streamsFor)
 
-  /** Streams whose bloom a point predicate consults. */
-  private val bloomStreams: Set[String] = {
+  /** Streams whose bloom a point predicate consults. The kill switch
+    * empties this set, so bloom pages are never even read — every probe
+    * degrades to may-contain (empty bytes). */
+  private val bloomStreams: Set[String] = if (!bloomEnabled) Set.empty else {
     def cols(f: Filter): Set[String] = f match {
       case EqualTo(a, _) => Set(a)
       case In(a, _) => Set(a)
@@ -1195,9 +1233,11 @@ private[sources] final class SegmentScanCore(
     (0 until n).map { i =>
       val el = wrapper.getGroup(0, i).getGroup(0, 0) // repeated "list" -> "element"
       // pre-bloom files lack the field entirely; present-but-unset is
-      // possible on foreign writers — both degrade to "no filter"
+      // possible on foreign writers — both degrade to "no filter". The
+      // bloom kill switch gates here too (bloomStreams is empty then).
       val bloom =
-        if (el.getType.containsField("bloom") && el.getFieldRepetitionCount("bloom") > 0)
+        if (bloomStreams(el.getString("col", 0)) &&
+          el.getType.containsField("bloom") && el.getFieldRepetitionCount("bloom") > 0)
           el.getBinary("bloom", 0).getBytes
         else Array.emptyByteArray
       val payload = el.getBinary("payload", 0).getBytes
@@ -1358,6 +1398,24 @@ private[sources] final class SegmentScanCore(
     val extras: Array[DecodedExtra] =
       if (metaFields.isEmpty) null
       else metaFields.map { f =>
+        // SCHEMA EVOLUTION: a file written before a column was added has
+        // no stream for it — the column reads as all-null there
+        // ([[GraftTableMeta.evolve]]'s add-column-with-null-default
+        // contract). Same soundness stance as the absent-stream guard in
+        // the chunk readers.
+        if (!byCol.contains(f.name)) {
+          val noneAtAll = new Array[Boolean](nRows)
+          f.dataType match {
+            case ArrayType(_, _) =>
+              new ExtraListDecoded(new Array[Long](nRows), noneAtAll,
+                new Array[Int](nRows), null): DecodedExtra
+            case StringType | BinaryType =>
+              new ExtraStringsDecoded(
+                new graft.codec.Utf8Chunk(Array.emptyByteArray, Array.empty, Array.empty),
+                noneAtAll, new Array[Int](nRows))
+            case _ => new ExtraLongsDecoded(new Array[Long](nRows), noneAtAll)
+          }
+        } else {
         val payload = byCol(f.name).payload
         f.dataType match {
           // LIST columns: lengths from the __len stream + flattened
@@ -1394,6 +1452,7 @@ private[sources] final class SegmentScanCore(
             val (vs, pr) = graft.codec.Nullable.decodeInts(payload)
             new ExtraLongsDecoded(vs, pr): DecodedExtra
         }
+        }
       }
     mBytesDecoded += byCol.iterator.collect {
       case (c, s) if payloadStreams(c) => s.payload.length.toLong
@@ -1408,11 +1467,12 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
                            limit: Option[Int], tokenRange: Option[(Long, Long)],
                            conf: Configuration, tokenPoints: Seq[Long] = Nil,
                            elemRanges: Map[String, (Long, Long)] = Map.empty,
-                           elemPoints: Map[String, Seq[Long]] = Map.empty)
+                           elemPoints: Map[String, Seq[Long]] = Map.empty,
+                           bloomEnabled: Boolean = true)
     extends PartitionReader[InternalRow] {
 
   private val core = new SegmentScanCore(file, required, pushed, tokenRange, conf,
-    tokenPoints, elemRanges, elemPoints)
+    tokenPoints, elemRanges, elemPoints, bloomEnabled)
   private var rows: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
   private var mRows = 0L
@@ -1463,6 +1523,7 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
             // the row's offset/length; null list / null elements preserved
             case e: ExtraListDecoded =>
               val elemOf: Int => AnyRef = (field.dataType, e.elems) match {
+                case (_, null) => _ => null // absent stream: no list is present
                 case (ArrayType(StringType, _), es: ExtraStringsDecoded) =>
                   (k: Int) =>
                     if (!es.present(k)) null
@@ -1555,11 +1616,12 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
                                    conf: Configuration, tokenPoints: Seq[Long] = Nil,
                                    batchRows: Int = Int.MaxValue,
                                    elemRanges: Map[String, (Long, Long)] = Map.empty,
-                                   elemPoints: Map[String, Seq[Long]] = Map.empty)
+                                   elemPoints: Map[String, Seq[Long]] = Map.empty,
+                                   bloomEnabled: Boolean = true)
     extends PartitionReader[ColumnarBatch] {
 
   private val core = new SegmentScanCore(file, required, pushed, tokenRange, conf,
-    tokenPoints, elemRanges, elemPoints)
+    tokenPoints, elemRanges, elemPoints, bloomEnabled)
   private var batch: ColumnarBatch = _
   private var mRows = 0L
   private val maxRows: Long = limit.map(_.toLong).getOrElse(Long.MaxValue)
@@ -1665,6 +1727,7 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
             val child = v.arrayData()
             child.reserve(total)
             val elemPut: (Int, Int) => Unit = (field.dataType, e.elems) match {
+              case (_, null) => (_, _) => () // absent stream: no list is present
               case (ArrayType(StringType, _), es: ExtraStringsDecoded) =>
                 (ci, k) =>
                   if (!es.present(k)) child.putNull(ci)

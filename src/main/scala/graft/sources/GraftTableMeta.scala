@@ -41,7 +41,7 @@ object GraftTableMeta {
   final val BucketFunction = "murmur3-seed42-pmod"
 
   final case class Meta(formatVersion: Int, bucketFunction: String,
-                        schemaDdl: Option[String]) {
+                        schemaDdl: Option[String], schemaVersion: Int = 0) {
     def render: String = {
       val base = s"formatVersion=$formatVersion\nbucketFunction=$bucketFunction\n"
       schemaDdl.fold(base)(d => base + s"schema=$d\n")
@@ -51,6 +51,9 @@ object GraftTableMeta {
   val Current: Meta = Meta(FormatVersion, BucketFunction, None)
 
   def metaPath(tableDir: String): HPath = new HPath(tableDir, "lineage/_meta")
+
+  private def versionPath(tableDir: String, v: Int): HPath =
+    new HPath(tableDir, s"lineage/_meta.v$v")
 
   /** `_meta` is WRITE-ONCE (create-no-overwrite at first commit, fixed for
     * the table's lifetime), so a successful read is cacheable forever —
@@ -63,20 +66,127 @@ object GraftTableMeta {
         size() > 16 * 1024
     }
 
+  /** The composed CURRENT meta: the write-once base marker (cached
+    * forever) overlaid with the newest additive schema version file
+    * (`lineage/_meta.v<N>`, [[evolve]]) — version files are listed fresh
+    * on every read (one FS listing; the current schema is mutable state
+    * the Iceberg analog keeps in its catalog pointer), their CONTENT is
+    * write-once and cached by path. */
   def read(tableDir: String, conf: Configuration): Option[Meta] = {
-    metaCache.synchronized {
-      val hit = metaCache.get(tableDir)
-      if (hit != null) return Some(hit)
+    val base = {
+      val hit = metaCache.synchronized(Option(metaCache.get(tableDir)))
+      hit.orElse {
+        val got = readUncached(tableDir, conf)
+        got.foreach(m => metaCache.synchronized { metaCache.put(tableDir, m) })
+        got
+      }
     }
-    val got = readUncached(tableDir, conf)
-    got.foreach(m => metaCache.synchronized { metaCache.put(tableDir, m) })
-    got
+    base.map { m =>
+      latestVersion(tableDir, conf) match {
+        case Some((v, ddl)) if v > 0 => m.copy(schemaDdl = Some(ddl), schemaVersion = v)
+        case _ => m
+      }
+    }
+  }
+
+  private val VersionRe = """_meta\.v(\d+)""".r
+
+  /** Newest `_meta.v<N>` (version, schema ddl), if any. */
+  private def latestVersion(tableDir: String, conf: Configuration): Option[(Int, String)] = {
+    val ldir = new HPath(tableDir, "lineage")
+    val fs = ldir.getFileSystem(conf)
+    if (!fs.exists(ldir)) return None
+    val versions = fs.listStatus(ldir).iterator.flatMap { st =>
+      st.getPath.getName match {
+        case VersionRe(n) => n.toIntOption
+        case _ => None
+      }
+    }.toSeq
+    if (versions.isEmpty) None
+    else {
+      val v = versions.max
+      versionContent(versionPath(tableDir, v), fs).map(v -> _)
+    }
+  }
+
+  /** Version-file schema ddl, cached by path (version files are
+    * write-once; TRUNCATE deletes the whole lineage dir and
+    * [[invalidate]] drops these entries). */
+  private val versionCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def versionContent(p: HPath, fs: org.apache.hadoop.fs.FileSystem): Option[String] = {
+    val key = p.toString
+    val hit = versionCache.get(key)
+    if (hit != null) return Some(hit)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        new String(buf.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+    val ddl = text.split('\n').iterator.map(_.trim)
+      .collectFirst { case l if l.startsWith("schema=") => l.substring(7) }
+    ddl.foreach(versionCache.put(key, _))
+    ddl
   }
 
   /** TRUNCATE is the ONE operation that deletes and restamps `_meta`
-    * (possibly with a different schema) — it must drop the cached entry. */
-  def invalidate(tableDir: String): Unit =
+    * (possibly with a different schema) — it must drop the cached entries
+    * (base marker AND any version-file content under the table). */
+  def invalidate(tableDir: String): Unit = {
     metaCache.synchronized { metaCache.remove(tableDir): Unit }
+    val prefix = new HPath(tableDir, "lineage").toString
+    val it = versionCache.keySet().iterator()
+    while (it.hasNext) { if (it.next().startsWith(prefix)) it.remove() }
+  }
+
+  /** SCHEMA EVOLUTION (round-5 item 3; the one-table analog of the
+    * reference's multi-file `Schema::try_merge`, file_format.rs:146-161):
+    * ADD metadata columns with null default. The new ddl must extend the
+    * current one — every existing column unchanged, new supported
+    * metadata columns appended — so files written before the evolution
+    * simply lack the new streams and decode them as all-null (the
+    * PRESENT-framing contract the readers already implement for absent
+    * streams). Renames/drops/retypes are refused: they would change what
+    * existing bytes MEAN.
+    *
+    * Concurrency: the next version file is created with
+    * create-no-overwrite; a losing racer re-reads and succeeds
+    * idempotently iff the winner recorded the same ddl.
+    *
+    * Returns the new schema version. */
+  def evolve(tableDir: String, conf: Configuration,
+             newSchema: org.apache.spark.sql.types.StructType): Int = {
+    MetaColumns.validate(newSchema)
+    val newDdl = MetaColumns.ddl(newSchema)
+    val cur = read(tableDir, conf).getOrElse(throw new IllegalStateException(
+      s"graft table $tableDir has no lineage/_meta marker; create the table " +
+        "(first commit) before evolving its schema"))
+    val curDdl = cur.schemaDdl.getOrElse(MetaColumns.CanonicalDdl)
+    if (newDdl == curDdl) return cur.schemaVersion // idempotent no-op
+    require(newDdl.startsWith(curDdl + ","),
+      s"graft schema evolution is ADD-COLUMN only: the new schema must extend " +
+        s"the current one.\n  current: [$curDdl]\n  new:     [$newDdl]")
+    val next = cur.schemaVersion + 1
+    val p = versionPath(tableDir, next)
+    val fs = p.getFileSystem(conf)
+    try {
+      val out = fs.create(p, false)
+      try out.write(s"schema=$newDdl\n".getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      next
+    } catch {
+      case e: java.io.IOException =>
+        val after = read(tableDir, conf)
+        if (after.exists(_.schemaDdl.contains(newDdl))) after.get.schemaVersion
+        else throw new java.util.ConcurrentModificationException(
+          s"graft table $tableDir: a concurrent schema evolution recorded a " +
+            s"different schema (${after.flatMap(_.schemaDdl)})", e)
+    }
+  }
 
   private def readUncached(tableDir: String, conf: Configuration): Option[Meta] = {
     val p = metaPath(tableDir)

@@ -39,7 +39,8 @@ object GraftTokenRangePushdown extends Rule[LogicalPlan] {
     case f @ Filter(cond, r: DataSourceV2ScanRelation)
         if r.scan.isInstanceOf[GraftScan] && {
           val gs = r.scan.asInstanceOf[GraftScan]
-          gs.tokenRange.isEmpty && gs.elemRanges.isEmpty && gs.elemPoints.isEmpty
+          gs.toggles.pushdown && // kill switch disables the rule too
+            gs.tokenRange.isEmpty && gs.elemRanges.isEmpty && gs.elemPoints.isEmpty
         } =>
       val cs = conjuncts(cond)
       // per-column extraction: `tokens` keeps its dedicated scan slot and

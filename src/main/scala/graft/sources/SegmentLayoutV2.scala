@@ -207,7 +207,11 @@ object SegmentLayoutV2 {
         (if (withPayload) col(field(s, "bloom")) else empty).as("bloom"))
     }: _*)
     val keep = df.columns.filterNot(_.startsWith("c_")).map(col).toSeq
-    df.select(keep :+ colsArr.as("cols"): _*)
+    // schema evolution: a segment from an older generation has NULL fields
+    // for streams added later — drop those entries instead of materializing
+    // null-field ColChunks (decoders treat an absent stream as all-null)
+    val presentCols = filter(colsArr, x => x.getField("codecId").isNotNull)
+    df.select(keep :+ presentCols.as("cols"): _*)
   }
 
   // ---- pushed filters -> parquet FilterPredicate ----------------------

@@ -370,6 +370,45 @@ class GraftDataSourceSpec extends AnyFunSuite {
       Seq("doc_000000000200"))
   }
 
+  test("pushdown kill switches: identical results, pruning provably off " +
+    "(orc.pushdown_predicate analog, options.rs:34)") {
+    import spark.implicits._
+    val q = (d: DataFrame) => d.filter($"doc_id" === "doc_000000000200")
+    val expected = q(spark.read.format("graft").load(bare)).collect().toSeq
+    // per-read option: pushdown off -> no pushed filters, nothing pruned
+    val off = q(spark.read.format("graft").option("pushdown", "false").load(bare))
+    val planOff = off.queryExecution.executedPlan.toString
+    assert(planOff.contains("PushedFilters: []"), s"pushdown still on:\n$planOff")
+    val (rowsOff, mOff) = runWithScanMetrics(off)
+    assert(rowsOff === expected, "results must be identical with pushdown off")
+    assert(mOff.getOrElse("graft segments pruned (filter stats)", -1L) === 0L &&
+      mOff.getOrElse("graft segments pruned (bloom)", -1L) === 0L &&
+      mOff.getOrElse("graft files pruned (planning)", -1L) === 0L,
+      s"pushdown off must prune nothing: $mOff")
+    // bloom off (stats stay on): same results, zero bloom prunes, and the
+    // hash layout means stats alone can't prune this mid-range point
+    val noBloom = q(spark.read.format("graft").option("bloom", "false").load(bare))
+    val (rowsNb, mNb) = runWithScanMetrics(noBloom)
+    assert(rowsNb === expected)
+    assert(mNb.getOrElse("graft segments pruned (bloom)", -1L) === 0L,
+      s"bloom off must not bloom-prune: $mNb")
+    // session-conf defaults drive the same switches
+    spark.conf.set(GraftScan.PushdownConf, "false")
+    try {
+      val conf = q(spark.read.format("graft").load(bare))
+      assert(conf.queryExecution.executedPlan.toString.contains("PushedFilters: []"))
+      assert(conf.collect().toSeq === expected)
+    } finally spark.conf.unset(GraftScan.PushdownConf)
+    // limitPlanning off: LIMIT still correct, but every file stays planned
+    val lim = spark.read.format("graft").option("limitPlanning", "false")
+      .load(bare).limit(5)
+    val (rowsLim, mLim) = runWithScanMetrics(lim)
+    assert(rowsLim.length === 5)
+    val allFiles = new java.io.File(bare).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(mLim.getOrElse("graft files planned", -1L) === allFiles.toLong,
+      s"limitPlanning off must plan all $allFiles files: $mLim")
+  }
+
   test("doc_id point lookup prunes via the chunk bloom where min/max cannot (hash layout)") {
     import spark.implicits._
     // `bare` is hash-bucketed: each chunk holds a random ~quarter of the

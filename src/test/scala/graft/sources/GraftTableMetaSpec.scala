@@ -107,6 +107,62 @@ class GraftTableMetaSpec extends AnyFunSuite {
     a.unpersist(); b.unpersist()
   }
 
+  test("schema evolution: add-column with null default across generations " +
+    "(file_format.rs:146-161 try_merge, inside one table)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = tmp()
+    // generation 1: canonical + one metadata column
+    val gen1 = tokenDf(60).withColumn("views", $"n_tok".cast("long") * 2L)
+    gen1.write.format("graft").option("buckets", "2").mode(SaveMode.Append).save(dir)
+    // appending a WIDER schema without evolving fails by name
+    val gen2df = tokenDf(40, seed = 9L)
+      .withColumn("views", $"n_tok".cast("long") * 2L)
+      .withColumn("lang", concat(lit("l"), ($"n_tok" % 3).cast("string")))
+    val e = intercept[Exception] {
+      gen2df.write.format("graft").option("buckets", "2").mode(SaveMode.Append).save(dir)
+    }
+    assert(e.getMessage.contains("schema") || e.getCause != null)
+    // evolve: add `lang` (string, null default) — then the append succeeds
+    val v = GraftTableMeta.evolve(dir, hconf, gen2df.schema)
+    assert(v === 1)
+    // idempotent re-evolve; non-extension refused
+    assert(GraftTableMeta.evolve(dir, hconf, gen2df.schema) === 1)
+    intercept[IllegalArgumentException] {
+      GraftTableMeta.evolve(dir, hconf,
+        StructType(tokenDf(1).schema.fields :+ StructField("other", LongType)))
+    }
+    gen2df.write.format("graft").option("buckets", "2").mode(SaveMode.Append).save(dir)
+    // old-schema writers now fail by name
+    intercept[Exception] {
+      gen1.write.format("graft").option("buckets", "2").mode(SaveMode.Append).save(dir)
+    }
+    // read: both generations, gen-1 rows read lang as NULL
+    val table = spark.read.format("graft").load(dir)
+    assert(table.schema.fieldNames.toSeq ===
+      Seq("doc_id", "tokens", "n_tok", "source", "views", "lang"))
+    assert(table.count() === 100L)
+    assert(table.filter($"lang".isNull).count() === 60L)
+    assert(table.filter($"lang".isNotNull).count() === 40L)
+    // filters and aggregates over the evolved column stay exact
+    val expected = gen2df.select($"doc_id", $"lang").collect().toSet
+    assert(table.filter($"lang".isNotNull).select($"doc_id", $"lang")
+      .collect().toSet === expected)
+    assert(table.agg(count($"lang")).collect()(0).getLong(0) === 40L)
+    // compaction normalizes generations (explicit nulls) and keeps values
+    // (multiset compare: the two generations share doc_id ranges)
+    val before = table.collect().toSeq
+    assert(SegmentStore.compact(spark, dir, upTo = Long.MaxValue, buckets = 2).isDefined)
+    val after = spark.read.format("graft").load(dir)
+    assert(after.count() === 100L)
+    assert(after.exceptAll(spark.createDataFrame(
+      spark.sparkContext.parallelize(before, 2), table.schema)).count() === 0L &&
+      spark.createDataFrame(spark.sparkContext.parallelize(before, 2), table.schema)
+        .exceptAll(after).count() === 0L,
+      "rows drift through post-evolution compaction")
+  }
+
   test("ledger walk is memoized: unchanged table re-reads zero ledger files") {
     val dir = tmp()
     tokenDf(100).write.format("graft").option("buckets", "2")
