@@ -27,6 +27,88 @@ final case class LineageRow(
     codecs: String, // "col:codec=nChunks,..." sorted — the per-chunk choice ledger
     status: String)
 
+/** Per-bucket lineage aggregate folded INSIDE the snapshot's write tasks
+  * (round-5 item 4: the separate lineage read-back job was the dominant
+  * fixed cost of a streaming micro-batch — each writer task already knows
+  * every stat the ledger records). Accumulator updates in a result stage
+  * are applied exactly once per successful task, and the commit append
+  * only runs after the write job succeeds, so the folded stats equal what
+  * the old read-back recomputed from the written files. State is
+  * metadata-scale: one entry per bucket plus its codec counts. */
+final class LineageStatsAccumulator
+    extends org.apache.spark.util.AccumulatorV2[
+      graft.engine.Segment, Map[Int, LineageStatsAccumulator.BucketStat]] {
+  import LineageStatsAccumulator.BucketStat
+  private val m = scala.collection.mutable.HashMap.empty[Int, BucketStat]
+  override def isZero: Boolean = m.isEmpty
+  override def copy(): LineageStatsAccumulator = {
+    val c = new LineageStatsAccumulator
+    m.foreach { case (b, s) => c.m.put(b, s.copyOf()) }
+    c
+  }
+  override def reset(): Unit = m.clear()
+  override def add(seg: graft.engine.Segment): Unit = {
+    val s = m.getOrElseUpdate(seg.bucket, BucketStat.empty())
+    s.nSegments += 1
+    s.nRows += seg.nRows.toLong
+    s.nTokens += seg.nTokens
+    s.bytesIn += seg.bytesIn
+    s.bytesOut += seg.bytesOut
+    if (s.firstChunk == null || seg.segmentId < s.firstChunk) s.firstChunk = seg.segmentId
+    if (s.lastChunk == null || seg.segmentId > s.lastChunk) s.lastChunk = seg.segmentId
+    seg.cols.foreach { c =>
+      val k = s"${c.col}:${c.codecName}"
+      s.codecCounts.update(k, s.codecCounts.getOrElse(k, 0L) + 1L)
+    }
+  }
+  override def merge(other: org.apache.spark.util.AccumulatorV2[
+    graft.engine.Segment, Map[Int, BucketStat]]): Unit = other match {
+    case o: LineageStatsAccumulator => o.m.foreach { case (b, s2) =>
+      m.get(b) match {
+        case None => m.put(b, s2.copyOf())
+        case Some(s) =>
+          s.nSegments += s2.nSegments; s.nRows += s2.nRows; s.nTokens += s2.nTokens
+          s.bytesIn += s2.bytesIn; s.bytesOut += s2.bytesOut
+          if (s.firstChunk == null ||
+            (s2.firstChunk != null && s2.firstChunk < s.firstChunk)) s.firstChunk = s2.firstChunk
+          if (s.lastChunk == null ||
+            (s2.lastChunk != null && s2.lastChunk > s.lastChunk)) s.lastChunk = s2.lastChunk
+          s2.codecCounts.foreach { case (k, n) =>
+            s.codecCounts.update(k, s.codecCounts.getOrElse(k, 0L) + n) }
+      }
+    }
+    case _ => throw new UnsupportedOperationException(s"cannot merge $other")
+  }
+  override def value: Map[Int, BucketStat] = m.toMap
+}
+
+object LineageStatsAccumulator {
+  final class BucketStat extends Serializable {
+    var nSegments: Long = 0L
+    var nRows: Long = 0L
+    var nTokens: Long = 0L
+    var bytesIn: Long = 0L
+    var bytesOut: Long = 0L
+    var firstChunk: String = null
+    var lastChunk: String = null
+    val codecCounts: scala.collection.mutable.Map[String, Long] =
+      scala.collection.mutable.Map.empty
+    def copyOf(): BucketStat = {
+      val c = new BucketStat
+      c.nSegments = nSegments; c.nRows = nRows; c.nTokens = nTokens
+      c.bytesIn = bytesIn; c.bytesOut = bytesOut
+      c.firstChunk = firstChunk; c.lastChunk = lastChunk
+      codecCounts.foreach { case (k, n) => c.codecCounts.put(k, n) }
+      c
+    }
+    /** "col:codec=n,..." sorted — the ledger convention
+      * ([[graft.sources.GraftSegmentWriter]] writes the same form). */
+    def codecs: String =
+      codecCounts.toSeq.sorted.map { case (k, n) => s"$k=$n" }.mkString(",")
+  }
+  object BucketStat { def empty(): BucketStat = new BucketStat }
+}
+
 /** Iceberg-shaped segment table over Parquet (no Iceberg runtime jar ships
   * in this sandbox — SURVEY §7.6; the layout keeps the same contract:
   * snapshot id, per-partition commits, an append-only lineage ledger, and
@@ -230,7 +312,15 @@ object SegmentStore {
                              streams: Seq[String],
                              pendingSet: Set[Int],
                              extraLedger: Seq[LineageRow]): Unit = {
-    graft.sources.SegmentLayoutV2.flattenSegments(segments, streams)
+    // Lineage stats fold INSIDE the write tasks (round-5 item 4): the
+    // previous read-back of the new snapshot was a second Spark job per
+    // commit and dominated the streaming sink's per-epoch fixed cost. A
+    // commit is now exactly ONE job + one driver-side ledger append.
+    val acc = new LineageStatsAccumulator
+    spark.sparkContext.register(acc, s"graft lineage snapshot=$snapshotId")
+    implicit val segEnc = org.apache.spark.sql.Encoders.product[Segment]
+    val tracked = segments.mapPartitions(it => it.map { s => acc.add(s); s })
+    graft.sources.SegmentLayoutV2.flattenSegments(tracked, streams)
       .withColumn("snapshotId", lit(snapshotId))
       .write
       .option("partitionOverwriteMode", "dynamic")
@@ -238,11 +328,10 @@ object SegmentStore {
       .mode(SaveMode.Overwrite)
       .parquet(dataDir(tableDir))
 
-    // Lineage from what was actually written (read-back of the NEW
-    // snapshot's partitions only, payload columns pruned — one Spark job,
-    // collected to the driver at metadata scale: one row per bucket).
-    val dataRows = lineageFromData(spark, tableDir, snapshotId, pendingSet, streams)
-      .collect().toSeq
+    val dataRows = acc.value.toSeq.sortBy(_._1).map { case (b, st) =>
+      LineageRow(snapshotId, b, st.nSegments, st.nRows, st.nTokens,
+        st.bytesIn, st.bytesOut, st.firstChunk, st.lastChunk, st.codecs, Committed)
+    }
     // A pending bucket with ZERO rows writes no files and yields no
     // data-derived ledger row — it must still commit (status=committed,
     // all-zero stats), or every later run re-lists it as pending and the
@@ -396,46 +485,6 @@ object SegmentStore {
           Int.MaxValue, markers)
     }
     Some(compactionId)
-  }
-
-  private def lineageFromData(spark: SparkSession, tableDir: String,
-                              snapshotId: Long, only: Set[Int],
-                              streams: Seq[String]): Dataset[LineageRow] = {
-    import spark.implicits._
-    // This snapshot was JUST written by this build => v2 layout. The read
-    // is rooted at THE NEW SNAPSHOT'S directory (basePath restores the
-    // partition columns): listing the whole table here would make every
-    // micro-batch's commit cost grow with table history. A run whose
-    // pending buckets were ALL empty writes no directory at all — empty
-    // lineage, the empty-bucket rows cover it. Stats-only unflatten: the
-    // payload parquet columns are never read for lineage aggregation.
-    val snapDir = s"${dataDir(tableDir)}/snapshotId=$snapshotId"
-    if (!hExists(spark, snapDir))
-      return spark.emptyDataset[LineageRow]
-    val segs = graft.sources.SegmentLayoutV2.unflatten(
-      spark.read.schema(segmentTableSchemaV2(streams))
-        .option("basePath", dataDir(tableDir)).parquet(snapDir)
-        .filter($"snapshotId" === snapshotId && $"bucket".isin(only.toSeq.map(Int.box): _*)),
-      withPayload = false)
-    val codecAgg = segs
-      .select($"bucket", explode($"cols").as("c"))
-      .groupBy($"bucket", concat($"c.col", lit(":"), $"c.codecName").as("cc"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy($"bucket")
-      .agg(concat_ws(",", array_sort(collect_list(concat($"cc", lit("="), $"n")))).as("codecs"))
-    segs.groupBy($"bucket")
-      .agg(
-        count(lit(1)).as("nSegments"),
-        sum($"nRows").cast("long").as("nRows"),
-        sum($"nTokens").as("nTokens"),
-        sum($"bytesIn").as("bytesIn"),
-        sum($"bytesOut").as("bytesOut"),
-        min($"segmentId").as("firstChunk"),
-        max($"segmentId").as("lastChunk"))
-      .join(codecAgg, Seq("bucket"))
-      .withColumn("snapshotId", lit(snapshotId))
-      .withColumn("status", lit(Committed))
-      .as[LineageRow]
   }
 
   /** Delete the data files of superseded (snapshot, bucket) partitions —
