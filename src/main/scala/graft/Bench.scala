@@ -101,6 +101,24 @@ object Bench {
       case (Some(j1), None) => rekey(j1, forkReps)
       case _ => """{"error":"forked ScalingBench produced no result"}"""
     }
+    // Multi-JVM scaling sample as a TRACKED per-round gate (round-5 item
+    // 9): the same encode at 2 vs 8 REAL executor JVMs (local-cluster —
+    // own heaps, own GC, netty shuffle), one fork, modest reps. Executor-
+    // JVM overheads are thereby watched every round beside the single-JVM
+    // pair, not just noted in BASELINE.md. SPARK_GRAFT_CLUSTER_BLOCK=off
+    // skips it (iterate mode).
+    val clusterJson =
+      if (only.isDefined || sys.env.get("SPARK_GRAFT_CLUSTER_BLOCK").contains("off")) None
+      else EncodeBench.forkScalingJson(
+        nDocs, levels = "2,8", reps = 1, mode = "cluster")
+    val clusterBlock = clusterJson.map { j =>
+      def scalar(key: String): Option[String] =
+        s""""$key":(-?[\\d.eE+-]+)""".r.findFirstMatchIn(j).map(_.group(1))
+      val keys = Seq("scaling_efficiency", "decode_scaling_efficiency",
+        "cpu_work_ratio", "n_docs")
+        .flatMap(k => scalar(k).map(v => s""""$k":$v"""))
+      (keys :+ """"mode":"local-cluster[2|8,4]"""").mkString("{", ",", "}")
+    }.getOrElse("""{"skipped":true}""")
     val calibAfter = calibMs()
 
     println(
@@ -108,7 +126,7 @@ object Bench {
         f""""queries_graft":$gq,"queries_graft_rows":$gRows,""" +
         f""""graft_suite_total":$gTotal%.3f,"graft_suite_setup_sec":$suiteSetup%.3f,""" +
         f""""calib_kernel_ms":$calibBefore%.1f,"calib_kernel_ms_after":$calibAfter%.1f,""" +
-        f""""encode":$encodeJson,"sf":"$sfDir"}""")
+        f""""encode":$encodeJson,"cluster":$clusterBlock,"sf":"$sfDir"}""")
   }
 
   /** Reshape ScalingBench's JSON line into the per-round encode block

@@ -189,7 +189,8 @@ object EncodeBench {
     * efficiency). A clean child process is the same methodology as the
     * dedicated ScalingBench runs recorded in BASELINE.md, so the driver
     * JSON and BASELINE.md now come from ONE measurement path. */
-  def forkScalingJson(nDocs: Long, levels: String, reps: Int): Option[String] = {
+  def forkScalingJson(nDocs: Long, levels: String, reps: Int,
+                      mode: String = "local"): Option[String] = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
@@ -216,6 +217,7 @@ object EncodeBench {
     pb.environment().put("SPARK_GRAFT_BENCH_DOCS", nDocs.toString)
     pb.environment().put("SPARK_GRAFT_EXECUTORS", levels)
     pb.environment().put("SPARK_GRAFT_REPS", reps.toString)
+    pb.environment().put("SPARK_GRAFT_MODE", mode)
     // stderr goes straight to a file: reading stdout to EOF while stderr
     // sits in an undrained pipe deadlocks the child as soon as its Spark
     // logging exceeds the ~64 KiB pipe buffer (child blocks in a stderr

@@ -434,7 +434,7 @@ object SegmentStore {
           "a metadata table requires a decode through the connector")
     }
     val metaInput: Option[Dataset[Segment]] = metaSchema.map { schema =>
-      val specs = metaFields.map(graft.sources.MetaColumns.specFor)
+      val specs = metaFields.flatMap(graft.sources.MetaColumns.specsFor)
       implicit val segEnc = org.apache.spark.sql.Encoders.product[Segment]
       readSegmentsOf(spark, tableDir, visible)
         .repartition(buckets, $"bucket")
@@ -517,6 +517,9 @@ object SegmentStore {
         removed += 1
       }
     }
+    // expire deletes files WITHOUT a ledger append — drop the cached
+    // data-file listings so same-JVM readers re-list
+    graft.sources.GraftLayout.invalidateDataFiles(tableDir)
     removed
   }
 

@@ -691,6 +691,65 @@ object Encode {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** MAP metadata columns end-to-end (the map_list fixture's
+    * `m: Map(Utf8,Utf8)`, tests/basic_reading.rs:233): a string->string
+    * map with NULL maps and NULL values (value PRESENT framing) plus a
+    * string->long map, written through the connector as two LENGTH-framed
+    * pseudo-lists per map ([[graft.sources.MetaColumns.engineFields]]),
+    * read back zipped into MapData. Bit-exact audit via sorted
+    * map_entries (Spark maps aren't directly comparable); every reported
+    * aggregate derives from n_tok so DuckDB replays it map-free. */
+  def dsv2MetaMap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-map-q").toString
+    try {
+      val input = TokenTables.fromDocuments(spark, dir)
+        .toDF("doc_id", "tokens", "n_tok", "source")
+        // NULL map every 4th row; 'tier' value NULL every 5th row
+        .withColumn("attrs", when($"n_tok" % 4 =!= 0,
+          map(lit("lang"), concat(lit("l"), ($"n_tok" % 3).cast("string")),
+            lit("tier"), when($"n_tok" % 5 =!= 0,
+              concat(lit("t"), ($"n_tok" % 2).cast("string"))))))
+        .withColumn("scores", when($"n_tok" % 7 =!= 0,
+          map(lit("views"), $"n_tok".cast("long") * 3L,
+            lit("mod"), ($"n_tok" % 13).cast("long"))))
+      input.write.format("graft").option("buckets", "8")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(base)
+      val table = spark.read.format("graft").load(base)
+      // valueContainsNull follows the input's value nullability — pin the
+      // key/value types only
+      require(((table.schema("attrs").dataType, table.schema("scores").dataType) match {
+        case (MapType(StringType, StringType, _), MapType(StringType, LongType, _)) => true
+        case _ => false
+      }), s"recorded map schema mismatch: ${table.schema.simpleString}")
+      // null-safe bit-exact audit: maps compared as sorted entry arrays
+      val dec = table.toDF("doc_id", "tokens_d", "n_tok_d", "source_d",
+        "attrs_d", "scores_d")
+      def entries(c: org.apache.spark.sql.Column) = sort_array(map_entries(c))
+      val nMismatch = input.join(dec, Seq("doc_id"), "full_outer")
+        .filter(!(entries($"attrs") <=> entries($"attrs_d") &&
+          entries($"scores") <=> entries($"scores_d")))
+        .count()
+      val row = table.agg(
+        count(lit(1)).as("n_docs"),
+        count($"attrs").as("n_attrs"),
+        sum(when(element_at($"attrs", "lang") === "l1", 1L).otherwise(0L)).as("n_lang1"),
+        sum(when($"attrs".isNotNull && element_at($"attrs", "tier").isNull, 1L)
+          .otherwise(0L)).as("n_tier_null"),
+        sum(element_at($"scores", "views")).as("sum_views"),
+        sum(element_at($"scores", "mod")).as("sum_mod"),
+        sum(size(map_keys($"attrs")).cast("long")).as("sum_keys"))
+        .withColumn("n_mismatch", lit(nMismatch))
+        .collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(row, 1),
+        StructType(Seq("n_docs", "n_attrs", "n_lang1", "n_tier_null",
+          "sum_views", "sum_mod", "sum_keys", "n_mismatch")
+          .map(n => StructField(n, LongType))))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
   /** SCHEMA EVOLUTION end-to-end (round-5 item 3; the reference's
     * Schema::try_merge across files, file_format.rs:146-161, rendered as
     * add-column-with-null-default INSIDE one table): generation 1 lands
@@ -1105,6 +1164,22 @@ object Encode {
         |  CAST(SUM(CASE WHEN list_contains(tags, 7) THEN 1 ELSE 0 END) AS BIGINT) AS n_has7,
         |  CAST(0 AS BIGINT) AS n_mismatch
         |FROM meta""".stripMargin,
+    "encode_dsv2_meta_map" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> x <> '')) AS n_tok
+        |  FROM documents
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_tok % 4 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_attrs,
+        |  CAST(SUM(CASE WHEN n_tok % 4 <> 0 AND n_tok % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang1,
+        |  CAST(SUM(CASE WHEN n_tok % 4 <> 0 AND n_tok % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tier_null,
+        |  CAST(SUM(CASE WHEN n_tok % 7 <> 0 THEN CAST(n_tok AS BIGINT) * 3 END) AS BIGINT) AS sum_views,
+        |  CAST(SUM(CASE WHEN n_tok % 7 <> 0 THEN n_tok % 13 END) AS BIGINT) AS sum_mod,
+        |  CAST(SUM(CASE WHEN n_tok % 4 <> 0 THEN 2 END) AS BIGINT) AS sum_keys,
+        |  CAST(0 AS BIGINT) AS n_mismatch
+        |FROM tok""".stripMargin,
     "encode_compaction_meta" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1170,6 +1245,7 @@ object Encode {
     "encode_dsv2_meta" -> (dsv2Meta _),
     "encode_dsv2_meta_alltypes" -> (dsv2MetaAllTypes _),
     "encode_dsv2_meta_list" -> (dsv2MetaList _),
+    "encode_dsv2_meta_map" -> (dsv2MetaMap _),
     "encode_dsv2_schema_evolution" -> (dsv2SchemaEvolution _),
     "encode_compaction_meta" -> (compactionMeta _),
     "encode_dsv2_streaming_write" -> (dsv2StreamingWrite _),

@@ -451,7 +451,91 @@ object Relational {
     }
   }
 
+  // --- round-5 star-schema breadth (the reference's TPC-DS plan shapes
+  // graft had not shown: q27 fact⋈4-dims ROLLUP, q47/q57 window-over-join
+  // running average, q10/q35 correlated EXISTS/NOT EXISTS, q2 UNION of
+  // CTEs). Run in BOTH suites: parquet leaves and graft-storage leaves. ---
+
+  /** q27 shape: the fact joined through FOUR dimension hops (orders ->
+    * supplier -> nation -> region) with ROLLUP over the two outermost
+    * dims. Every dimension is broadcast (the star-schema plan a 24-table
+    * corpus lives on: one shuffle for the fact aggregate, zero for the
+    * dim joins). */
+  def starRollup(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val s = t(spark, dir, "supplier")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    l.join(broadcast(o.filter(col("o_orderstatus") =!= "F")
+        .select(col("o_orderkey"))), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+  }
+
+  /** q47/q57 shape: a running per-category average computed by a window
+    * OVER a fact⋈dim join. Decimal window sum (exact, order-independent)
+    * divided by the running count — one cast to double; full tiebreak
+    * ordering keeps the frame deterministic. */
+  def windowOverJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem").filter(col("l_quantity") >= 48.0)
+    val p = t(spark, dir, "part").filter(col("p_size") === 5)
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_orderkey"), col("l_linenumber"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("running_avg_qty"))
+  }
+
+  /** q10/q35 shape: correlated EXISTS + NOT EXISTS semi/anti subqueries
+    * (planned as semi/anti joins; expressed as SQL so the plan carries
+    * the literal correlated-subquery form). */
+  def existsCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("ec_customer")
+    t(spark, dir, "orders").createOrReplaceTempView("ec_orders")
+    spark.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM ec_customer c
+        |WHERE EXISTS (SELECT 1 FROM ec_orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)
+        |  AND NOT EXISTS (SELECT 1 FROM ec_orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
+  /** q2 shape: UNION ALL of two differently-filtered CTE aggregates over
+    * one fact, tagged and re-sorted. */
+  def unionCtes(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("uc_orders")
+    spark.sql(
+      """WITH hi AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM uc_orders WHERE o_totalprice > 250000.0 GROUP BY o_orderpriority
+        |),
+        |lo AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM uc_orders WHERE o_totalprice < 10000.0 GROUP BY o_orderpriority
+        |)
+        |SELECT 'hi' AS band, o_orderpriority, n, total FROM hi
+        |UNION ALL
+        |SELECT 'lo' AS band, o_orderpriority, n, total FROM lo""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_star_rollup" -> (starRollup _),
+    "q_window_over_join" -> (windowOverJoin _),
+    "q_exists_correlated" -> (existsCorrelated _),
+    "q_union_ctes" -> (unionCtes _),
     "q_orc_scan" -> (orcScan _),
     "q_stddev" -> (stddev0 _),
     "q_cube" -> (cube0 _),
@@ -496,6 +580,50 @@ object Relational {
     "q_cte_join_agg" -> (cteJoinAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q_star_rollup" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus <> 'F') o
+        |  ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q_window_over_join" ->
+      """SELECT p_brand, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / (COUNT(*) OVER w) AS running_avg_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity >= 48.0 AND p_size = 5
+        |WINDOW w AS (PARTITION BY p_brand
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_exists_correlated" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_union_ctes" ->
+      """WITH hi AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_totalprice > 250000.0 GROUP BY o_orderpriority
+        |),
+        |lo AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_totalprice < 10000.0 GROUP BY o_orderpriority
+        |)
+        |SELECT 'hi' AS band, o_orderpriority, n, total FROM hi
+        |UNION ALL
+        |SELECT 'lo' AS band, o_orderpriority, n, total FROM lo""".stripMargin,
     "q_orc_scan" ->
       """SELECT source, lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars

@@ -413,7 +413,74 @@ object Similarity {
        |  FROM ipairs
        |)""".stripMargin
 
+  /** Lloyd's algorithm UNROLLED in SQL (round-5 item 7 — converting the
+    * last meaningful rows-only entry to a full hash check): KmeansIters
+    * fixed iterations over the deterministic sample, each one
+    * assignment-CTE (ROW_NUMBER argmax, ties to lowest centroid — the
+    * exact Scala tie rule) + one mean-CTE. Floating-point parity with the
+    * Scala trainer is BY CONSTRUCTION: per-cluster sums left-fold the
+    * member embeddings in ascending vec_id order (`list(emb ORDER BY
+    * vec_id)` + list_reduce), matching the Scala accumulation order
+    * element-for-element, and empty clusters COALESCE to the previous
+    * centroid. Verified bit-identical (pre-ROUND doubles) at sf0.01. */
+  private def kmeansCtes: String = {
+    val init =
+      s"""sample AS (SELECT vec_id, emb, norm FROM n WHERE vec_id < $KmeansSample),
+         |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, emb AS c
+         |  FROM (SELECT vec_id, emb FROM sample ORDER BY vec_id LIMIT $NCentroids))""".stripMargin
+    val iters = (1 to KmeansIters).map { k =>
+      s"""sc$k AS (
+         |  SELECT s.vec_id, s.emb, c.j,
+         |    ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+         |      list_sum(list_transform(s.emb, (x, i) -> x * c.c[i]))
+         |        / (s.norm * sqrt(list_sum(list_transform(c.c, x -> x * x)))) DESC,
+         |      c.j ASC) AS crk
+         |  FROM sample s, c${k - 1} c
+         |),
+         |m$k AS (
+         |  SELECT j,
+         |    list_reduce(list(emb ORDER BY vec_id), (a, b) -> list_transform(a, (x, i) -> x + b[i])) AS s,
+         |    COUNT(*) AS cnt
+         |  FROM sc$k WHERE crk = 1 GROUP BY j
+         |),
+         |c$k AS (
+         |  SELECT p.j, COALESCE(list_transform(m.s, x -> x / m.cnt), p.c) AS c
+         |  FROM c${k - 1} p LEFT JOIN m$k m ON m.j = p.j
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $normCte,
+       |$init,
+       |$iters,
+       |cent AS (SELECT j AS c_id, c AS c_emb,
+       |  sqrt(list_sum(list_transform(c, x -> x * x))) AS c_norm FROM c$KmeansIters),
+       |scored AS (
+       |  SELECT n.vec_id, n.emb, n.norm, cent.c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |      list_sum(list_transform(n.emb, (x, i) -> x * c_emb[i])) / (n.norm * c_norm) DESC,
+       |      cent.c_id ASC) AS crk
+       |  FROM n, cent
+       |),
+       |lists AS (SELECT vec_id, emb, norm, c_id FROM scored WHERE crk = 1),
+       |qprobe AS (SELECT vec_id AS q_id, c_id FROM scored WHERE vec_id < $NProbes AND crk <= $NProbeLists),
+       |qv AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm FROM n WHERE vec_id < $NProbes),
+       |ipairs AS (
+       |  SELECT qv.q_id, lists.vec_id,
+       |    list_sum(list_transform(lists.emb, (x, i) -> x * q_emb[i])) / (lists.norm * q_norm) AS cosine_raw
+       |  FROM qprobe JOIN lists ON lists.c_id = qprobe.c_id
+       |  JOIN qv ON qv.q_id = qprobe.q_id
+       |  WHERE lists.vec_id <> qv.q_id
+       |),
+       |kranked AS (
+       |  SELECT q_id, vec_id, cosine_raw,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id ASC) AS INTEGER) AS rnk
+       |  FROM ipairs
+       |)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Multimodal.oracles ++ Map(
+    "ann_ivf_kmeans_topk" ->
+      s"""$kmeansCtes
+         |SELECT q_id, vec_id, ROUND(cosine_raw, 6) AS cosine, rnk FROM kranked WHERE rnk <= $TopK""".stripMargin,
     "ann_ivf_topk" ->
       s"""$ivfCtes
          |SELECT q_id, vec_id, ROUND(cosine_raw, 6) AS cosine, rnk FROM iranked WHERE rnk <= $TopK""".stripMargin,

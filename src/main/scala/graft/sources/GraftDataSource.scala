@@ -13,7 +13,7 @@ import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.schema.{GroupType, MessageType, Type}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
@@ -1101,6 +1101,11 @@ private[sources] final class ExtraListDecoded(
     val lens: Array[Long], val listPresent: Array[Boolean],
     val offsets: Array[Int], val elems: DecodedExtra) extends DecodedExtra
 
+/** A decoded MAP metadata column = its two pseudo-lists (`c__k`, `c__v`)
+  * zipped back per row; the keys list's PRESENT mask carries map nulls. */
+private[sources] final class ExtraMapDecoded(
+    val keys: ExtraListDecoded, val values: ExtraListDecoded) extends DecodedExtra
+
 /** One decoded segment's projected column arrays (null = not projected).
   * Int streams decode straight into Array[Int] (no widen-then-narrow —
   * the round-3 hot-loop fix); `flat` is directly `putInts`-able.
@@ -1397,33 +1402,17 @@ private[sources] final class SegmentScanCore(
     // inside; stored-domain values (the Spark rendering is the readers')
     val extras: Array[DecodedExtra] =
       if (metaFields.isEmpty) null
-      else metaFields.map { f =>
-        // SCHEMA EVOLUTION: a file written before a column was added has
-        // no stream for it — the column reads as all-null there
-        // ([[GraftTableMeta.evolve]]'s add-column-with-null-default
-        // contract). Same soundness stance as the absent-stream guard in
-        // the chunk readers.
-        if (!byCol.contains(f.name)) {
-          val noneAtAll = new Array[Boolean](nRows)
-          f.dataType match {
-            case ArrayType(_, _) =>
-              new ExtraListDecoded(new Array[Long](nRows), noneAtAll,
-                new Array[Int](nRows), null): DecodedExtra
-            case StringType | BinaryType =>
-              new ExtraStringsDecoded(
-                new graft.codec.Utf8Chunk(Array.emptyByteArray, Array.empty, Array.empty),
-                noneAtAll, new Array[Int](nRows))
-            case _ => new ExtraLongsDecoded(new Array[Long](nRows), noneAtAll)
-          }
-        } else {
-        val payload = byCol(f.name).payload
-        f.dataType match {
-          // LIST columns: lengths from the __len stream + flattened
-          // elements; per-row offsets are the prefix sums over non-null
-          // lists (the tokens/tok_len walk, generalized)
-          case ArrayType(et, _) =>
+      else {
+        // LIST decode of stream `name` + its __len stream; an ABSENT
+        // stream (schema evolution: the file predates the column) reads
+        // as all-null — same stance as the chunk readers' absent guard
+        def decodeList(name: String, et: org.apache.spark.sql.types.DataType): ExtraListDecoded =
+          if (!byCol.contains(name))
+            new ExtraListDecoded(new Array[Long](nRows), new Array[Boolean](nRows),
+              new Array[Int](nRows), null)
+          else {
             val (lens, lp) =
-              graft.codec.Nullable.decodeInts(byCol(MetaColumns.lenStream(f.name)).payload)
+              graft.codec.Nullable.decodeInts(byCol(MetaColumns.lenStream(name)).payload)
             val offsets = new Array[Int](lens.length)
             var off = 0
             var i = 0
@@ -1435,23 +1424,45 @@ private[sources] final class SegmentScanCore(
             val elems: DecodedExtra =
               if (et == StringType) {
                 val (chunk, present, toCompact) =
-                  graft.codec.Nullable.decodeStringsBytes(payload)
+                  graft.codec.Nullable.decodeStringsBytes(byCol(name).payload)
                 new ExtraStringsDecoded(chunk, present, toCompact)
               } else {
-                val (vs, pr) = graft.codec.Nullable.decodeInts(payload)
+                val (vs, pr) = graft.codec.Nullable.decodeInts(byCol(name).payload)
                 new ExtraLongsDecoded(vs, pr)
               }
-            new ExtraListDecoded(lens, lp, offsets, elems): DecodedExtra
-          // BinaryType shares the string payload shape: the Utf8Chunk view
-          // is blob+offsets, byte-exact for arbitrary bytes
-          case StringType | BinaryType =>
-            val (chunk, present, toCompact) =
-              graft.codec.Nullable.decodeStringsBytes(payload)
-            new ExtraStringsDecoded(chunk, present, toCompact)
-          case _ =>
-            val (vs, pr) = graft.codec.Nullable.decodeInts(payload)
-            new ExtraLongsDecoded(vs, pr): DecodedExtra
-        }
+            new ExtraListDecoded(lens, lp, offsets, elems)
+          }
+        metaFields.map { f =>
+          f.dataType match {
+            // MAP columns: the two pseudo-lists, zipped per row at emit
+            case MapType(kt, vt, _) =>
+              new ExtraMapDecoded(
+                decodeList(s"${f.name}__k", kt),
+                decodeList(s"${f.name}__v", vt)): DecodedExtra
+            // LIST columns: lengths from the __len stream + flattened
+            // elements; per-row offsets are the prefix sums over non-null
+            // lists (the tokens/tok_len walk, generalized)
+            case ArrayType(et, _) => decodeList(f.name, et)
+            case _ if !byCol.contains(f.name) =>
+              // scalar column absent (pre-evolution file): all-null
+              val noneAtAll = new Array[Boolean](nRows)
+              f.dataType match {
+                case StringType | BinaryType =>
+                  new ExtraStringsDecoded(
+                    new graft.codec.Utf8Chunk(Array.emptyByteArray, Array.empty, Array.empty),
+                    noneAtAll, new Array[Int](nRows))
+                case _ => new ExtraLongsDecoded(new Array[Long](nRows), noneAtAll)
+              }
+            // BinaryType shares the string payload shape: the Utf8Chunk
+            // view is blob+offsets, byte-exact for arbitrary bytes
+            case StringType | BinaryType =>
+              val (chunk, present, toCompact) =
+                graft.codec.Nullable.decodeStringsBytes(byCol(f.name).payload)
+              new ExtraStringsDecoded(chunk, present, toCompact)
+            case _ =>
+              val (vs, pr) = graft.codec.Nullable.decodeInts(byCol(f.name).payload)
+              new ExtraLongsDecoded(vs, pr): DecodedExtra
+          }
         }
       }
     mBytesDecoded += byCol.iterator.collect {
@@ -1549,6 +1560,55 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
                   var k = 0
                   while (k < n) { out(k) = elemOf(from + k); k += 1 }
                   row.update(f, new GenericArrayData(out))
+                }
+            // MAP metadata columns: the two pseudo-lists share per-row
+            // lengths; zip slices back into ArrayBasedMapData. Keys are
+            // non-null by Spark's map contract; the keys list's PRESENT
+            // mask carries map-level nulls (incl. the absent-stream
+            // schema-evolution read).
+            case e: ExtraMapDecoded =>
+              val (kt, vt) = field.dataType match {
+                case MapType(k, v, _) => (k, v)
+                case other => throw new IllegalStateException(
+                  s"unreachable: map decode for non-map field $other")
+              }
+              def elemFn(lst: ExtraListDecoded, et: DataType): Int => AnyRef =
+                (et, lst.elems) match {
+                  case (_, null) => _ => null // absent stream
+                  case (StringType, es: ExtraStringsDecoded) =>
+                    (k: Int) =>
+                      if (!es.present(k)) null
+                      else {
+                        val j = es.idx(k)
+                        UTF8String.fromBytes(es.chunk.blob, es.chunk.offsets(j), es.chunk.lens(j))
+                      }
+                  case (IntegerType, el: ExtraLongsDecoded) =>
+                    (k: Int) => if (!el.present(k)) null
+                      else java.lang.Integer.valueOf(el.values(k).toInt)
+                  case (LongType, el: ExtraLongsDecoded) =>
+                    (k: Int) => if (!el.present(k)) null
+                      else java.lang.Long.valueOf(el.values(k))
+                  case other => throw new IllegalStateException(
+                    s"unreachable: map element shape $other")
+                }
+              val keyOf = elemFn(e.keys, kt)
+              val valOf = elemFn(e.values, vt)
+              (row: GenericInternalRow, f: Int, i: Int) =>
+                if (!e.keys.listPresent(i)) row.setNullAt(f)
+                else {
+                  val n = e.keys.lens(i).toInt
+                  val kFrom = e.keys.offsets(i)
+                  val vFrom = e.values.offsets(i)
+                  val ks = new Array[Any](n)
+                  val vs = new Array[Any](n)
+                  var k = 0
+                  while (k < n) {
+                    ks(k) = keyOf(kFrom + k)
+                    vs(k) = valOf(vFrom + k)
+                    k += 1
+                  }
+                  row.update(f, new ArrayBasedMapData(
+                    new GenericArrayData(ks), new GenericArrayData(vs)))
                 }
             // metadata columns ([[MetaColumns]]): stored 64-bit domain ->
             // external type; absent PRESENT bit / null string = SQL null
@@ -1754,6 +1814,68 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
                 val from = e.offsets(s)
                 var k = 0
                 while (k < len) { elemPut(off + k, from + k); k += 1 }
+                v.putArray(i, off, len)
+                off += len
+              }
+              i += 1
+            }
+          // MAP metadata columns: keys child(0) + values child(1) share
+          // the row's offset/length (putArray drives getMap), so both
+          // pseudo-lists' windows are written at the SAME child positions
+          case e: ExtraMapDecoded =>
+            val (kt, vt) = field.dataType match {
+              case MapType(k, v, _) => (k, v)
+              case other => throw new IllegalStateException(
+                s"unreachable: map decode for non-map field $other")
+            }
+            var total = 0
+            var i = 0
+            while (i < n) {
+              val s = start + i
+              if (e.keys.listPresent(s)) total += e.keys.lens(s).toInt
+              i += 1
+            }
+            val kChild = v.getChild(0)
+            val vChild = v.getChild(1)
+            kChild.reserve(total)
+            vChild.reserve(total)
+            def elemPutFn(child: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+                          lst: ExtraListDecoded, et: DataType): (Int, Int) => Unit =
+              (et, lst.elems) match {
+                case (_, null) => (_, _) => () // absent stream
+                case (StringType, es: ExtraStringsDecoded) =>
+                  (ci, k) =>
+                    if (!es.present(k)) child.putNull(ci)
+                    else {
+                      val j = es.idx(k)
+                      child.putByteArray(ci, es.chunk.blob, es.chunk.offsets(j), es.chunk.lens(j))
+                    }
+                case (IntegerType, el: ExtraLongsDecoded) =>
+                  (ci, k) =>
+                    if (!el.present(k)) child.putNull(ci) else child.putInt(ci, el.values(k).toInt)
+                case (LongType, el: ExtraLongsDecoded) =>
+                  (ci, k) =>
+                    if (!el.present(k)) child.putNull(ci) else child.putLong(ci, el.values(k))
+                case other => throw new IllegalStateException(
+                  s"unreachable: map element shape $other")
+              }
+            val keyPut = elemPutFn(kChild, e.keys, kt)
+            val valPut = elemPutFn(vChild, e.values, vt)
+            var off = 0
+            i = 0
+            while (i < n) {
+              val s = start + i
+              if (!e.keys.listPresent(s)) v.putNull(i)
+              else {
+                val len = e.keys.lens(s).toInt
+                val kFrom = e.keys.offsets(s)
+                val vFrom = e.values.offsets(s)
+                var k = 0
+                while (k < len) {
+                  keyPut(off + k, kFrom + k)
+                  valPut(off + k, vFrom + k)
+                  k += 1
+                }
                 v.putArray(i, off, len)
                 off += len
               }

@@ -248,13 +248,40 @@ object GraftLayout {
     files.toSeq
   }
 
+  /** Resolved data-file listings, keyed by (table, asOf) and guarded by
+    * the ledger fold INSTANCE (round-5 item 5 — per-query scan-state
+    * reuse): [[committedPairs]] returns the same object until the ledger
+    * file set changes, and ledgered snapshot/bucket dirs are immutable, so
+    * the listing is a pure function of that instance. Every scan copy
+    * (runtime-filter re-plan, token/elem re-plan) and every query over an
+    * unchanged table then pays ONE map lookup instead of a recursive FS
+    * walk. Bare (unledgered) layouts are never cached — they have no
+    * change signal. [[invalidateDataFiles]] covers same-JVM expire runs. */
+  private val dataFilesCache =
+    new java.util.LinkedHashMap[(String, Option[Long]), (AnyRef, Seq[String])](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Option[Long]), (AnyRef, Seq[String])]): Boolean =
+        size() > 1024
+    }
+
+  def invalidateDataFiles(path: String): Unit = dataFilesCache.synchronized {
+    val it = dataFilesCache.keySet().iterator()
+    while (it.hasNext) { if (it.next()._1 == path) it.remove() }
+  }
+
   def listDataFiles(path: String, conf: Configuration,
                     asOf: Option[Long] = None): Seq[String] = {
+    val committed = committedPairs(path, conf)
+    committed.foreach { lp =>
+      dataFilesCache.synchronized {
+        val hit = dataFilesCache.get((path, asOf))
+        if (hit != null && (hit._1 eq lp)) return hit._2
+      }
+    }
     val dataDir = new HPath(path, "data")
     val fs = dataDir.getFileSystem(conf)
     val root = if (fs.exists(dataDir)) dataDir else new HPath(path)
     val files = ArrayBuffer.empty[String] ++ listParquetFiles(root.toString, conf)
-    val committed = committedPairs(path, conf)
     if (asOf.isDefined && committed.isEmpty)
       throw new IllegalArgumentException(
         s"snapshotId time travel requires a lineage ledger; $path has none")
@@ -291,7 +318,11 @@ object GraftLayout {
         }
         kept
     }
-    kept.sorted
+    val out = kept.sorted
+    committed.foreach(lp => dataFilesCache.synchronized {
+      dataFilesCache.put((path, asOf), (lp, out)): Unit
+    })
+    out
   }
 
   private val PartitionRe = ".*/snapshotId=(\\d+)/bucket=(\\d+)/[^/]+$".r

@@ -450,12 +450,14 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
   private val iSrc = schema.fieldIndex("source")
   private val stagedFile = s"$stagingDir/part-$partitionId-$taskId.parquet"
 
-  // metadata columns ([[MetaColumns]]): ordinals, engine specs, and a
-  // buffer parallel to `rows` holding each row's stored-domain values
+  // metadata columns ([[MetaColumns]]): ENGINE fields (maps expand to two
+  // list pseudo-fields), engine specs, one extractor per engine field, and
+  // a buffer parallel to `rows` holding each row's stored-domain values
   private val metaFields = MetaColumns.metaFields(schema)
-  private val metaOrdinals: Array[Int] = metaFields.map(f => schema.fieldIndex(f.name)).toArray
+  private val metaEngineFields: Seq[org.apache.spark.sql.types.StructField] =
+    metaFields.flatMap(MetaColumns.engineFields)
   private val metaSpecs: Seq[graft.engine.MetaColSpec] =
-    metaFields.map(MetaColumns.specFor)
+    metaFields.flatMap(MetaColumns.specsFor)
   private val metas: ArrayBuffer[Array[AnyRef]] =
     if (metaFields.isEmpty) null else ArrayBuffer.empty[Array[AnyRef]]
   // canonical tables buffer VARINT-PACKED rows (~2.3 B/token live in task
@@ -486,59 +488,80 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
       row.getUTF8String(iSrc).toString,
       partitionId)
     if (metas != null) {
-      import org.apache.spark.sql.types._
-      val m = new Array[AnyRef](metaFields.length)
+      val m = new Array[AnyRef](metaExtractors.length)
       var j = 0
-      while (j < metaFields.length) {
-        val ord = metaOrdinals(j)
-        if (!row.isNullAt(ord)) m(j) = metaFields(j).dataType match {
-          case ArrayType(StringType, _) =>
-            val arr = row.getArray(ord)
-            val vs = new Array[String](arr.numElements())
-            var k = 0
-            while (k < vs.length) {
-              if (!arr.isNullAt(k)) vs(k) = arr.getUTF8String(k).toString
-              k += 1
-            }
-            graft.engine.ListStrings(vs)
-          case ArrayType(et, _) =>
-            val arr = row.getArray(ord)
-            val n = arr.numElements()
-            val vs = new Array[Long](n)
-            val pr = new Array[Boolean](n)
-            var k = 0
-            while (k < n) {
-              if (!arr.isNullAt(k)) {
-                pr(k) = true
-                vs(k) = if (et == IntegerType) arr.getInt(k).toLong else arr.getLong(k)
-              }
-              k += 1
-            }
-            graft.engine.ListLongs(vs, pr)
-          case StringType => row.getUTF8String(ord).toString
-          case BinaryType => row.getBinary(ord)
-          case IntegerType => java.lang.Long.valueOf(row.getInt(ord).toLong)
-          case DateType => java.lang.Long.valueOf(row.getInt(ord).toLong)
-          case LongType => java.lang.Long.valueOf(row.getLong(ord))
-          case TimestampType | TimestampNTZType => java.lang.Long.valueOf(row.getLong(ord))
-          case DoubleType =>
-            java.lang.Long.valueOf(MetaColumns.sortableDouble(row.getDouble(ord)))
-          case BooleanType =>
-            java.lang.Long.valueOf(if (row.getBoolean(ord)) 1L else 0L)
-          case ByteType => java.lang.Long.valueOf(row.getByte(ord).toLong)
-          case ShortType => java.lang.Long.valueOf(row.getShort(ord).toLong)
-          case FloatType =>
-            java.lang.Long.valueOf(MetaColumns.sortableFloat(row.getFloat(ord)))
-          // stored domain = unscaled long at the column's fixed scale
-          case d: DecimalType =>
-            java.lang.Long.valueOf(row.getDecimal(ord, d.precision, d.scale).toUnscaledLong)
-          case other => throw new IllegalStateException(
-            s"unreachable: unvalidated metadata type $other")
-        }
+      while (j < metaExtractors.length) {
+        m(j) = metaExtractors(j)(row)
         j += 1
       }
       metas += m
     }
+  }
+
+  /** Stored-domain list value of `arr` with element kind `et`. */
+  private def listOf(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                     et: org.apache.spark.sql.types.DataType): AnyRef = {
+    import org.apache.spark.sql.types._
+    et match {
+      case StringType =>
+        val vs = new Array[String](arr.numElements())
+        var k = 0
+        while (k < vs.length) {
+          if (!arr.isNullAt(k)) vs(k) = arr.getUTF8String(k).toString
+          k += 1
+        }
+        graft.engine.ListStrings(vs)
+      case _ =>
+        val n = arr.numElements()
+        val vs = new Array[Long](n)
+        val pr = new Array[Boolean](n)
+        var k = 0
+        while (k < n) {
+          if (!arr.isNullAt(k)) {
+            pr(k) = true
+            vs(k) = if (et == IntegerType) arr.getInt(k).toLong else arr.getLong(k)
+          }
+          k += 1
+        }
+        graft.engine.ListLongs(vs, pr)
+    }
+  }
+
+  /** One stored-domain extractor per ENGINE field, aligned with
+    * [[metaSpecs]] (null = SQL-null column value; maps expand to a keys
+    * extractor and a values extractor over the same ordinal). */
+  private val metaExtractors: Array[InternalRow => AnyRef] = {
+    import org.apache.spark.sql.types._
+    metaFields.flatMap { mf =>
+      val ord = schema.fieldIndex(mf.name)
+      def whenSet(f: InternalRow => AnyRef): InternalRow => AnyRef =
+        row => if (row.isNullAt(ord)) null else f(row)
+      mf.dataType match {
+        case MapType(kt, vt, _) => Seq(
+          whenSet(row => listOf(row.getMap(ord).keyArray(), kt)),
+          whenSet(row => listOf(row.getMap(ord).valueArray(), vt)))
+        case ArrayType(et, _) => Seq(whenSet(row => listOf(row.getArray(ord), et)))
+        case StringType => Seq(whenSet(_.getUTF8String(ord).toString))
+        case BinaryType => Seq(whenSet(_.getBinary(ord)))
+        case IntegerType | DateType =>
+          Seq(whenSet(row => java.lang.Long.valueOf(row.getInt(ord).toLong)))
+        case LongType | TimestampType | TimestampNTZType =>
+          Seq(whenSet(row => java.lang.Long.valueOf(row.getLong(ord))))
+        case DoubleType => Seq(whenSet(row =>
+          java.lang.Long.valueOf(MetaColumns.sortableDouble(row.getDouble(ord)))))
+        case BooleanType => Seq(whenSet(row =>
+          java.lang.Long.valueOf(if (row.getBoolean(ord)) 1L else 0L)))
+        case ByteType => Seq(whenSet(row => java.lang.Long.valueOf(row.getByte(ord).toLong)))
+        case ShortType => Seq(whenSet(row => java.lang.Long.valueOf(row.getShort(ord).toLong)))
+        case FloatType => Seq(whenSet(row =>
+          java.lang.Long.valueOf(MetaColumns.sortableFloat(row.getFloat(ord)))))
+        // stored domain = unscaled long at the column's fixed scale
+        case d: DecimalType => Seq(whenSet(row =>
+          java.lang.Long.valueOf(row.getDecimal(ord, d.precision, d.scale).toUnscaledLong)))
+        case other => throw new IllegalStateException(
+          s"unreachable: unvalidated metadata type $other")
+      }
+    }.toArray
   }
 
   /** File-level folded blooms for the footer metadata: one capped
@@ -578,10 +601,11 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
         // metadata columns: non-null values, int-kinds hashed in the STAT
         // domain (statMap) to match the normalized point predicates.
         // Binary columns are excluded — their predicates never normalize,
-        // so a bloom would never be probed.
-        case m if metas != null && metaFields.exists(_.name == m) &&
-          !metaSpecs(metaFields.indexWhere(_.name == m)).isBinary =>
-          val j = metaFields.indexWhere(_.name == m)
+        // so a bloom would never be probed. Indexed over the ENGINE fields
+        // (metas slots align with the expanded specs).
+        case m if metas != null && metaEngineFields.exists(_.name == m) &&
+          !metaSpecs(metaEngineFields.indexWhere(_.name == m)).isBinary =>
+          val j = metaEngineFields.indexWhere(_.name == m)
           val spec = metaSpecs(j)
           if (spec.isList) {
             // list columns: file bloom over non-null ELEMENTS (the

@@ -49,6 +49,9 @@ object MetaColumns {
          BooleanType | ByteType | ShortType | FloatType | BinaryType => true
     case d: DecimalType => d.precision <= 18
     case ArrayType(et, _) => isListElem(et)
+    // MAP = two LENGTH-framed lists (keys + values) sharing row alignment
+    // — the map_list fixture's `m: Map(Utf8, Utf8)`, basic_reading.rs:233
+    case MapType(k, v, _) => isListElem(k) && isListElem(v)
     case _ => false
   }
 
@@ -72,9 +75,27 @@ object MetaColumns {
     * suffix can never collide with another column. */
   def lenStream(c: String): String = s"${c}__len"
 
-  /** All disk streams of one metadata field (list fields carry two). */
+  /** Engine view of one metadata field: a MAP column expands to two LIST
+    * pseudo-fields — `c__k` (keys, non-null elements) and `c__v` (values)
+    * — sharing per-row alignment, so the encode/decode engine never needs
+    * map awareness; the read/write surfaces zip them back into MapData.
+    * The `__` in pseudo-names is safe: user names can't contain it. */
+  def engineFields(f: StructField): Seq[StructField] = f.dataType match {
+    case MapType(k, v, vcn) => Seq(
+      StructField(s"${f.name}__k", ArrayType(k, containsNull = false)),
+      StructField(s"${f.name}__v", ArrayType(v, vcn)))
+    case _ => Seq(f)
+  }
+
+  /** Engine encode specs of one metadata field (maps expand to two). */
+  def specsFor(f: StructField): Seq[graft.engine.MetaColSpec] =
+    engineFields(f).map(specFor)
+
+  /** All disk streams of one metadata field (list fields carry two; map
+    * fields carry the two pseudo-lists' four). */
   def streamsFor(f: StructField): Seq[String] =
-    if (isList(f.dataType)) Seq(f.name, lenStream(f.name)) else Seq(f.name)
+    engineFields(f).flatMap(ef =>
+      if (isList(ef.dataType)) Seq(ef.name, lenStream(ef.name)) else Seq(ef.name))
 
   def isIntKind(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | DateType | TimestampType |
@@ -137,6 +158,8 @@ object MetaColumns {
     // the legacy bare form (containsNull=false) for ddl stability
     case ArrayType(et, containsNull) =>
       s"array<${typeName(et)}${if (containsNull) "?" else ""}>"
+    case MapType(k, v, vcn) =>
+      s"map<${typeName(k)};${typeName(v)}${if (vcn) "?" else ""}>"
     case other => throw new IllegalArgumentException(s"unsupported type $other")
   }
 
@@ -162,6 +185,16 @@ object MetaColumns {
       if (inner.endsWith("?"))
         ArrayType(parseType(inner.dropRight(1)), containsNull = true)
       else ArrayType(parseType(inner), containsNull = false)
+    case s if s.startsWith("map<") && s.endsWith(">") =>
+      val inner = s.substring(4, s.length - 1)
+      val i = inner.indexOf(';')
+      require(i > 0, s"bad map type '$s' in recorded graft schema")
+      val vs = inner.substring(i + 1)
+      if (vs.endsWith("?"))
+        MapType(parseType(inner.substring(0, i)), parseType(vs.dropRight(1)),
+          valueContainsNull = true)
+      else MapType(parseType(inner.substring(0, i)), parseType(vs),
+        valueContainsNull = false)
     case other => throw new IllegalArgumentException(
       s"unsupported type '$other' in recorded graft schema")
   }
@@ -200,6 +233,8 @@ object MetaColumns {
     * int/date), doubles carry the -0.0 -> +0.0 stat collapse so chunk
     * stats agree with predicate conversion. */
   def specFor(f: StructField): graft.engine.MetaColSpec = f.dataType match {
+    case _: MapType => throw new IllegalArgumentException(
+      s"map column ${f.name}: use specsFor/engineFields (maps expand to two lists)")
     case ArrayType(et, _) =>
       graft.engine.MetaColSpec(f.name, isString = et == StringType,
         bytesInPerValue = if (et == IntegerType) 4 else 8, isList = true)

@@ -370,6 +370,57 @@ class GraftDataSourceSpec extends AnyFunSuite {
       Seq("doc_000000000200"))
   }
 
+  test("MAP metadata columns round-trip through both readers " +
+    "(two LENGTH-framed pseudo-lists per map; map_list fixture analog)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = tmp()
+    val input = TokenTables.synthetic(spark, nDocs = 200, seed = 42L)
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      // NULL map every 4th row; NULL 'tier' VALUE every 5th (value
+      // PRESENT framing inside the values pseudo-list)
+      .withColumn("attrs", when($"n_tok" % 4 =!= 0,
+        map(lit("lang"), concat(lit("l"), ($"n_tok" % 3).cast("string")),
+          lit("tier"), when($"n_tok" % 5 =!= 0,
+            concat(lit("t"), ($"n_tok" % 2).cast("string"))))))
+      .withColumn("scores", when($"n_tok" % 7 =!= 0,
+        map(lit("views"), $"n_tok".cast("long") * 3L,
+          lit("mod"), ($"n_tok" % 13).cast("long"))))
+    input.write.format("graft").option("buckets", "4")
+      .option("tokensPerChunk", "64")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(dir)
+    // the map expands to exactly four streams on disk, none named after
+    // the map itself
+    val streams = MetaColumns.streamsFor(
+      StructField("attrs", MapType(StringType, StringType, valueContainsNull = true)))
+    assert(streams === Seq("attrs__k", "attrs__k__len", "attrs__v", "attrs__v__len"))
+    for (columnar <- Seq("true", "false")) {
+      val table = spark.read.format("graft").option("columnar", columnar).load(dir)
+      // valueContainsNull follows the input's value nullability — pin the
+      // key/value types only
+      assert((table.schema("attrs").dataType, table.schema("scores").dataType) match {
+        case (MapType(StringType, StringType, _), MapType(StringType, LongType, _)) => true
+        case other => fail(s"map schema mismatch: $other")
+      })
+      val dec = table.toDF("doc_id", "tokens_d", "n_tok_d", "source_d",
+        "attrs_d", "scores_d")
+      def entries(c: org.apache.spark.sql.Column) = sort_array(map_entries(c))
+      val bad = input.join(dec, Seq("doc_id"), "full_outer")
+        .filter(!(entries($"attrs") <=> entries($"attrs_d") &&
+          entries($"scores") <=> entries($"scores_d") &&
+          $"tokens" <=> $"tokens_d"))
+        .count()
+      assert(bad === 0L, s"columnar=$columnar: $bad rows mismatched after round-trip")
+      // NULL-value rows decode as present-key/null-value, not dropped keys
+      val tierNull = table.filter($"attrs".isNotNull &&
+        element_at($"attrs", "tier").isNull).count()
+      val expectTierNull = input.filter($"attrs".isNotNull &&
+        element_at($"attrs", "tier").isNull).count()
+      assert(tierNull === expectTierNull && expectTierNull > 0L)
+    }
+  }
+
   test("pushdown kill switches: identical results, pruning provably off " +
     "(orc.pushdown_predicate analog, options.rs:34)") {
     import spark.implicits._

@@ -150,6 +150,23 @@ class MetaColumnsSpec extends AnyFunSuite {
     assert(back2("ids").dataType === ArrayType(LongType, containsNull = true))
     assert(MetaColumns.streamsFor(lists("tags")) === Seq("tags", "tags__len"))
     assert(MetaColumns.streamsFor(lists("doc_id")) === Seq("doc_id"))
+    // MAP columns: ddl round-trip (';' key/value separator, '?' = nullable
+    // values) and the two-pseudo-list engine expansion with four streams
+    val maps = StructType(GraftTable.TokenSchema.fields.toSeq ++ Seq(
+      StructField("attrs", MapType(StringType, StringType, valueContainsNull = true)),
+      StructField("scores", MapType(StringType, LongType, valueContainsNull = false))))
+    val back3 = MetaColumns.parseDdl(MetaColumns.ddl(maps))
+    assert(back3("attrs").dataType ===
+      MapType(StringType, StringType, valueContainsNull = true))
+    assert(back3("scores").dataType ===
+      MapType(StringType, LongType, valueContainsNull = false))
+    assert(MetaColumns.streamsFor(maps("attrs")) ===
+      Seq("attrs__k", "attrs__k__len", "attrs__v", "attrs__v__len"))
+    assert(MetaColumns.engineFields(maps("attrs")).map(_.dataType) === Seq(
+      ArrayType(StringType, containsNull = false),
+      ArrayType(StringType, containsNull = true)))
+    assert(MetaColumns.specsFor(maps("scores")).map(s => (s.name, s.isString, s.isList)) ===
+      Seq(("scores__k", true, true), ("scores__v", false, true)))
     assert(back("quality").dataType === DoubleType && back("quality").nullable)
     assert(back("doc_id").dataType === StringType && !back("doc_id").nullable)
     assert(MetaColumns.parseDdl(MetaColumns.CanonicalDdl) === MetaColumns.parseDdl(
@@ -169,7 +186,8 @@ class MetaColumnsSpec extends AnyFunSuite {
     assert(rejected(StructField("nRows", LongType)).contains("illegal"))
     // DECIMAL beyond the 64-bit unscaled domain is fenced by name
     assert(rejected(StructField("bad", DecimalType(20, 2))).contains("unsupported"))
-    assert(rejected(StructField("bad", MapType(StringType, StringType))).contains("unsupported"))
+    // maps are supported only over list-legal element types
+    assert(rejected(StructField("bad", MapType(StringType, DoubleType))).contains("unsupported"))
     assert(rejected(StructField("bad", ArrayType(DoubleType))).contains("unsupported"))
     // the round-5 matrix additions all validate
     MetaColumns.validate(base(StructField("flag", BooleanType),
@@ -177,7 +195,8 @@ class MetaColumnsSpec extends AnyFunSuite {
       StructField("ratio", FloatType), StructField("price", DecimalType(18, 2)),
       StructField("blob", BinaryType),
       StructField("tags", ArrayType(IntegerType, containsNull = true)),
-      StructField("words", ArrayType(StringType))))
+      StructField("words", ArrayType(StringType)),
+      StructField("attrs", MapType(StringType, StringType))))
     assert(rejected(
       StructField("dup", LongType), StructField("dup", LongType)).contains("duplicate"))
     // canonical column with the wrong type fails by name
