@@ -750,6 +750,59 @@ object Encode {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** STRUCT metadata columns end-to-end (the reference type matrix's last
+    * row, src/lib.rs:156): a struct<double, decimal(15,5), string> with
+    * NULL structs and NULL members, stored as a presence pseudo-stream
+    * `c__p` plus one scalar pseudo-stream per member
+    * ([[graft.sources.MetaColumns.engineFields]]), read back re-assembled.
+    * Bit-exact null-safe audit; every reported aggregate derives from
+    * n_tok so DuckDB replays it struct-free. */
+  def dsv2MetaStruct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-struct-q").toString
+    try {
+      val input = TokenTables.fromDocuments(spark, dir)
+        .toDF("doc_id", "tokens", "n_tok", "source")
+        // NULL struct every 4th row; NULL 'score' MEMBER every 5th row
+        .withColumn("info", when($"n_tok" % 4 =!= 0, struct(
+          when($"n_tok" % 5 =!= 0, ($"n_tok" / 10.0) - 5.0).as("score"),
+          ($"n_tok" * 7).cast("decimal(15,5)").as("price"),
+          concat(lit("k"), ($"n_tok" % 3).cast("string")).as("kind"))))
+      input.write.format("graft").option("buckets", "8")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(base)
+      val table = spark.read.format("graft").load(base)
+      require(table.schema("info").dataType match {
+        case StructType(Array(
+          StructField("score", DoubleType, _, _),
+          StructField("price", dt: DecimalType, _, _),
+          StructField("kind", StringType, _, _))) => dt == DecimalType(15, 5)
+        case _ => false
+      }, s"recorded struct schema mismatch: ${table.schema.simpleString}")
+      val dec = table.toDF("doc_id", "tokens_d", "n_tok_d", "source_d", "info_d")
+      val nMismatch = input.join(dec, Seq("doc_id"), "full_outer")
+        .filter(!($"info" <=> $"info_d")).count()
+      val row = table.agg(
+        count(lit(1)).as("n_docs"),
+        count($"info").as("n_info"),
+        count($"info.score").as("n_score"),
+        // per-VALUE decimal cast, then an exact decimal sum — raw double
+        // summation is partition-order-dependent and would hash-flake
+        sum($"info.score".cast("decimal(18,6)")).cast("double").as("sum_score"),
+        sum($"info.price").cast("decimal(18,5)").cast("double").as("sum_price"),
+        sum(when($"info.kind" === "k1", 1L).otherwise(0L)).as("n_k1"))
+        .withColumn("n_mismatch", lit(nMismatch))
+        .collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(row, 1),
+        StructType(Seq(
+          StructField("n_docs", LongType), StructField("n_info", LongType),
+          StructField("n_score", LongType), StructField("sum_score", DoubleType),
+          StructField("sum_price", DoubleType), StructField("n_k1", LongType),
+          StructField("n_mismatch", LongType))))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
   /** SCHEMA EVOLUTION end-to-end (round-5 item 3; the reference's
     * Schema::try_merge across files, file_format.rs:146-161, rendered as
     * add-column-with-null-default INSIDE one table): generation 1 lands
@@ -1180,6 +1233,30 @@ object Encode {
         |  CAST(SUM(CASE WHEN n_tok % 4 <> 0 THEN 2 END) AS BIGINT) AS sum_keys,
         |  CAST(0 AS BIGINT) AS n_mismatch
         |FROM tok""".stripMargin,
+    "encode_dsv2_meta_struct" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> x <> '')) AS n_tok
+        |  FROM documents
+        |),
+        |meta AS (
+        |  SELECT doc_id, n_tok,
+        |    CASE WHEN n_tok % 4 <> 0 THEN 1 END AS has_info,
+        |    CASE WHEN n_tok % 4 <> 0 AND n_tok % 5 <> 0
+        |      THEN CAST(n_tok / 10.0 - 5.0 AS DECIMAL(18,6)) END AS score,
+        |    CASE WHEN n_tok % 4 <> 0 THEN CAST(n_tok * 7 AS DECIMAL(15,5)) END AS price,
+        |    CASE WHEN n_tok % 4 <> 0 THEN 'k' || CAST(n_tok % 3 AS VARCHAR) END AS kind
+        |  FROM tok
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(has_info) AS BIGINT) AS n_info,
+        |  CAST(COUNT(score) AS BIGINT) AS n_score,
+        |  CAST(SUM(score) AS DOUBLE) AS sum_score,
+        |  CAST(SUM(price) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CASE WHEN kind = 'k1' THEN 1 ELSE 0 END) AS BIGINT) AS n_k1,
+        |  CAST(0 AS BIGINT) AS n_mismatch
+        |FROM meta""".stripMargin,
     "encode_compaction_meta" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1246,6 +1323,7 @@ object Encode {
     "encode_dsv2_meta_alltypes" -> (dsv2MetaAllTypes _),
     "encode_dsv2_meta_list" -> (dsv2MetaList _),
     "encode_dsv2_meta_map" -> (dsv2MetaMap _),
+    "encode_dsv2_meta_struct" -> (dsv2MetaStruct _),
     "encode_dsv2_schema_evolution" -> (dsv2SchemaEvolution _),
     "encode_compaction_meta" -> (compactionMeta _),
     "encode_dsv2_streaming_write" -> (dsv2StreamingWrite _),

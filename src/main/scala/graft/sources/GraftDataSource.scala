@@ -1106,6 +1106,12 @@ private[sources] final class ExtraListDecoded(
 private[sources] final class ExtraMapDecoded(
     val keys: ExtraListDecoded, val values: ExtraListDecoded) extends DecodedExtra
 
+/** A decoded STRUCT metadata column: the `c__p` presence mask (struct
+  * nullability) + one decoded scalar extra per member (`c__f_<name>`),
+  * re-assembled into an InternalRow per row at emit. */
+private[sources] final class ExtraStructDecoded(
+    val present: Array[Boolean], val members: Array[DecodedExtra]) extends DecodedExtra
+
 /** One decoded segment's projected column arrays (null = not projected).
   * Int streams decode straight into Array[Int] (no widen-then-narrow —
   * the round-3 hot-loop fix); `flat` is directly `putInts`-able.
@@ -1432,6 +1438,29 @@ private[sources] final class SegmentScanCore(
               }
             new ExtraListDecoded(lens, lp, offsets, elems)
           }
+        // Scalar stream decode (absent stream = schema evolution: all-null)
+        def decodeScalar(name: String,
+                         dt: org.apache.spark.sql.types.DataType): DecodedExtra =
+          if (!byCol.contains(name)) {
+            val noneAtAll = new Array[Boolean](nRows)
+            dt match {
+              case StringType | BinaryType =>
+                new ExtraStringsDecoded(
+                  new graft.codec.Utf8Chunk(Array.emptyByteArray, Array.empty, Array.empty),
+                  noneAtAll, new Array[Int](nRows))
+              case _ => new ExtraLongsDecoded(new Array[Long](nRows), noneAtAll)
+            }
+          } else dt match {
+            // BinaryType shares the string payload shape: the Utf8Chunk
+            // view is blob+offsets, byte-exact for arbitrary bytes
+            case StringType | BinaryType =>
+              val (chunk, present, toCompact) =
+                graft.codec.Nullable.decodeStringsBytes(byCol(name).payload)
+              new ExtraStringsDecoded(chunk, present, toCompact)
+            case _ =>
+              val (vs, pr) = graft.codec.Nullable.decodeInts(byCol(name).payload)
+              new ExtraLongsDecoded(vs, pr)
+          }
         metaFields.map { f =>
           f.dataType match {
             // MAP columns: the two pseudo-lists, zipped per row at emit
@@ -1439,29 +1468,20 @@ private[sources] final class SegmentScanCore(
               new ExtraMapDecoded(
                 decodeList(s"${f.name}__k", kt),
                 decodeList(s"${f.name}__v", vt)): DecodedExtra
+            // STRUCT columns: struct presence = the `__p` stream's PRESENT
+            // mask (absent stream -> all-null structs), one scalar extra
+            // per member pseudo-stream
+            case st: StructType =>
+              val present =
+                if (!byCol.contains(s"${f.name}__p")) new Array[Boolean](nRows)
+                else graft.codec.Nullable.decodeInts(byCol(s"${f.name}__p").payload)._2
+              new ExtraStructDecoded(present,
+                st.fields.map(m => decodeScalar(s"${f.name}__f_${m.name}", m.dataType)))
             // LIST columns: lengths from the __len stream + flattened
             // elements; per-row offsets are the prefix sums over non-null
             // lists (the tokens/tok_len walk, generalized)
             case ArrayType(et, _) => decodeList(f.name, et)
-            case _ if !byCol.contains(f.name) =>
-              // scalar column absent (pre-evolution file): all-null
-              val noneAtAll = new Array[Boolean](nRows)
-              f.dataType match {
-                case StringType | BinaryType =>
-                  new ExtraStringsDecoded(
-                    new graft.codec.Utf8Chunk(Array.emptyByteArray, Array.empty, Array.empty),
-                    noneAtAll, new Array[Int](nRows))
-                case _ => new ExtraLongsDecoded(new Array[Long](nRows), noneAtAll)
-              }
-            // BinaryType shares the string payload shape: the Utf8Chunk
-            // view is blob+offsets, byte-exact for arbitrary bytes
-            case StringType | BinaryType =>
-              val (chunk, present, toCompact) =
-                graft.codec.Nullable.decodeStringsBytes(byCol(f.name).payload)
-              new ExtraStringsDecoded(chunk, present, toCompact)
-            case _ =>
-              val (vs, pr) = graft.codec.Nullable.decodeInts(byCol(f.name).payload)
-              new ExtraLongsDecoded(vs, pr): DecodedExtra
+            case dt => decodeScalar(f.name, dt)
           }
         }
       }
@@ -1509,6 +1529,42 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
   // projected metadata fields: ordinal into DecodedSegment.extras
   private val metaIndex: Map[String, Int] =
     core.metaFields.map(_.name).zipWithIndex.toMap
+
+  /** Boxed internal-type value of row `i` of a decoded SCALAR extra (null
+    * where absent) — struct members re-use the scalar rendering. */
+  private def scalarValueOf(ex: DecodedExtra, dt: DataType): Int => AnyRef =
+    (ex, dt) match {
+      case (es: ExtraStringsDecoded, BinaryType) =>
+        i => if (!es.present(i)) null
+          else {
+            val j = es.idx(i)
+            java.util.Arrays.copyOfRange(
+              es.chunk.blob, es.chunk.offsets(j), es.chunk.offsets(j) + es.chunk.lens(j))
+          }
+      case (es: ExtraStringsDecoded, _) =>
+        i => if (!es.present(i)) null
+          else {
+            val j = es.idx(i)
+            UTF8String.fromBytes(es.chunk.blob, es.chunk.offsets(j), es.chunk.lens(j))
+          }
+      case (el: ExtraLongsDecoded, _) =>
+        val box: Long => AnyRef = dt match {
+          case IntegerType | DateType => v => java.lang.Integer.valueOf(v.toInt)
+          case LongType | TimestampType | TimestampNTZType => v => java.lang.Long.valueOf(v)
+          case DoubleType => v => java.lang.Double.valueOf(MetaColumns.fromSortableDouble(v))
+          case FloatType => v => java.lang.Float.valueOf(MetaColumns.fromSortableFloat(v))
+          case BooleanType => v => java.lang.Boolean.valueOf(v != 0L)
+          case ByteType => v => java.lang.Byte.valueOf(v.toByte)
+          case ShortType => v => java.lang.Short.valueOf(v.toShort)
+          case d: DecimalType =>
+            v => org.apache.spark.sql.types.Decimal.createUnsafe(v, d.precision, d.scale)
+          case other => throw new IllegalStateException(
+            s"unreachable: unvalidated metadata type $other")
+        }
+        i => if (!el.present(i)) null else box(el.values(i))
+      case other => throw new IllegalStateException(
+        s"unreachable: scalar extra shape $other")
+    }
 
   private def rowsOf(seg: DecodedSegment): Iterator[InternalRow] = {
     var pos = 0
@@ -1560,6 +1616,30 @@ class GraftPartitionReader(file: String, required: StructType, pushed: Array[Fil
                   var k = 0
                   while (k < n) { out(k) = elemOf(from + k); k += 1 }
                   row.update(f, new GenericArrayData(out))
+                }
+            // STRUCT metadata columns: presence mask + per-member scalar
+            // extras re-assembled into one InternalRow per non-null struct
+            case e: ExtraStructDecoded =>
+              val st = field.dataType match {
+                case s: StructType => s
+                case other => throw new IllegalStateException(
+                  s"unreachable: struct decode for non-struct field $other")
+              }
+              val memberOf: Array[Int => AnyRef] =
+                st.fields.zip(e.members).map { case (m, ex) =>
+                  scalarValueOf(ex, m.dataType)
+                }
+              (row: GenericInternalRow, f: Int, i: Int) =>
+                if (!e.present(i)) row.setNullAt(f)
+                else {
+                  val out = new GenericInternalRow(memberOf.length)
+                  var k = 0
+                  while (k < memberOf.length) {
+                    val v = memberOf(k)(i)
+                    if (v != null) out.update(k, v)
+                    k += 1
+                  }
+                  row.update(f, out)
                 }
             // MAP metadata columns: the two pseudo-lists share per-row
             // lengths; zip slices back into ArrayBasedMapData. Keys are
@@ -1728,6 +1808,38 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
   private val metaIndex: Map[String, Int] =
     core.metaFields.map(_.name).zipWithIndex.toMap
 
+  /** Vector writer of one struct member: (vectorRow, segmentRow) — puts
+    * the member's value or a null into `child` (strings/binaries share the
+    * byte-array rendering; int-kinds restore their external type). */
+  private def structMemberPut(
+      child: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      ex: DecodedExtra, dt: DataType): (Int, Int) => Unit = (ex, dt) match {
+    case (es: ExtraStringsDecoded, _) =>
+      (ci, si) =>
+        if (!es.present(si)) child.putNull(ci)
+        else {
+          val j = es.idx(si)
+          child.putByteArray(ci, es.chunk.blob, es.chunk.offsets(j), es.chunk.lens(j))
+        }
+    case (el: ExtraLongsDecoded, _) =>
+      val put: (Int, Long) => Unit = dt match {
+        case IntegerType | DateType => (ci, v) => child.putInt(ci, v.toInt)
+        case LongType | TimestampType | TimestampNTZType => (ci, v) => child.putLong(ci, v)
+        case DoubleType => (ci, v) => child.putDouble(ci, MetaColumns.fromSortableDouble(v))
+        case FloatType => (ci, v) => child.putFloat(ci, MetaColumns.fromSortableFloat(v))
+        case BooleanType => (ci, v) => child.putBoolean(ci, v != 0L)
+        case ByteType => (ci, v) => child.putByte(ci, v.toByte)
+        case ShortType => (ci, v) => child.putShort(ci, v.toShort)
+        case d: DecimalType => (ci, v) => child.putDecimal(ci,
+          org.apache.spark.sql.types.Decimal.createUnsafe(v, d.precision, d.scale), d.precision)
+        case other => throw new IllegalStateException(
+          s"unreachable: unvalidated metadata type $other")
+      }
+      (ci, si) => if (!el.present(si)) child.putNull(ci) else put(ci, el.values(si))
+    case other => throw new IllegalStateException(
+      s"unreachable: scalar extra shape $other")
+  }
+
   /** Render rows [start, start+n) of a decoded segment as one batch;
     * `flatStart` = the flat-token offset of row `start`. */
   private def toBatch(seg: DecodedSegment, start: Int, flatStart: Int,
@@ -1816,6 +1928,31 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
                 while (k < len) { elemPut(off + k, from + k); k += 1 }
                 v.putArray(i, off, len)
                 off += len
+              }
+              i += 1
+            }
+          // STRUCT metadata columns: member k lands in child(k) at the
+          // same row index; a null struct nulls the parent AND children
+          case e: ExtraStructDecoded =>
+            val st = field.dataType match {
+              case s: StructType => s
+              case other => throw new IllegalStateException(
+                s"unreachable: struct decode for non-struct field $other")
+            }
+            val puts: Array[(Int, Int) => Unit] =
+              st.fields.zipWithIndex.map { case (m, k) =>
+                structMemberPut(v.getChild(k), e.members(k), m.dataType)
+              }
+            var i = 0
+            while (i < n) {
+              val s = start + i
+              if (!e.present(s)) {
+                v.putNull(i)
+                var k = 0
+                while (k < puts.length) { v.getChild(k).putNull(i); k += 1 }
+              } else {
+                var k = 0
+                while (k < puts.length) { puts(k)(i, s); k += 1 }
               }
               i += 1
             }

@@ -527,9 +527,37 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
     }
   }
 
+  /** Stored-domain value of scalar slot `i` of `g` (non-null slots only;
+    * shared by top-level scalar columns and struct members). */
+  private def scalarGetter(dt: org.apache.spark.sql.types.DataType, i: Int)
+      : org.apache.spark.sql.catalyst.expressions.SpecializedGetters => AnyRef = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => _.getUTF8String(i).toString
+      case BinaryType => _.getBinary(i)
+      case IntegerType | DateType => g => java.lang.Long.valueOf(g.getInt(i).toLong)
+      case LongType | TimestampType | TimestampNTZType =>
+        g => java.lang.Long.valueOf(g.getLong(i))
+      case DoubleType =>
+        g => java.lang.Long.valueOf(MetaColumns.sortableDouble(g.getDouble(i)))
+      case BooleanType =>
+        g => java.lang.Long.valueOf(if (g.getBoolean(i)) 1L else 0L)
+      case ByteType => g => java.lang.Long.valueOf(g.getByte(i).toLong)
+      case ShortType => g => java.lang.Long.valueOf(g.getShort(i).toLong)
+      case FloatType =>
+        g => java.lang.Long.valueOf(MetaColumns.sortableFloat(g.getFloat(i)))
+      // stored domain = unscaled long at the column's fixed scale
+      case d: DecimalType =>
+        g => java.lang.Long.valueOf(g.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+      case other => throw new IllegalStateException(
+        s"unreachable: unvalidated metadata type $other")
+    }
+  }
+
   /** One stored-domain extractor per ENGINE field, aligned with
     * [[metaSpecs]] (null = SQL-null column value; maps expand to a keys
-    * extractor and a values extractor over the same ordinal). */
+    * extractor and a values extractor over the same ordinal, structs to a
+    * presence extractor plus one per member). */
   private val metaExtractors: Array[InternalRow => AnyRef] = {
     import org.apache.spark.sql.types._
     metaFields.flatMap { mf =>
@@ -541,25 +569,23 @@ class GraftSegmentWriter(stagingDir: String, schema: StructType,
           whenSet(row => listOf(row.getMap(ord).keyArray(), kt)),
           whenSet(row => listOf(row.getMap(ord).valueArray(), vt)))
         case ArrayType(et, _) => Seq(whenSet(row => listOf(row.getArray(ord), et)))
-        case StringType => Seq(whenSet(_.getUTF8String(ord).toString))
-        case BinaryType => Seq(whenSet(_.getBinary(ord)))
-        case IntegerType | DateType =>
-          Seq(whenSet(row => java.lang.Long.valueOf(row.getInt(ord).toLong)))
-        case LongType | TimestampType | TimestampNTZType =>
-          Seq(whenSet(row => java.lang.Long.valueOf(row.getLong(ord))))
-        case DoubleType => Seq(whenSet(row =>
-          java.lang.Long.valueOf(MetaColumns.sortableDouble(row.getDouble(ord)))))
-        case BooleanType => Seq(whenSet(row =>
-          java.lang.Long.valueOf(if (row.getBoolean(ord)) 1L else 0L)))
-        case ByteType => Seq(whenSet(row => java.lang.Long.valueOf(row.getByte(ord).toLong)))
-        case ShortType => Seq(whenSet(row => java.lang.Long.valueOf(row.getShort(ord).toLong)))
-        case FloatType => Seq(whenSet(row =>
-          java.lang.Long.valueOf(MetaColumns.sortableFloat(row.getFloat(ord)))))
-        // stored domain = unscaled long at the column's fixed scale
-        case d: DecimalType => Seq(whenSet(row =>
-          java.lang.Long.valueOf(row.getDecimal(ord, d.precision, d.scale).toUnscaledLong)))
-        case other => throw new IllegalStateException(
-          s"unreachable: unvalidated metadata type $other")
+        // STRUCT: `__p` carries 1 where the struct is non-null (its
+        // PRESENT mask IS the struct nullability); each member rides its
+        // own pseudo-stream, null when the struct OR the member is null
+        case st: StructType =>
+          val n = st.fields.length
+          val presence = whenSet(_ => java.lang.Long.valueOf(1L))
+          val members = st.fields.toSeq.zipWithIndex.map { case (m, i) =>
+            val get = scalarGetter(m.dataType, i)
+            whenSet { row =>
+              val s = row.getStruct(ord, n)
+              if (s.isNullAt(i)) null else get(s)
+            }
+          }
+          presence +: members
+        case dt =>
+          val get = scalarGetter(dt, ord)
+          Seq(whenSet(row => get(row)))
       }
     }.toArray
   }

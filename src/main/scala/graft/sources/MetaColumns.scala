@@ -52,6 +52,20 @@ object MetaColumns {
     // MAP = two LENGTH-framed lists (keys + values) sharing row alignment
     // — the map_list fixture's `m: Map(Utf8, Utf8)`, basic_reading.rs:233
     case MapType(k, v, _) => isListElem(k) && isListElem(v)
+    // STRUCT (src/lib.rs:156) = one scalar pseudo-field per member plus a
+    // presence stream; members are the SCALAR matrix only (one nesting
+    // level, like the reference's fixtures)
+    case st: StructType => st.fields.nonEmpty && st.fields.forall(m =>
+      isScalar(m.dataType) && NameRe.matches(m.name) && !m.name.contains("__"))
+    case _ => false
+  }
+
+  /** The scalar subset of [[isSupported]] (no list/map/struct). */
+  def isScalar(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DateType | TimestampType |
+         TimestampNTZType | DoubleType | StringType |
+         BooleanType | ByteType | ShortType | FloatType | BinaryType => true
+    case d: DecimalType => d.precision <= 18
     case _ => false
   }
 
@@ -84,6 +98,13 @@ object MetaColumns {
     case MapType(k, v, vcn) => Seq(
       StructField(s"${f.name}__k", ArrayType(k, containsNull = false)),
       StructField(s"${f.name}__v", ArrayType(v, vcn)))
+    // STRUCT: a presence stream `c__p` (1 where the struct is non-null;
+    // its PRESENT mask IS the struct nullability) + one scalar pseudo-field
+    // per member under the `__f_` mangle — members can never collide with
+    // `p` or each other because `__` is banned in user names
+    case st: StructType =>
+      StructField(s"${f.name}__p", ByteType) +:
+        st.fields.toSeq.map(m => StructField(s"${f.name}__f_${m.name}", m.dataType))
     case _ => Seq(f)
   }
 
@@ -127,7 +148,9 @@ object MetaColumns {
       require(isSupported(f.dataType),
         s"unsupported graft metadata column type: ${f.name} ${f.dataType.simpleString} " +
           "(supported: boolean, byte, short, int, long, date, timestamp, " +
-          "float, double, decimal(p<=18), string, binary)")
+          "float, double, decimal(p<=18), string, binary, " +
+          "array<int|long|string>, map over those elements, and structs " +
+          "of scalar members)")
       require(NameRe.matches(f.name) && !f.name.contains("__") &&
         !ReservedNames.contains(f.name),
         s"illegal graft metadata column name '${f.name}': must match " +
@@ -160,6 +183,11 @@ object MetaColumns {
       s"array<${typeName(et)}${if (containsNull) "?" else ""}>"
     case MapType(k, v, vcn) =>
       s"map<${typeName(k)};${typeName(v)}${if (vcn) "?" else ""}>"
+    // members separated by '|' (never appears in a scalar type name; ';'
+    // would collide with decimal(p;s)), '?' marks a nullable member
+    case st: StructType =>
+      s"struct<${st.fields.map(m =>
+        s"${m.name}:${typeName(m.dataType)}${if (m.nullable) "?" else ""}").mkString("|")}>"
     case other => throw new IllegalArgumentException(s"unsupported type $other")
   }
 
@@ -195,6 +223,16 @@ object MetaColumns {
           valueContainsNull = true)
       else MapType(parseType(inner.substring(0, i)), parseType(vs),
         valueContainsNull = false)
+    case s if s.startsWith("struct<") && s.endsWith(">") =>
+      val members = s.substring(7, s.length - 1).split('|').toSeq.map { kv =>
+        val i = kv.indexOf(':')
+        require(i > 0, s"bad struct member '$kv' in recorded graft schema")
+        val t = kv.substring(i + 1)
+        if (t.endsWith("?"))
+          StructField(kv.substring(0, i), parseType(t.dropRight(1)), nullable = true)
+        else StructField(kv.substring(0, i), parseType(t), nullable = false)
+      }
+      StructType(members)
     case other => throw new IllegalArgumentException(
       s"unsupported type '$other' in recorded graft schema")
   }
@@ -233,8 +271,9 @@ object MetaColumns {
     * int/date), doubles carry the -0.0 -> +0.0 stat collapse so chunk
     * stats agree with predicate conversion. */
   def specFor(f: StructField): graft.engine.MetaColSpec = f.dataType match {
-    case _: MapType => throw new IllegalArgumentException(
-      s"map column ${f.name}: use specsFor/engineFields (maps expand to two lists)")
+    case _: MapType | _: StructType => throw new IllegalArgumentException(
+      s"column ${f.name}: use specsFor/engineFields (maps and structs " +
+        "expand to scalar/list pseudo-fields)")
     case ArrayType(et, _) =>
       graft.engine.MetaColSpec(f.name, isString = et == StringType,
         bytesInPerValue = if (et == IntegerType) 4 else 8, isList = true)

@@ -421,6 +421,45 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("STRUCT metadata columns round-trip through both readers " +
+    "(presence stream + per-member pseudo-streams; lib.rs:156 STRUCT row)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = tmp()
+    val input = TokenTables.synthetic(spark, nDocs = 200, seed = 42L)
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      // NULL struct every 4th row; NULL 'score' MEMBER every 5th row
+      .withColumn("info", when($"n_tok" % 4 =!= 0, struct(
+        when($"n_tok" % 5 =!= 0, ($"n_tok" / 10.0) - 5.0).as("score"),
+        ($"n_tok" * 7).cast("decimal(15,5)").as("price"),
+        concat(lit("k"), ($"n_tok" % 3).cast("string")).as("kind"))))
+    input.write.format("graft").option("buckets", "4")
+      .option("tokensPerChunk", "64")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(dir)
+    for (columnar <- Seq("true", "false")) {
+      val table = spark.read.format("graft").option("columnar", columnar).load(dir)
+      assert(table.schema("info").dataType match {
+        case StructType(Array(
+          StructField("score", DoubleType, _, _),
+          StructField("price", _: DecimalType, _, _),
+          StructField("kind", StringType, _, _))) => true
+        case other => fail(s"struct schema mismatch: $other")
+      })
+      val dec = table.toDF("doc_id", "tokens_d", "n_tok_d", "source_d", "info_d")
+      val bad = input.join(dec, Seq("doc_id"), "full_outer")
+        .filter(!($"info" <=> $"info_d" && $"tokens" <=> $"tokens_d"))
+        .count()
+      assert(bad === 0L, s"columnar=$columnar: $bad rows mismatched after round-trip")
+      // NULL-member rows decode as struct-present/member-null, not null structs
+      val scoreNull = table.filter($"info".isNotNull && $"info.score".isNull).count()
+      val expectScoreNull = input.filter($"info".isNotNull && $"info.score".isNull).count()
+      assert(scoreNull === expectScoreNull && expectScoreNull > 0L)
+      val nullStructs = table.filter($"info".isNull).count()
+      assert(nullStructs === input.filter($"info".isNull).count() && nullStructs > 0L)
+    }
+  }
+
   test("pushdown kill switches: identical results, pruning provably off " +
     "(orc.pushdown_predicate analog, options.rs:34)") {
     import spark.implicits._

@@ -167,6 +167,22 @@ class MetaColumnsSpec extends AnyFunSuite {
       ArrayType(StringType, containsNull = true)))
     assert(MetaColumns.specsFor(maps("scores")).map(s => (s.name, s.isString, s.isList)) ===
       Seq(("scores__k", true, true), ("scores__v", false, true)))
+    // STRUCT columns: '|' member separator (';' belongs to decimal), '?'
+    // nullable members; presence stream + one mangled stream per member
+    val structs = StructType(GraftTable.TokenSchema.fields.toSeq ++ Seq(
+      StructField("info", StructType(Seq(
+        StructField("score", DoubleType, nullable = true),
+        StructField("price", DecimalType(15, 5), nullable = true),
+        StructField("kind", StringType, nullable = false))))))
+    val back4 = MetaColumns.parseDdl(MetaColumns.ddl(structs))
+    assert(back4("info").dataType === StructType(Seq(
+      StructField("score", DoubleType, nullable = true),
+      StructField("price", DecimalType(15, 5), nullable = true),
+      StructField("kind", StringType, nullable = false))))
+    assert(MetaColumns.streamsFor(structs("info")) ===
+      Seq("info__p", "info__f_score", "info__f_price", "info__f_kind"))
+    assert(MetaColumns.specsFor(structs("info")).map(_.name) ===
+      Seq("info__p", "info__f_score", "info__f_price", "info__f_kind"))
     assert(back("quality").dataType === DoubleType && back("quality").nullable)
     assert(back("doc_id").dataType === StringType && !back("doc_id").nullable)
     assert(MetaColumns.parseDdl(MetaColumns.CanonicalDdl) === MetaColumns.parseDdl(
@@ -196,7 +212,15 @@ class MetaColumnsSpec extends AnyFunSuite {
       StructField("blob", BinaryType),
       StructField("tags", ArrayType(IntegerType, containsNull = true)),
       StructField("words", ArrayType(StringType)),
-      StructField("attrs", MapType(StringType, StringType))))
+      StructField("attrs", MapType(StringType, StringType)),
+      StructField("info", StructType(Seq(
+        StructField("score", DoubleType), StructField("kind", StringType))))))
+    // struct members: scalar types only, legal names, no nesting
+    assert(rejected(StructField("bad", StructType(Seq(
+      StructField("l", ArrayType(IntegerType)))))).contains("unsupported"))
+    assert(rejected(StructField("bad", StructType(Seq(
+      StructField("a__b", IntegerType))))).contains("unsupported"))
+    assert(rejected(StructField("bad", StructType(Seq.empty))).contains("unsupported"))
     assert(rejected(
       StructField("dup", LongType), StructField("dup", LongType)).contains("duplicate"))
     // canonical column with the wrong type fails by name
