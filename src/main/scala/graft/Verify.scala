@@ -19,6 +19,7 @@ object Verify {
     // e.g. SPARK_GRAFT_ONLY=encode_streaming_incremental for A-B timing
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -30,6 +31,7 @@ object Verify {
             System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2f s")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failed += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +49,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure manifest (advisor nit): a typo'd new entry otherwise
+    // surfaces only as a missing CORRECTNESS row — `_failed.json` makes
+    // the breakage greppable from the dump dir itself. Exit stays 0 (the
+    // driver contract: a missing sf dir = per-entry err rows, not a crash).
+    if (failed.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/_failed.json"),
+        failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

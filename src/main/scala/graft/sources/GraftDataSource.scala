@@ -676,6 +676,7 @@ class GraftScan(
       var b = 0L
       val wantTokens = required.fieldNames.contains("tokens")
       val cols = required.fieldNames.toSet ++ (if (wantTokens) Set("tok_len") else Set.empty)
+      GraftLayout.prefetchHeaders(files, conf)
       files.foreach { f =>
         val h = GraftLayout.header(f, conf)
         r += h.rows
@@ -698,7 +699,9 @@ class GraftScan(
     val afterPrune =
       if (active.isEmpty && tokenRange.isEmpty && tokenPoints.isEmpty &&
         elemRanges.isEmpty && elemPoints.isEmpty) files
-      else files.filter { f =>
+      else {
+        GraftLayout.prefetchHeaders(files, conf)
+        files.filter { f =>
         val h = GraftLayout.header(f, conf)
         val get = h.ranges.get _
         val getBloom = (c: String) =>
@@ -727,6 +730,7 @@ class GraftScan(
           elemPoints.forall { case (c, ps) => ps.forall(p =>
             StatPredicate.elemRangeMayMatch(get, c, p, p) &&
               getBloom(c).forall(SegmentBloom.mightContainLong(_, p))) }
+        }
       }
     mFilesPrunedPlanning = (files.length - afterPrune.length).toLong
     // LIMIT planning, composed with pushed filters (round-3 judge #9):

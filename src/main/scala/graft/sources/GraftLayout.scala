@@ -105,6 +105,31 @@ object GraftLayout {
     h
   }
 
+  /** Warm [[header]]'s cache for `files` with BOUNDED PARALLEL reads.
+    * Planning (stats estimate, file-level prune, LIMIT planning) walks
+    * every data file's header; each cold read is a footer + stat-page
+    * fetch, and doing them serially puts files×latency on the DRIVER's
+    * critical path — the first query against a thousand-file table would
+    * stall seconds before its first task. Misses only; the per-file
+    * memoization keeps warm planning a map lookup. */
+  def prefetchHeaders(files: Seq[String], conf: Configuration): Unit = {
+    val misses = files.filter(f =>
+      headerCache.synchronized { headerCache.get(f) == null })
+    if (misses.length <= 1) {
+      misses.foreach(header(_, conf))
+      return
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, misses.length))
+    try {
+      misses.map { f =>
+        pool.submit(new java.util.concurrent.Callable[FileHeader] {
+          override def call(): FileHeader = header(f, conf)
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+  }
+
   private def readHeader(file: String, conf: Configuration): FileHeader = {
     val fi = footerInfo(file, conf)
     if (fi.v2) readHeaderV2(file, conf, fi) else readHeaderLegacy(file, conf)

@@ -217,5 +217,15 @@ class AllTypesGoldenSpec extends AnyFunSuite {
     assert(got.getAs[Map[String, String]](1) === Map("one" -> "1", "zero" -> "0"))
     assert(got.getAs[Seq[String]](2) === Seq("test", "blaze"))
     assert(got.getString(3) === "blaze")
+    // and the same fixture round-trips through GRAFT storage (round 5:
+    // map + list metadata columns — the full map_list shape on our codecs)
+    import graft.sources.GraftTableBridge
+    val root = java.nio.file.Files.createTempDirectory("graft-maplist-rt").toString
+    GraftTableBridge.write(df, s"$root/map_list", "map_list", buckets = 1)
+    val back = GraftTableBridge.read(spark, s"$root/map_list").collect()(0)
+    assert(back.getLong(0) === 1L)
+    assert(back.getAs[Map[String, String]](1) === Map("one" -> "1", "zero" -> "0"))
+    assert(back.getAs[Seq[String]](2) === Seq("test", "blaze"))
+    assert(back.getString(3) === "blaze")
   }
 }
