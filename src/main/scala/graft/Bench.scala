@@ -107,10 +107,13 @@ object Bench {
     // JVM overheads are thereby watched every round beside the single-JVM
     // pair, not just noted in BASELINE.md. SPARK_GRAFT_CLUSTER_BLOCK=off
     // skips it (iterate mode).
+    // reps=2: a single interleave cycle produced wild samples (one round-5
+    // window read cpu_work_ratio 0.35 — GC thrash in one 6g executor rep);
+    // two cycles let min-selection reject the thrashed rep per level.
     val clusterJson =
       if (only.isDefined || sys.env.get("SPARK_GRAFT_CLUSTER_BLOCK").contains("off")) None
       else EncodeBench.forkScalingJson(
-        nDocs, levels = "2,8", reps = 1, mode = "cluster")
+        nDocs, levels = "2,8", reps = 2, mode = "cluster")
     val clusterBlock = clusterJson.map { j =>
       def scalar(key: String): Option[String] =
         s""""$key":(-?[\\d.eE+-]+)""".r.findFirstMatchIn(j).map(_.group(1))
