@@ -478,6 +478,38 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  /** Near-table-width snowflake (q17/q25-class width): the fact chained
+    * through orders->customer->nation->region AND supplier->nation plus
+    * part — NINE relation instances over seven base tables (nation and
+    * region join twice under aliases). One shuffle join for the
+    * fact⋈orders spine; every dimension hop is broadcast, so the plan a
+    * 24-table TPC-DS corpus needs (deep broadcast chains off one scan)
+    * is demonstrated at this corpus's full width. */
+  def snowflakeWide(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val cn = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_rkey"))
+    val cr = t(spark, dir, "region")
+      .select(col("r_regionkey").as("cr_key"), col("r_name").as("cust_region"))
+    val s = t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val sn = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val p = t(spark, dir, "part").filter(col("p_size") <= 20)
+      .select(col("p_partkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(cr), col("cn_rkey") === col("cr_key"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("cust_region"), col("supp_nation"))
+      .agg(dsum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
   /** q47/q57 shape: a running per-category average computed by a window
     * OVER a fact⋈dim join. Decimal window sum (exact, order-independent)
     * divided by the running count — one cast to double; full tiebreak
@@ -533,6 +565,7 @@ object Relational {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_star_rollup" -> (starRollup _),
+    "q_snowflake_wide" -> (snowflakeWide _),
     "q_window_over_join" -> (windowOverJoin _),
     "q_exists_correlated" -> (existsCorrelated _),
     "q_union_ctes" -> (unionCtes _),
@@ -580,6 +613,20 @@ object Relational {
     "q_cte_join_agg" -> (cteJoinAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q_snowflake_wide" ->
+      """SELECT cr.r_name AS cust_region, sn.n_name AS supp_nation,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 20
+        |GROUP BY cr.r_name, sn.n_name""".stripMargin,
     "q_star_rollup" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
