@@ -259,8 +259,25 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
     * constructions (tests) pass null and get the stored schema. */
   private val fullSchema: StructType =
     Option(tableSchema).getOrElse(GraftTable.tableSchema(path, hconf.value))
+  /** Column AND stream types: beyond the table columns, the engine
+    * streams [[GraftScan.resolveStreamAttrs]] rewrites predicates onto —
+    * struct members (`c__f_m`, the member's own type), struct presence
+    * (`c__p`), and list/map LENGTH streams (`c__len`/`c__k__len`) for
+    * null-check pruning. */
   private val typeOf: String => Option[org.apache.spark.sql.types.DataType] = {
-    val m = fullSchema.fields.map(f => f.name -> f.dataType).toMap
+    import org.apache.spark.sql.types.{ByteType, IntegerType, MapType, StructType}
+    val m = fullSchema.fields.flatMap { f =>
+      val streams: Seq[(String, org.apache.spark.sql.types.DataType)] = f.dataType match {
+        case st: StructType if !MetaColumns.CanonicalNames.contains(f.name) =>
+          (s"${f.name}__p" -> ByteType) +:
+            st.fields.toSeq.map(mf => s"${f.name}__f_${mf.name}" -> mf.dataType)
+        case _: MapType => Seq(MetaColumns.lenStream(s"${f.name}__k") -> IntegerType)
+        case dt if MetaColumns.isList(dt) && !MetaColumns.CanonicalNames.contains(f.name) =>
+          Seq(MetaColumns.lenStream(f.name) -> IntegerType)
+        case _ => Nil
+      }
+      (f.name -> f.dataType) +: streams
+    }.toMap
     m.get _
   }
   private var required: StructType = fullSchema
@@ -279,7 +296,12 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
       case IsNull(_) | IsNotNull(_) => true
       case _ => false
     }
-    val (nullChecks, rest) = filters.filter(GraftScan.prunable(typeOf)).partition(isNullCheck)
+    // nested/non-scalar references are renamed onto their stat-bearing
+    // engine streams FIRST (`info.score` -> `info__f_score`, IS NULL on a
+    // list/map/struct -> its __len/__k__len/__p stream) so the generic
+    // column-keyed pruning below covers them with no nested awareness
+    val renamed = filters.map(GraftScan.resolveStreamAttrs(fullSchema))
+    val (nullChecks, rest) = renamed.filter(GraftScan.prunable(typeOf)).partition(isNullCheck)
     pushed = rest ++ nullChecks
     filters // all residual
   }
@@ -322,17 +344,24 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
     // excluded: SQL MIN over an array column is lexicographic array order,
     // which element stats cannot answer (GraftStatsAggPushdown handles the
     // element shapes instead).
-    // binary columns record neutral stats (no SQL order) and array columns'
-    // element stats can't answer SQL's lexicographic array MIN/MAX — both
-    // are excluded from MIN/MAX folding (COUNT still folds)
+    // binary columns record neutral stats (no SQL order), array columns'
+    // element stats can't answer SQL's lexicographic array MIN/MAX, and
+    // map/struct columns store their stats under pseudo-stream names
+    // (c__k/c__v, c__p/c__f_*) that cannot answer SQL's struct ordering —
+    // all are excluded from MIN/MAX folding (COUNT still folds)
     val statCols = fullSchema.fields.collect {
       case f if f.name != "tokens" &&
         f.dataType != org.apache.spark.sql.types.BinaryType &&
-        !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => f.name
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] &&
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] => f.name
     }.toSet
-    // COUNT(col) = rows for the non-nullable canonical columns, the
-    // header-summed non-null count for metadata columns
-    val countCols = statCols ++ Set("tokens")
+    // COUNT(col) folds from headers for EVERY column: rows for the
+    // non-nullable canonical four, the header-summed non-null count for
+    // scalar/binary metadata columns, the __len stream's for lists, the
+    // __k pseudo-list's __len for maps, the __p presence stream's for
+    // structs (GraftAggReader resolves the stream per type)
+    val countCols = fullSchema.fields.map(_.name).toSet
     if (!toggles.pushdown) return false // kill switch
     if (pushed.nonEmpty || limit.isDefined || aggregation.groupByExpressions.nonEmpty ||
       aggregation.aggregateExpressions.isEmpty) return false
@@ -406,6 +435,61 @@ object GraftScan {
       case SAnd(l, r) => walk(l) && walk(r)
       case SOr(l, r) => walk(l) && walk(r)
       case _ => false
+    }
+    walk(f)
+  }
+
+  /** Rewrite filter attributes that name NESTED or NON-SCALAR shapes onto
+    * the engine STREAM whose stats answer them — after the rename every
+    * downstream stat source (file headers, chunk stats, v2 stat columns,
+    * blooms, null facts) stays column-name-keyed with zero nested
+    * awareness:
+    *  - `info.score` (the dotted name DataSourceStrategy emits for a
+    *    struct-member predicate under nested pushdown) -> `info__f_score`,
+    *    the member's own stream: its min/max cover non-null members and
+    *    its PRESENT frame is null where the struct OR the member is null —
+    *    exactly SQL's `info.score` domain;
+    *  - IS [NOT] NULL on a LIST/MAP/STRUCT column -> its `__len` /
+    *    `__k__len` / `__p` stream, whose nValues IS the column's non-null
+    *    row count (a pseudo-list is null exactly where its map is, the
+    *    presence stream exactly where its struct is).
+    * `__` is banned in user column names, so rewritten names never collide
+    * with a real column; names that resolve to nothing pass through
+    * untouched and simply fail [[prunable]] (no pruning, still sound).
+    * Canonical columns (incl. `tokens`, whose LENGTH stream predates the
+    * generic framing) are never rewritten. */
+  def resolveStreamAttrs(schema: StructType)(f: Filter): Filter = {
+    import org.apache.spark.sql.types.{MapType => SMapType, StructType => SStructType}
+    val byName = schema.fields.map(fl => fl.name -> fl.dataType).toMap
+    def member(a: String): String =
+      if (byName.contains(a)) a
+      else a.split('.') match {
+        case Array(c, m) => byName.get(c) match {
+          case Some(st: SStructType) if st.fieldNames.contains(m) => s"${c}__f_$m"
+          case _ => a
+        }
+        case _ => a
+      }
+    def nullCheck(a: String): String =
+      if (MetaColumns.CanonicalNames.contains(a)) a
+      else byName.get(a) match {
+        case Some(dt) if MetaColumns.isList(dt) => MetaColumns.lenStream(a)
+        case Some(_: SMapType) => MetaColumns.lenStream(s"${a}__k")
+        case Some(_: SStructType) => s"${a}__p"
+        case _ => member(a)
+      }
+    def walk(f: Filter): Filter = f match {
+      case EqualTo(a, v) => EqualTo(member(a), v)
+      case GreaterThan(a, v) => GreaterThan(member(a), v)
+      case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(member(a), v)
+      case LessThan(a, v) => LessThan(member(a), v)
+      case LessThanOrEqual(a, v) => LessThanOrEqual(member(a), v)
+      case In(a, vs) => In(member(a), vs)
+      case IsNull(a) => IsNull(nullCheck(a))
+      case IsNotNull(a) => IsNotNull(nullCheck(a))
+      case SAnd(l, r) => SAnd(walk(l), walk(r))
+      case SOr(l, r) => SOr(walk(l), walk(r))
+      case other => other
     }
     walk(f)
   }
@@ -573,9 +657,13 @@ class GraftScan(
   /** Only an UN-NARROWED scan may fold aggregates from headers
     * ([[GraftStatsAggPushdown]]): any pushed filter, limit or token
     * predicate changes the aggregate's input set, and runtime filters
-    * cannot arrive later because an agg scan opts out of them. */
+    * cannot arrive later because an agg scan opts out of them. The
+    * pushdown kill switch gates this too — `graft.scan.pushdown=false`
+    * exists to bypass header stats when debugging a suspected wrong
+    * prune, so answers must not be READ from those same stats. */
   def statsAggEligible: Boolean =
-    pushed.isEmpty && limit.isEmpty && tokenRange.isEmpty && tokenPoints.isEmpty &&
+    toggles.pushdown &&
+      pushed.isEmpty && limit.isEmpty && tokenRange.isEmpty && tokenPoints.isEmpty &&
       elemRanges.isEmpty && elemPoints.isEmpty
 
   /** Header-stat aggregate twin of this scan ([[GraftStatsAggPushdown]]). */
@@ -846,9 +934,12 @@ class GraftAggScan(path: String, specs: Seq[AggSpec], hconf: SerializableConfigu
   override def createReaderFactory(): PartitionReaderFactory = {
     val hc = hconf
     val sp = specs
+    // CountOf needs the type too: list/map/struct counts resolve to their
+    // __len/__k__len/__p streams, not the column's own name
     val types = specs.collect {
       case AggSpec.MinOf(c) => c -> partialType(c)
       case AggSpec.MaxOf(c) => c -> partialType(c)
+      case AggSpec.CountOf(c) => c -> partialType(c)
     }.toMap
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -899,11 +990,22 @@ class GraftAggReader(file: String, specs: Seq[AggSpec], conf: Configuration,
       // header-summed non-null chunk cardinality for metadata columns.
       // LIST metadata columns count non-null LISTS — that lives in the
       // __len stream's nValues (the element stream's counts elements).
+      // MAP columns count non-null maps via the __k pseudo-list's __len
+      // stream (a pseudo-list is null exactly where the map is); STRUCT
+      // columns via the __p presence stream (its PRESENT mask IS the
+      // struct nullability). Absent streams (schema-evolved files written
+      // before the column existed) fold to 0 — all rows null there.
       case (AggSpec.CountOf(c), i) =>
         if (MetaColumns.CanonicalNames.contains(c)) out.setLong(i, h.rows)
-        else if (types.get(c).exists(MetaColumns.isList))
-          out.setLong(i, h.nValues.getOrElse(MetaColumns.lenStream(c), 0L))
-        else out.setLong(i, h.nValues.getOrElse(c, 0L))
+        else types.get(c) match {
+          case Some(dt) if MetaColumns.isList(dt) =>
+            out.setLong(i, h.nValues.getOrElse(MetaColumns.lenStream(c), 0L))
+          case Some(_: org.apache.spark.sql.types.MapType) =>
+            out.setLong(i, h.nValues.getOrElse(MetaColumns.lenStream(s"${c}__k"), 0L))
+          case Some(_: org.apache.spark.sql.types.StructType) =>
+            out.setLong(i, h.nValues.getOrElse(s"${c}__p", 0L))
+          case _ => out.setLong(i, h.nValues.getOrElse(c, 0L))
+        }
       // token ELEMENT extrema: the fold skips value-less chunks, so the
       // range is exact over the tokens present; a token-free file emits
       // null (= array_min/array_max over empty arrays, which MIN ignores)

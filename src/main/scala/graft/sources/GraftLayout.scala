@@ -121,13 +121,24 @@ object GraftLayout {
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(16, misses.length))
+    // shutdownNow (not shutdown) in finally: on a failure, queued reads
+    // against an unreachable FS must not keep running in the background
+    // after planning has already thrown; on success nothing is queued, so
+    // the two are equivalent. Unwrap ExecutionException so callers see the
+    // same IOException a serial header() walk would throw.
     try {
       misses.map { f =>
         pool.submit(new java.util.concurrent.Callable[FileHeader] {
           override def call(): FileHeader = header(f, conf)
         })
-      }.foreach(_.get())
-    } finally pool.shutdown()
+      }.foreach { fu =>
+        try fu.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
+    } finally pool.shutdownNow()
   }
 
   private def readHeader(file: String, conf: Configuration): FileHeader = {

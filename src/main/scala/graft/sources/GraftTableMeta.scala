@@ -91,22 +91,42 @@ object GraftTableMeta {
 
   private val VersionRe = """_meta\.v(\d+)""".r
 
+  /** Short-TTL memo of [[latestVersion]] — read() is on the scan-build and
+    * write-build path of EVERY query, and the version listing would
+    * otherwise re-pay an FS listing per table per query (two metadata RPCs
+    * on an object store) even for the common never-evolved table. The TTL
+    * bounds cross-process staleness (an evolve in ANOTHER driver becomes
+    * visible within `VersionTtlNanos` — the same eventual-consistency
+    * contract as a cached Iceberg catalog pointer); an in-JVM [[evolve]]
+    * invalidates its own entry, so same-driver evolve→append→read is
+    * always exact. */
+  private val VersionTtlNanos = 30L * 1000 * 1000 * 1000
+  private val latestVersionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[(Int, String)])]()
+
   /** Newest `_meta.v<N>` (version, schema ddl), if any. */
   private def latestVersion(tableDir: String, conf: Configuration): Option[(Int, String)] = {
+    val now = System.nanoTime()
+    val hit = latestVersionCache.get(tableDir)
+    if (hit != null && now - hit._1 < VersionTtlNanos) return hit._2
     val ldir = new HPath(tableDir, "lineage")
     val fs = ldir.getFileSystem(conf)
-    if (!fs.exists(ldir)) return None
-    val versions = fs.listStatus(ldir).iterator.flatMap { st =>
-      st.getPath.getName match {
-        case VersionRe(n) => n.toIntOption
-        case _ => None
+    val versions =
+      try fs.listStatus(ldir).iterator.flatMap { st =>
+        st.getPath.getName match {
+          case VersionRe(n) => n.toIntOption
+          case _ => None
+        }
+      }.toSeq
+      catch { case _: java.io.FileNotFoundException => Nil }
+    val got =
+      if (versions.isEmpty) None
+      else {
+        val v = versions.max
+        versionContent(versionPath(tableDir, v), fs).map(v -> _)
       }
-    }.toSeq
-    if (versions.isEmpty) None
-    else {
-      val v = versions.max
-      versionContent(versionPath(tableDir, v), fs).map(v -> _)
-    }
+    latestVersionCache.put(tableDir, (now, got))
+    got
   }
 
   /** Version-file schema ddl, cached by path (version files are
@@ -138,6 +158,7 @@ object GraftTableMeta {
     * (base marker AND any version-file content under the table). */
   def invalidate(tableDir: String): Unit = {
     metaCache.synchronized { metaCache.remove(tableDir): Unit }
+    latestVersionCache.remove(tableDir)
     val prefix = new HPath(tableDir, "lineage").toString
     val it = versionCache.keySet().iterator()
     while (it.hasNext) { if (it.next().startsWith(prefix)) it.remove() }
@@ -177,9 +198,11 @@ object GraftTableMeta {
       val out = fs.create(p, false)
       try out.write(s"schema=$newDdl\n".getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      latestVersionCache.remove(tableDir) // this JVM sees the evolution NOW
       next
     } catch {
       case e: java.io.IOException =>
+        latestVersionCache.remove(tableDir) // see the concurrent winner, not the memo
         val after = read(tableDir, conf)
         if (after.exists(_.schemaDdl.contains(newDdl))) after.get.schemaVersion
         else throw new java.util.ConcurrentModificationException(

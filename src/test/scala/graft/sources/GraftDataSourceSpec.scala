@@ -921,6 +921,139 @@ class GraftDataSourceSpec extends AnyFunSuite {
       s"aggregate scan decoded payload: $m")
   }
 
+  test("COUNT folds from headers for map/struct/list/binary columns; " +
+    "MIN/MAX over a struct is never pushed (stats live under pseudo-streams)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp()
+    val input = TokenTables.synthetic(spark, nDocs = 200, seed = 42L)
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      .withColumn("attrs", when($"n_tok" % 4 =!= 0,
+        map(lit("lang"), concat(lit("l"), ($"n_tok" % 3).cast("string")))))
+      .withColumn("info", when($"n_tok" % 3 =!= 0, struct(
+        ($"n_tok" / 10.0).as("score"),
+        concat(lit("k"), ($"n_tok" % 2).cast("string")).as("kind"))))
+      .withColumn("tags", when($"n_tok" % 5 =!= 0, array($"n_tok", $"n_tok" + 1)))
+      .withColumn("blob", when($"n_tok" % 7 =!= 0, $"doc_id".cast("binary")))
+    input.write.format("graft").option("buckets", "2")
+      .option("tokensPerChunk", "64")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(dir)
+    val table = spark.read.format("graft").load(dir)
+    // COUNT over every non-scalar shape folds header-side: maps from the
+    // __k pseudo-list's __len nValues, structs from __p, lists from __len,
+    // binary from its own stream — no payload decode
+    val counted = table.agg(
+      count($"attrs").as("n_m"), count($"info").as("n_s"),
+      count($"tags").as("n_l"), count($"blob").as("n_b"))
+    val planC = counted.queryExecution.executedPlan.toString
+    assert(planC.contains("PushedAggregation") && planC.contains("COUNT(attrs)") &&
+      planC.contains("COUNT(info)") && planC.contains("COUNT(tags)") &&
+      planC.contains("COUNT(blob)"), s"non-scalar COUNT not pushed:\n$planC")
+    val gotC = counted.collect()(0)
+    val wantC = input.agg(count($"attrs"), count($"info"),
+      count($"tags"), count($"blob")).collect()(0)
+    assert(gotC === wantC, s"folded counts diverged: got $gotC want $wantC")
+    val (_, mC) = runWithScanMetrics(counted)
+    assert(mC.getOrElse("graft payload bytes decoded", -1L) <= 0L,
+      s"non-scalar COUNT decoded payload: $mC")
+    // MIN/MAX over a struct column must NOT push — the header has no
+    // stats under the struct's own name (only __p/__f_* pseudo-streams),
+    // so a folded answer would be null/0 on a non-empty table. Spark
+    // computes struct ordering itself and must agree with the raw input.
+    val extrema = table.agg(min($"info").as("lo"), max($"info").as("hi"))
+    val planE = extrema.queryExecution.executedPlan.toString
+    assert(!planE.contains("PushedAggregation"),
+      s"struct MIN/MAX wrongly pushed to header stats:\n$planE")
+    assert(extrema.collect()(0) ===
+      input.agg(min($"info"), max($"info")).collect()(0))
+  }
+
+  test("STRUCT-member predicates push onto the member's stream stats " +
+    "(info.score -> info__f_score) and prune segments; results stay exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp()
+    // member values correlate with doc_id, so the sorted chunks carry
+    // tight member ranges — the layout where member stats actually prune
+    val input = TokenTables.synthetic(spark, nDocs = 400, seed = 42L)
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      .withColumn("d", expr("cast(substring(doc_id, 5) as int)"))
+      .withColumn("info", when($"d" % 4 =!= 1, struct(
+        ($"d" * 10L).as("rank"),
+        when($"d" % 5 =!= 0, $"d" / 100.0).as("score"),
+        concat(lit("k"), ($"d" % 3).cast("string")).as("kind"))))
+      .drop("d")
+    input.write.format("graft").option("buckets", "4")
+      .option("tokensPerChunk", "64")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(dir)
+    val table = spark.read.format("graft").load(dir)
+    val q = table.filter($"info.rank" === 2000L).select("doc_id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("info__f_rank"),
+      s"member predicate not rewritten onto the member stream:\n$plan")
+    val (rows, m) = runWithScanMetrics(q)
+    assert(rows.map(_.getString(0)).toSeq === Seq("doc_000000000200"))
+    val totalSegments = spark.read.parquet(s"$dir/data").count()
+    val decoded = m.getOrElse("graft segments decoded", Long.MaxValue)
+    assert(decoded < totalSegments,
+      s"member stats pruned nothing: decoded $decoded of $totalSegments: $m")
+    // string member + range member compose under AND; exact vs raw input
+    val composed = table.filter($"info.kind" === "k1" && $"info.score" > 2.5)
+    assert(composed.count() ===
+      input.filter($"info.kind" === "k1" && $"info.score" > 2.5).count())
+    // member null semantics: null struct OR null member
+    assert(table.filter($"info.score".isNull).count() ===
+      input.filter($"info.score".isNull).count())
+    assert(table.filter($"info".isNull).count() ===
+      input.filter($"info".isNull).count())
+  }
+
+  test("IS [NOT] NULL on list/map/struct columns prunes via their " +
+    "presence-bearing streams (__len/__k__len/__p); results stay exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp()
+    // bucket by doc hash, nulls on a doc_id-correlated stripe so SOME
+    // chunks are all-null / all-present and null facts discriminate
+    val input = TokenTables.synthetic(spark, nDocs = 400, seed = 42L)
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      .withColumn("d", expr("cast(substring(doc_id, 5) as int)"))
+      .withColumn("tags", when($"d" < 200, array($"d", $"d" + 1)))
+      .withColumn("attrs", when($"d" < 200, map(lit("k"), $"d".cast("string"))))
+      .withColumn("info", when($"d" < 200, struct(($"d" * 2).as("x"))))
+      .drop("d")
+    input.write.format("graft").option("buckets", "4")
+      .option("tokensPerChunk", "64")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(dir)
+    val table = spark.read.format("graft").load(dir)
+    for ((col, stream) <- Seq("tags" -> "tags__len", "attrs" -> "attrs__k__len",
+        "info" -> "info__p")) {
+      val q = table.filter(table(col).isNotNull)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(s"IsNotNull($stream)"),
+        s"$col null check not rewritten onto $stream:\n$plan")
+      assert(q.count() === 200L, s"$col IS NOT NULL row count")
+      assert(table.filter(table(col).isNull).count() === 200L,
+        s"$col IS NULL row count")
+    }
+  }
+
+  test("graft.scan.pushdown=false gates the stats-agg rewrite too " +
+    "(answers must not be READ from the stats the switch bypasses)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_min, min}
+    GraftStatsAggPushdown.install(spark)
+    val on = spark.read.format("graft").load(bare)
+      .agg(min(array_min($"tokens")).as("lo"))
+    assert(on.queryExecution.executedPlan.toString.contains("MIN_TOKEN_ELEM"))
+    val off = spark.read.format("graft").option("pushdown", "false").load(bare)
+      .agg(min(array_min($"tokens")).as("lo"))
+    val planOff = off.queryExecution.executedPlan.toString
+    assert(!planOff.contains("MIN_TOKEN_ELEM"),
+      s"pushdown=false scan still folded from header stats:\n$planOff")
+    assert(off.collect()(0) === on.collect()(0))
+  }
+
   test("graft table schemas are fixed at creation (append with a different column set fails)") {
     import spark.implicits._
     val dir = tmp()
