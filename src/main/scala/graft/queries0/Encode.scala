@@ -803,6 +803,67 @@ object Encode {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** NESTED predicate pushdown end-to-end (round-5: the DataFusion-side
+    * nested-column pruning the reference gets from parquet row-group
+    * stats, rendered onto graft's engine streams): `info.kind`/`info.score`
+    * member predicates are rewritten onto the members' own stat-bearing
+    * streams (`info__f_kind`/`info__f_score` — min/max cover non-null
+    * members, PRESENT is null where struct OR member is), and IS [NOT]
+    * NULL on a struct/list/map column resolves to its presence-bearing
+    * stream (`__p`/`__len`/`__k__len`). Every filter REQUIRES its
+    * rewritten stream name in the executed plan, so the entry fails loudly
+    * if the pushdown stops engaging rather than silently running unpushed.
+    * All values derive from n_tok, so DuckDB replays it nested-free. */
+  def dsv2NestedPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-nestedpd-q").toString
+    try {
+      val input = TokenTables.fromDocuments(spark, dir)
+        .toDF("doc_id", "tokens", "n_tok", "source")
+        .withColumn("info", when($"n_tok" % 4 =!= 0, struct(
+          when($"n_tok" % 5 =!= 0, ($"n_tok" / 10.0) - 5.0).as("score"),
+          concat(lit("k"), ($"n_tok" % 3).cast("string")).as("kind"))))
+        .withColumn("tags", when($"n_tok" % 3 =!= 0, array($"n_tok", $"n_tok" + 1)))
+        .withColumn("attrs", when($"n_tok" % 6 =!= 0,
+          map(lit("lang"), concat(lit("l"), ($"n_tok" % 2).cast("string")))))
+      input.write.format("graft").option("buckets", "8")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(base)
+      val table = spark.read.format("graft").load(base)
+
+      val ranged = table.filter($"info.kind" === "k1" && $"info.score" > 2.0)
+      val planR = ranged.queryExecution.executedPlan.toString
+      require(planR.contains("info__f_kind") && planR.contains("info__f_score"),
+        s"member predicates not rewritten onto their streams:\n$planR")
+      def requireStream(df: DataFrame, what: String): DataFrame = {
+        val p = df.queryExecution.executedPlan.toString
+        require(p.contains(what), s"null check not rewritten onto $what:\n$p")
+        df
+      }
+      val nullStruct = requireStream(table.filter($"info".isNull), "IsNull(info__p)")
+      val nullScore = requireStream(
+        table.filter($"info.score".isNull), "IsNull(info__f_score)")
+      val tagsPresent =
+        requireStream(table.filter($"tags".isNotNull), "IsNotNull(tags__len)")
+      val attrsNull =
+        requireStream(table.filter($"attrs".isNull), "IsNull(attrs__k__len)")
+
+      val row = ranged.agg(
+        count(lit(1)).as("n_range"),
+        coalesce(sum($"n_tok".cast("long")), lit(0L)).as("sum_range_tok"))
+        .withColumn("n_null_struct", lit(nullStruct.count()))
+        .withColumn("n_null_score", lit(nullScore.count()))
+        .withColumn("n_tags_present", lit(tagsPresent.count()))
+        .withColumn("n_attrs_null", lit(attrsNull.count()))
+        .collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(row, 1),
+        StructType(Seq("n_range", "sum_range_tok", "n_null_struct",
+          "n_null_score", "n_tags_present", "n_attrs_null")
+          .map(n => StructField(n, LongType))))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
   /** SCHEMA EVOLUTION end-to-end (round-5 item 3; the reference's
     * Schema::try_merge across files, file_format.rs:146-161, rendered as
     * add-column-with-null-default INSIDE one table): generation 1 lands
@@ -1257,6 +1318,33 @@ object Encode {
         |  CAST(SUM(CASE WHEN kind = 'k1' THEN 1 ELSE 0 END) AS BIGINT) AS n_k1,
         |  CAST(0 AS BIGINT) AS n_mismatch
         |FROM meta""".stripMargin,
+    "encode_dsv2_nested_pushdown" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> x <> '')) AS n_tok
+        |  FROM documents
+        |),
+        |meta AS (
+        |  SELECT doc_id, n_tok,
+        |    CASE WHEN n_tok % 4 <> 0 THEN 1 END AS has_info,
+        |    CASE WHEN n_tok % 4 <> 0 AND n_tok % 5 <> 0
+        |      THEN n_tok / 10.0 - 5.0 END AS score,
+        |    CASE WHEN n_tok % 4 <> 0 THEN 'k' || CAST(n_tok % 3 AS VARCHAR) END AS kind,
+        |    CASE WHEN n_tok % 3 <> 0 THEN 1 END AS has_tags,
+        |    CASE WHEN n_tok % 6 <> 0 THEN 1 END AS has_attrs
+        |  FROM tok
+        |)
+        |SELECT
+        |  CAST(SUM(CASE WHEN kind = 'k1' AND score > 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_range,
+        |  CAST(SUM(CASE WHEN kind = 'k1' AND score > 2.0 THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS sum_range_tok,
+        |  CAST(SUM(CASE WHEN has_info IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_struct,
+        |  CAST(SUM(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_score,
+        |  CAST(COUNT(has_tags) AS BIGINT) AS n_tags_present,
+        |  CAST(SUM(CASE WHEN has_attrs IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attrs_null
+        |FROM meta""".stripMargin,
     "encode_compaction_meta" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1324,6 +1412,7 @@ object Encode {
     "encode_dsv2_meta_list" -> (dsv2MetaList _),
     "encode_dsv2_meta_map" -> (dsv2MetaMap _),
     "encode_dsv2_meta_struct" -> (dsv2MetaStruct _),
+    "encode_dsv2_nested_pushdown" -> (dsv2NestedPushdown _),
     "encode_dsv2_schema_evolution" -> (dsv2SchemaEvolution _),
     "encode_compaction_meta" -> (compactionMeta _),
     "encode_dsv2_streaming_write" -> (dsv2StreamingWrite _),
