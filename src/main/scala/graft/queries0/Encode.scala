@@ -864,6 +864,52 @@ object Encode {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** NESTED aggregate pushdown end-to-end (round-5, completing the nested
+    * story): `MIN/MAX/COUNT(info.score)` fold from the MEMBER stream's
+    * (`info__f_score`) header stats — non-null members only, exactly SQL's
+    * null-ignoring domain — with zero payload decode, the same exact-stats
+    * stance as the reference's metadata.rs:64-86 rendered one nesting level
+    * down. The plan is REQUIRED to carry the member-stream aggregate, so
+    * the entry fails loudly if the pushdown stops engaging. Values derive
+    * from n_tok, so DuckDB replays the struct nested-free. */
+  def dsv2NestedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-nestedagg-q").toString
+    try {
+      val input = TokenTables.fromDocuments(spark, dir)
+        .toDF("doc_id", "tokens", "n_tok", "source")
+        .withColumn("info", when($"n_tok" % 4 =!= 0, struct(
+          when($"n_tok" % 5 =!= 0, ($"n_tok" / 10.0) - 5.0).as("score"),
+          concat(lit("k"), ($"n_tok" % 3).cast("string")).as("kind"))))
+      input.write.format("graft").option("buckets", "8")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(base)
+      val table = spark.read.format("graft").load(base)
+      val fused = table.agg(
+        count(lit(1)).as("n_docs"),
+        count($"info.score").as("n_score"),
+        min($"info.score").as("min_score"),
+        max($"info.score").as("max_score"),
+        count($"info.kind").as("n_kind"),
+        min($"info.kind").as("min_kind"),
+        max($"info.kind").as("max_kind"))
+      val plan = fused.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregation") &&
+        plan.contains("MIN(info__f_score)") && plan.contains("MAX(info__f_kind)") &&
+        plan.contains("COUNT(info__f_score)"),
+        s"member aggregates not folded from member-stream stats:\n$plan")
+      // materialize before the temp table directory is deleted
+      val rows = fused.collect().toSeq
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("n_docs", LongType), StructField("n_score", LongType),
+          StructField("min_score", DoubleType), StructField("max_score", DoubleType),
+          StructField("n_kind", LongType), StructField("min_kind", StringType),
+          StructField("max_kind", StringType))))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
   /** SCHEMA EVOLUTION end-to-end (round-5 item 3; the reference's
     * Schema::try_merge across files, file_format.rs:146-161, rendered as
     * add-column-with-null-default INSIDE one table): generation 1 lands
@@ -1345,6 +1391,28 @@ object Encode {
         |  CAST(COUNT(has_tags) AS BIGINT) AS n_tags_present,
         |  CAST(SUM(CASE WHEN has_attrs IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attrs_null
         |FROM meta""".stripMargin,
+    "encode_dsv2_nested_agg" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> x <> '')) AS n_tok
+        |  FROM documents
+        |),
+        |meta AS (
+        |  SELECT doc_id, n_tok,
+        |    CASE WHEN n_tok % 4 <> 0 AND n_tok % 5 <> 0
+        |      THEN n_tok / 10.0 - 5.0 END AS score,
+        |    CASE WHEN n_tok % 4 <> 0 THEN 'k' || CAST(n_tok % 3 AS VARCHAR) END AS kind
+        |  FROM tok
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(score) AS BIGINT) AS n_score,
+        |  CAST(MIN(score) AS DOUBLE) AS min_score,
+        |  CAST(MAX(score) AS DOUBLE) AS max_score,
+        |  CAST(COUNT(kind) AS BIGINT) AS n_kind,
+        |  MIN(kind) AS min_kind,
+        |  MAX(kind) AS max_kind
+        |FROM meta""".stripMargin,
     "encode_compaction_meta" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1413,6 +1481,7 @@ object Encode {
     "encode_dsv2_meta_map" -> (dsv2MetaMap _),
     "encode_dsv2_meta_struct" -> (dsv2MetaStruct _),
     "encode_dsv2_nested_pushdown" -> (dsv2NestedPushdown _),
+    "encode_dsv2_nested_agg" -> (dsv2NestedAgg _),
     "encode_dsv2_schema_evolution" -> (dsv2SchemaEvolution _),
     "encode_compaction_meta" -> (compactionMeta _),
     "encode_dsv2_streaming_write" -> (dsv2StreamingWrite _),

@@ -332,9 +332,22 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
     * merges. Any filter blocks the push (ours always re-filter). */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    // a 2-part reference is a STRUCT MEMBER (`info.score` arrives as
+    // FieldReference(["info","score"]) under nested pushdown): resolve it
+    // onto the member's own stream (`info__f_score`) the way
+    // resolveStreamAttrs does for filters — the stream's header stats
+    // cover non-null members and its nValues counts them, exactly SQL's
+    // null-ignoring MIN/MAX/COUNT domain over `info.score`
     def field(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames().length == 1 => Some(nr.fieldNames()(0))
+        case nr: NamedReference if nr.fieldNames().length == 2 =>
+          val c = nr.fieldNames()(0); val m = nr.fieldNames()(1)
+          fullSchema.fields.find(_.name == c).map(_.dataType) match {
+            case Some(st: org.apache.spark.sql.types.StructType)
+              if st.fieldNames.contains(m) => Some(s"${c}__f_$m")
+            case _ => None
+          }
         case _ => None
       }
     // every SCALAR column carries exact min/max stats: the canonical three
@@ -356,20 +369,30 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
         !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] &&
         !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] => f.name
     }.toSet
+    // a resolved MEMBER stream (`c__f_m`) folds MIN/MAX when the member
+    // type has SQL order (every scalar but binary); its stats cover
+    // non-null members only — SQL's domain for `MIN(info.score)`
+    def statOk(n: String): Boolean = statCols(n) ||
+      (n.contains("__f_") && typeOf(n).exists {
+        case org.apache.spark.sql.types.BinaryType => false
+        case dt => MetaColumns.isScalar(dt)
+      })
     // COUNT(col) folds from headers for EVERY column: rows for the
     // non-nullable canonical four, the header-summed non-null count for
     // scalar/binary metadata columns, the __len stream's for lists, the
     // __k pseudo-list's __len for maps, the __p presence stream's for
-    // structs (GraftAggReader resolves the stream per type)
-    val countCols = fullSchema.fields.map(_.name).toSet
+    // structs (GraftAggReader resolves the stream per type) — and for a
+    // member stream, its own nValues (null where struct OR member is)
+    val tableCols = fullSchema.fields.map(_.name).toSet
+    def countOk(n: String): Boolean = tableCols(n) || n.contains("__f_")
     if (!toggles.pushdown) return false // kill switch
     if (pushed.nonEmpty || limit.isDefined || aggregation.groupByExpressions.nonEmpty ||
       aggregation.aggregateExpressions.isEmpty) return false
     val specs = aggregation.aggregateExpressions.map {
       case _: CountStar => Some(AggSpec.CountAll)
-      case c: Count if !c.isDistinct => field(c.column).filter(countCols).map(AggSpec.CountOf)
-      case m: Min => field(m.column).filter(statCols).map(AggSpec.MinOf)
-      case m: Max => field(m.column).filter(statCols).map(AggSpec.MaxOf)
+      case c: Count if !c.isDistinct => field(c.column).filter(countOk).map(AggSpec.CountOf)
+      case m: Min => field(m.column).filter(statOk).map(AggSpec.MinOf)
+      case m: Max => field(m.column).filter(statOk).map(AggSpec.MaxOf)
       case _ => None
     }
     if (specs.forall(_.isDefined)) { aggSpecs = specs.flatten.toSeq; true } else false
@@ -905,10 +928,18 @@ class GraftAggScan(path: String, specs: Seq[AggSpec], hconf: SerializableConfigu
   // COUNT(*) on an empty table would return null instead of 0
   /** Column types from the recorded table schema — MIN/MAX partials carry
     * the column's OWN type (int/long/date/timestamp/double/string), so
-    * metadata-column aggregates push like canonical ones. */
+    * metadata-column aggregates push like canonical ones. Struct MEMBER
+    * streams (`c__f_m`, what a pushed `MIN(info.score)` resolves to) carry
+    * the member's own type. */
   private lazy val colTypes: Map[String, DataType] =
-    GraftTable.tableSchema(path, hconf.value).fields
-      .map(f => f.name -> f.dataType).toMap
+    GraftTable.tableSchema(path, hconf.value).fields.flatMap { f =>
+      val members = f.dataType match {
+        case st: org.apache.spark.sql.types.StructType =>
+          st.fields.toSeq.map(mf => s"${f.name}__f_${mf.name}" -> mf.dataType)
+        case _ => Nil
+      }
+      (f.name -> f.dataType) +: members
+    }.toMap
   private def partialType(c: String): DataType =
     colTypes.getOrElse(c, StringType)
   override def readSchema(): StructType = StructType(specs.map {

@@ -1008,6 +1008,52 @@ class GraftDataSourceSpec extends AnyFunSuite {
       input.filter($"info".isNull).count())
   }
 
+  test("STRUCT-member MIN/MAX/COUNT push to the member stream's header " +
+    "stats (min(info.score) folds from info__f_score, no payload decode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp()
+    val input = TokenTables.synthetic(spark, nDocs = 300, seed = 7L)
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      .withColumn("d", expr("cast(substring(doc_id, 5) as int)"))
+      .withColumn("info", when($"d" % 4 =!= 1, struct(
+        ($"d" * 10L).as("rank"),
+        when($"d" % 5 =!= 0, ($"d" / 100.0) - 1.0).as("score"),
+        concat(lit("k"), ($"d" % 3).cast("string")).as("kind"))))
+      .drop("d")
+    input.write.format("graft").option("buckets", "2")
+      .option("tokensPerChunk", "64")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(dir)
+    val table = spark.read.format("graft").load(dir)
+    val fused = table.agg(
+      min($"info.score").as("min_s"), max($"info.score").as("max_s"),
+      min($"info.rank").as("min_r"), max($"info.rank").as("max_r"),
+      min($"info.kind").as("min_k"), max($"info.kind").as("max_k"),
+      count($"info.score").as("n_s"), count($"info.kind").as("n_k"))
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation") &&
+      plan.contains("MIN(info__f_score)") && plan.contains("MAX(info__f_rank)") &&
+      plan.contains("MIN(info__f_kind)") && plan.contains("COUNT(info__f_score)"),
+      s"member aggregate not pushed onto member streams:\n$plan")
+    val got = fused.collect()(0)
+    // ground truth from the raw input: MIN/MAX/COUNT ignore nulls, and a
+    // member is null where the struct OR the member itself is
+    val want = input.agg(
+      min($"info.score"), max($"info.score"), min($"info.rank"),
+      max($"info.rank"), min($"info.kind"), max($"info.kind"),
+      count($"info.score"), count($"info.kind")).collect()(0)
+    assert(got === want, s"pushed member aggregate diverged: got $got want $want")
+    // header-only: payload pages never read
+    val (_, m) = runWithScanMetrics(fused)
+    assert(m.getOrElse("graft payload bytes decoded", -1L) <= 0L,
+      s"member aggregate decoded payload: $m")
+    // mixed with a table-level aggregate in one pass
+    val mixed = table.agg(count(lit(1)).as("n"), max($"info.rank").as("hi"))
+    assert(mixed.queryExecution.executedPlan.toString.contains("MAX(info__f_rank)"))
+    assert(mixed.collect()(0) ===
+      input.agg(count(lit(1)), max($"info.rank")).collect()(0))
+  }
+
   test("IS [NOT] NULL on list/map/struct columns prunes via their " +
     "presence-bearing streams (__len/__k__len/__p); results stay exact") {
     import spark.implicits._
