@@ -910,6 +910,52 @@ object Encode {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** LIST-element aggregate folding end-to-end (round-5, generalizing the
+    * round-3 tokens-only fold): `min(array_min(tags))` / `max(array_max
+    * (names))` over LIST metadata columns reduce to the element streams'
+    * header stats via [[graft.sources.GraftStatsAggPushdown]] — mixed in
+    * the SAME aggregate with plain scalar MIN/MAX and COUNTs, all folded,
+    * zero payload decode. The plan is REQUIRED to carry the element-fold
+    * markers. Values derive from n_tok, so DuckDB replays the lists with
+    * list_min/list_max. */
+  def dsv2ElemAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-elemagg-q").toString
+    try {
+      val input = TokenTables.fromDocuments(spark, dir)
+        .toDF("doc_id", "tokens", "n_tok", "source")
+        .withColumn("tags", when($"n_tok" % 3 =!= 0,
+          array($"n_tok" * 2, $"n_tok" * 2 + 1)))
+        .withColumn("names", when($"n_tok" % 4 =!= 0,
+          array(concat(lit("n"), ($"n_tok" % 7).cast("string")))))
+        .withColumn("quality", when($"n_tok" % 5 =!= 0, ($"n_tok" / 10.0) - 3.0))
+      input.write.format("graft").option("buckets", "8")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(base)
+      graft.sources.GraftStatsAggPushdown.install(spark)
+      val table = spark.read.format("graft").load(base)
+      val fused = table.agg(
+        min(array_min($"tags")).as("lo_tag"),
+        max(array_max($"tags")).as("hi_tag"),
+        min(array_min($"names")).as("lo_name"),
+        max(array_max($"names")).as("hi_name"),
+        min($"quality").as("lo_q"), max($"quality").as("hi_q"),
+        count($"tags").as("n_tags"), count(lit(1)).as("n_docs"))
+      val plan = fused.queryExecution.executedPlan.toString
+      require(plan.contains("MIN_ELEM(tags)") && plan.contains("MAX_ELEM(names)") &&
+        plan.contains("MIN(quality)") && plan.contains("COUNT(tags)"),
+        s"element aggregates not folded from header stats:\n$plan")
+      val rows = fused.collect().toSeq
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("lo_tag", IntegerType), StructField("hi_tag", IntegerType),
+          StructField("lo_name", StringType), StructField("hi_name", StringType),
+          StructField("lo_q", DoubleType), StructField("hi_q", DoubleType),
+          StructField("n_tags", LongType), StructField("n_docs", LongType))))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
   /** SCHEMA EVOLUTION end-to-end (round-5 item 3; the reference's
     * Schema::try_merge across files, file_format.rs:146-161, rendered as
     * add-column-with-null-default INSIDE one table): generation 1 lands
@@ -1413,6 +1459,30 @@ object Encode {
         |  MIN(kind) AS min_kind,
         |  MAX(kind) AS max_kind
         |FROM meta""".stripMargin,
+    "encode_dsv2_elem_agg" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> x <> '')) AS n_tok
+        |  FROM documents
+        |),
+        |meta AS (
+        |  SELECT doc_id, n_tok,
+        |    CASE WHEN n_tok % 3 <> 0 THEN [n_tok * 2, n_tok * 2 + 1] END AS tags,
+        |    CASE WHEN n_tok % 4 <> 0
+        |      THEN ['n' || CAST(n_tok % 7 AS VARCHAR)] END AS names,
+        |    CASE WHEN n_tok % 5 <> 0 THEN n_tok / 10.0 - 3.0 END AS quality
+        |  FROM tok
+        |)
+        |SELECT CAST(MIN(list_min(tags)) AS INTEGER) AS lo_tag,
+        |  CAST(MAX(list_max(tags)) AS INTEGER) AS hi_tag,
+        |  MIN(list_min(names)) AS lo_name,
+        |  MAX(list_max(names)) AS hi_name,
+        |  CAST(MIN(quality) AS DOUBLE) AS lo_q,
+        |  CAST(MAX(quality) AS DOUBLE) AS hi_q,
+        |  CAST(COUNT(tags) AS BIGINT) AS n_tags,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM meta""".stripMargin,
     "encode_compaction_meta" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1482,6 +1552,7 @@ object Encode {
     "encode_dsv2_meta_struct" -> (dsv2MetaStruct _),
     "encode_dsv2_nested_pushdown" -> (dsv2NestedPushdown _),
     "encode_dsv2_nested_agg" -> (dsv2NestedAgg _),
+    "encode_dsv2_elem_agg" -> (dsv2ElemAgg _),
     "encode_dsv2_schema_evolution" -> (dsv2SchemaEvolution _),
     "encode_compaction_meta" -> (compactionMeta _),
     "encode_dsv2_streaming_write" -> (dsv2StreamingWrite _),

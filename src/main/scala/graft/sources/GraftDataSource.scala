@@ -243,6 +243,14 @@ object AggSpec {
   /** Non-null count: header row count for the (non-nullable) canonical
     * columns, the per-file sum of chunk nValues for metadata columns. */
   final case class CountOf(col: String) extends AggSpec
+  /** ELEMENT extrema of an array column (`min(array_min(c))` /
+    * `max(array_max(c))`, the [[GraftStatsAggPushdown]] rewrite): the
+    * header-folded element-stream stats ARE this aggregate's answer —
+    * the fold skips value-less chunks, array_min/array_max skip null
+    * elements, and MIN/MAX ignore the nulls empty/null arrays produce,
+    * so both sides range over exactly the non-null elements present. */
+  final case class ElemMinOf(col: String) extends AggSpec
+  final case class ElemMaxOf(col: String) extends AggSpec
 }
 
 class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
@@ -942,14 +950,20 @@ class GraftAggScan(path: String, specs: Seq[AggSpec], hconf: SerializableConfigu
     }.toMap
   private def partialType(c: String): DataType =
     colTypes.getOrElse(c, StringType)
+  /** Element type of an array column — what an ELEMENT extremum partial
+    * carries (`tokens` predates colTypes' metadata DDL: int). */
+  private def elemType(c: String): DataType = colTypes.get(c) match {
+    case Some(org.apache.spark.sql.types.ArrayType(et, _)) => et
+    case _ => IntegerType
+  }
   override def readSchema(): StructType = StructType(specs.map {
     case AggSpec.CountAll => StructField("count(*)", LongType, nullable = false)
     case AggSpec.CountOf(c) => StructField(s"count($c)", LongType, nullable = false)
-    // token ELEMENT extrema (min over array_min / max over array_max, the
-    // GraftStatsAggPushdown rewrite) — NOT SQL MIN(tokens), which is
+    // array ELEMENT extrema (min over array_min / max over array_max, the
+    // GraftStatsAggPushdown rewrite) — NOT SQL MIN(c), which is
     // lexicographic array order and is never pushed
-    case AggSpec.MinOf("tokens") => StructField("min_tok_elem", IntegerType, nullable = true)
-    case AggSpec.MaxOf("tokens") => StructField("max_tok_elem", IntegerType, nullable = true)
+    case AggSpec.ElemMinOf(c) => StructField(s"min_elem($c)", elemType(c), nullable = true)
+    case AggSpec.ElemMaxOf(c) => StructField(s"max_elem($c)", elemType(c), nullable = true)
     case AggSpec.MinOf(c) => StructField(s"min($c)", partialType(c), nullable = true)
     case AggSpec.MaxOf(c) => StructField(s"max($c)", partialType(c), nullable = true)
   })
@@ -957,8 +971,10 @@ class GraftAggScan(path: String, specs: Seq[AggSpec], hconf: SerializableConfigu
     "GraftScan PushedAggregation: [" + specs.map {
       case AggSpec.CountAll => "COUNT(*)"
       case AggSpec.CountOf(c) => s"COUNT($c)"
-      case AggSpec.MinOf("tokens") => "MIN_TOKEN_ELEM"
-      case AggSpec.MaxOf("tokens") => "MAX_TOKEN_ELEM"
+      case AggSpec.ElemMinOf("tokens") => "MIN_TOKEN_ELEM"
+      case AggSpec.ElemMaxOf("tokens") => "MAX_TOKEN_ELEM"
+      case AggSpec.ElemMinOf(c) => s"MIN_ELEM($c)"
+      case AggSpec.ElemMaxOf(c) => s"MAX_ELEM($c)"
       case AggSpec.MinOf(c) => s"MIN($c)"
       case AggSpec.MaxOf(c) => s"MAX($c)"
     }.mkString(", ") + "]"
@@ -966,15 +982,21 @@ class GraftAggScan(path: String, specs: Seq[AggSpec], hconf: SerializableConfigu
     val hc = hconf
     val sp = specs
     // CountOf needs the type too: list/map/struct counts resolve to their
-    // __len/__k__len/__p streams, not the column's own name
+    // __len/__k__len/__p streams, not the column's own name. ELEMENT
+    // extrema carry their types in a SEPARATE map — count(tags) and
+    // min(array_min(tags)) in one aggregate must not collide on the key.
     val types = specs.collect {
       case AggSpec.MinOf(c) => c -> partialType(c)
       case AggSpec.MaxOf(c) => c -> partialType(c)
       case AggSpec.CountOf(c) => c -> partialType(c)
     }.toMap
+    val elemTypes = specs.collect {
+      case AggSpec.ElemMinOf(c) => c -> elemType(c)
+      case AggSpec.ElemMaxOf(c) => c -> elemType(c)
+    }.toMap
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new GraftAggReader(GraftInputPartition.fileOf(partition), sp, hc.value, types)
+        new GraftAggReader(GraftInputPartition.fileOf(partition), sp, hc.value, types, elemTypes)
     }
   }
 }
@@ -986,17 +1008,18 @@ class GraftAggScan(path: String, specs: Seq[AggSpec], hconf: SerializableConfigu
   * A segment-free file still contributes (count 0, null extrema) — see
   * [[GraftAggScan.readSchema]]. */
 class GraftAggReader(file: String, specs: Seq[AggSpec], conf: Configuration,
-                     types: Map[String, DataType] = Map.empty)
+                     types: Map[String, DataType] = Map.empty,
+                     elemTypes: Map[String, DataType] = Map.empty)
     extends PartitionReader[InternalRow] {
   private var done = false
   private var row: InternalRow = _
 
-  /** Emit one folded extremum in the column's own type (the stored stat
+  /** Emit one folded extremum in the given type (the stored stat
     * domain is a 64-bit long; doubles invert the sortable-bits bijection). */
-  private def emit(out: GenericInternalRow, i: Int, c: String,
+  private def emit(out: GenericInternalRow, i: Int, dt: DataType,
                    r: GraftLayout.ColRange, isMin: Boolean): Unit = {
     val v = if (isMin) r.minV else r.maxV
-    types.getOrElse(c, StringType) match {
+    dt match {
       case IntegerType | DateType => out.setInt(i, v.toInt)
       case LongType | TimestampType | TimestampNTZType => out.setLong(i, v)
       case DoubleType => out.setDouble(i, MetaColumns.fromSortableDouble(v))
@@ -1037,17 +1060,21 @@ class GraftAggReader(file: String, specs: Seq[AggSpec], conf: Configuration,
             out.setLong(i, h.nValues.getOrElse(s"${c}__p", 0L))
           case _ => out.setLong(i, h.nValues.getOrElse(c, 0L))
         }
-      // token ELEMENT extrema: the fold skips value-less chunks, so the
-      // range is exact over the tokens present; a token-free file emits
-      // null (= array_min/array_max over empty arrays, which MIN ignores)
-      case (AggSpec.MinOf("tokens"), i) =>
-        h.ranges.get("tokens").fold(out.setNullAt(i))(r => out.setInt(i, r.minV.toInt))
-      case (AggSpec.MaxOf("tokens"), i) =>
-        h.ranges.get("tokens").fold(out.setNullAt(i))(r => out.setInt(i, r.maxV.toInt))
+      // array ELEMENT extrema: the fold skips value-less chunks, so the
+      // range is exact over the elements present; an element-free file
+      // emits null (= array_min/array_max over empty arrays, MIN ignores)
+      case (AggSpec.ElemMinOf(c), i) =>
+        h.ranges.get(c).fold(out.setNullAt(i))(r =>
+          emit(out, i, elemTypes.getOrElse(c, IntegerType), r, isMin = true))
+      case (AggSpec.ElemMaxOf(c), i) =>
+        h.ranges.get(c).fold(out.setNullAt(i))(r =>
+          emit(out, i, elemTypes.getOrElse(c, IntegerType), r, isMin = false))
       case (AggSpec.MinOf(c), i) =>
-        h.ranges.get(c).fold(out.setNullAt(i))(r => emit(out, i, c, r, isMin = true))
+        h.ranges.get(c).fold(out.setNullAt(i))(r =>
+          emit(out, i, types.getOrElse(c, StringType), r, isMin = true))
       case (AggSpec.MaxOf(c), i) =>
-        h.ranges.get(c).fold(out.setNullAt(i))(r => emit(out, i, c, r, isMin = false))
+        h.ranges.get(c).fold(out.setNullAt(i))(r =>
+          emit(out, i, types.getOrElse(c, StringType), r, isMin = false))
     }
     row = out
     true

@@ -726,6 +726,49 @@ class GraftDataSourceSpec extends AnyFunSuite {
       df.filter($"n_tok" > 100).agg(min(array_min($"tokens"))).collect()(0).getInt(0))
   }
 
+  test("LIST-column element MIN/MAX fold to headers, mixed with plain " +
+    "scalar MIN/MAX/COUNT in one aggregate (generalized GraftStatsAggPushdown)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp()
+    val input = TokenTables.synthetic(spark, nDocs = 250, seed = 11L)
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      .withColumn("tags", when($"n_tok" % 3 =!= 0,
+        array($"n_tok" * 2, $"n_tok" * 2 + 1)))
+      .withColumn("names", when($"n_tok" % 4 =!= 0,
+        array(concat(lit("n"), ($"n_tok" % 7).cast("string")))))
+      .withColumn("quality", when($"n_tok" % 5 =!= 0, ($"n_tok" / 10.0) - 3.0))
+    input.write.format("graft").option("buckets", "2")
+      .option("tokensPerChunk", "64")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(dir)
+    GraftStatsAggPushdown.install(spark)
+    val table = spark.read.format("graft").load(dir)
+    val fused = table.agg(
+      min(array_min($"tags")).as("lo_tag"), max(array_max($"tags")).as("hi_tag"),
+      min(array_min($"names")).as("lo_name"), max(array_max($"names")).as("hi_name"),
+      min($"quality").as("lo_q"), max($"quality").as("hi_q"),
+      count($"tags").as("n_tags"), count(lit(1)).as("n"))
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.contains("MIN_ELEM(tags)") && plan.contains("MAX_ELEM(names)") &&
+      plan.contains("MIN(quality)") && plan.contains("COUNT(tags)"),
+      s"generalized element fold did not engage:\n$plan")
+    val got = fused.collect()(0)
+    val want = input.agg(
+      min(array_min($"tags")), max(array_max($"tags")),
+      min(array_min($"names")), max(array_max($"names")),
+      min($"quality"), max($"quality"),
+      count($"tags"), count(lit(1))).collect()(0)
+    assert(got === want, s"folded element aggregate diverged: got $got want $want")
+    // header-only: payload pages never read
+    val (_, m) = runWithScanMetrics(fused)
+    assert(m.getOrElse("graft payload bytes decoded", -1L) <= 0L,
+      s"element fold decoded payload: $m")
+    // lexicographic MIN over the array column itself must NOT fold
+    val lex = table.agg(min($"tags").as("lo"))
+    assert(!lex.queryExecution.executedPlan.toString.contains("MIN_ELEM"))
+    assert(lex.collect()(0) === input.agg(min($"tags")).collect()(0))
+  }
+
   // ---- metadata columns (MetaColumns) -----------------------------------
 
   /** Canonical four + one metadata column per supported type, with nulls
