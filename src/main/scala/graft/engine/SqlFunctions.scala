@@ -98,5 +98,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     SqlFunctions.all.foreach(ext.injectFunction)
     ext.injectPreCBORule(_ => graft.sources.GraftTokenRangePushdown)
+    ext.injectPreCBORule(_ => graft.sources.GraftMapAccessPushdown)
   }
 }

@@ -956,6 +956,54 @@ object Encode {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** MAP-access predicate pruning end-to-end (round-5, the last nested
+    * pushdown gap): `attrs['lang'] = v` has no sources.Filter form, so
+    * [[graft.sources.GraftMapAccessPushdown]] renders it as stat filters
+    * on the map's pseudo-streams — the key element must be in the chunk's
+    * `attrs__k` range AND the value element in `attrs__v`'s — pruning
+    * files, segments, row groups and bloom-probing like any scalar point
+    * lookup. The plan is REQUIRED to carry the PushedMapStats marker. All
+    * values derive from n_tok, so DuckDB replays the maps nested-free. */
+  def dsv2MapPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-mappd-q").toString
+    try {
+      val input = TokenTables.fromDocuments(spark, dir)
+        .toDF("doc_id", "tokens", "n_tok", "source")
+        .withColumn("attrs", when($"n_tok" % 4 =!= 0, map(
+          lit("lang"), concat(lit("l"), ($"n_tok" % 5).cast("string")),
+          lit("tier"), concat(lit("t"), ($"n_tok" % 3).cast("string")))))
+        .withColumn("scores", map(lit("rank"), $"n_tok" * 10))
+      input.write.format("graft").option("buckets", "8")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(base)
+      graft.sources.GraftMapAccessPushdown.install(spark)
+      val table = spark.read.format("graft").load(base)
+      def requireMapStats(df: DataFrame): DataFrame = {
+        val p = df.queryExecution.executedPlan.toString
+        require(p.contains("PushedMapStats"),
+          s"map access not pushed onto pseudo-streams:\n$p")
+        df
+      }
+      val lang = requireMapStats(table.filter($"attrs"("lang") === "l2"))
+      val ranked = requireMapStats(table.filter($"scores"("rank") > lit(500)))
+      val both = requireMapStats(
+        table.filter($"attrs"("tier") === "t1" && $"scores"("rank") <= lit(500)))
+      val missing = requireMapStats(table.filter($"attrs"("zz").isNotNull))
+      val row = lang.agg(
+        count(lit(1)).as("n_lang"),
+        coalesce(sum($"n_tok".cast("long")), lit(0L)).as("sum_lang_tok"))
+        .withColumn("n_ranked", lit(ranked.count()))
+        .withColumn("n_both", lit(both.count()))
+        .withColumn("n_missing", lit(missing.count()))
+        .collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(row, 1),
+        StructType(Seq("n_lang", "sum_lang_tok", "n_ranked", "n_both", "n_missing")
+          .map(n => StructField(n, LongType))))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
   /** SCHEMA EVOLUTION end-to-end (round-5 item 3; the reference's
     * Schema::try_merge across files, file_format.rs:146-161, rendered as
     * add-column-with-null-default INSIDE one table): generation 1 lands
@@ -1483,6 +1531,29 @@ object Encode {
         |  CAST(COUNT(tags) AS BIGINT) AS n_tags,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM meta""".stripMargin,
+    "encode_dsv2_map_pushdown" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> x <> '')) AS n_tok
+        |  FROM documents
+        |),
+        |meta AS (
+        |  SELECT doc_id, n_tok,
+        |    CASE WHEN n_tok % 4 <> 0 THEN 'l' || CAST(n_tok % 5 AS VARCHAR) END AS lang,
+        |    CASE WHEN n_tok % 4 <> 0 THEN 't' || CAST(n_tok % 3 AS VARCHAR) END AS tier,
+        |    n_tok * 10 AS rank
+        |  FROM tok
+        |)
+        |SELECT
+        |  CAST(SUM(CASE WHEN lang = 'l2' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+        |  CAST(SUM(CASE WHEN lang = 'l2' THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS sum_lang_tok,
+        |  CAST(SUM(CASE WHEN rank > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_ranked,
+        |  CAST(SUM(CASE WHEN tier = 't1' AND rank <= 500 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_both,
+        |  CAST(0 AS BIGINT) AS n_missing
+        |FROM meta""".stripMargin,
     "encode_compaction_meta" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1553,6 +1624,7 @@ object Encode {
     "encode_dsv2_nested_pushdown" -> (dsv2NestedPushdown _),
     "encode_dsv2_nested_agg" -> (dsv2NestedAgg _),
     "encode_dsv2_elem_agg" -> (dsv2ElemAgg _),
+    "encode_dsv2_map_pushdown" -> (dsv2MapPushdown _),
     "encode_dsv2_schema_evolution" -> (dsv2SchemaEvolution _),
     "encode_compaction_meta" -> (compactionMeta _),
     "encode_dsv2_streaming_write" -> (dsv2StreamingWrite _),

@@ -664,7 +664,15 @@ class GraftScan(
     batchRows: Int = Int.MaxValue,
     val elemRanges: Map[String, (Long, Long)] = Map.empty,
     val elemPoints: Map[String, Seq[Long]] = Map.empty,
-    val toggles: ScanToggles = ScanToggles.Default)
+    val toggles: ScanToggles = ScanToggles.Default,
+    /** Stat-only filters on MAP pseudo-streams ([[GraftMapAccessPushdown]]):
+      * `attrs['lang'] = 'l1'` can only match a chunk whose key-element
+      * stats admit 'lang' AND whose value-element stats admit 'l1'. They
+      * ride every pruning layer `pushed` does (file headers, segment
+      * stats, v2 stat columns, blooms) but are NEVER row predicates — the
+      * Filter node above re-evaluates exactly; mustMatchAll ignores them
+      * (non-canonical), so LIMIT planning cannot over-trust them. */
+    val mapStats: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -681,6 +689,8 @@ class GraftScan(
       (if (elemPoints.nonEmpty)
         s", PushedElemPoints: [${elemPoints.toSeq.sortBy(_._1)
           .map { case (c, ps) => s"$c:[${ps.mkString(", ")}]" }.mkString(", ")}]" else "") +
+      (if (mapStats.nonEmpty)
+        s", PushedMapStats: [${mapStats.mkString(", ")}]" else "") +
       asOf.map(n => s", AsOfSnapshot: $n").getOrElse("")
 
   override def supportedCustomMetrics(): Array[CustomMetric] = GraftScan.customMetrics
@@ -695,7 +705,7 @@ class GraftScan(
   def statsAggEligible: Boolean =
     toggles.pushdown &&
       pushed.isEmpty && limit.isEmpty && tokenRange.isEmpty && tokenPoints.isEmpty &&
-      elemRanges.isEmpty && elemPoints.isEmpty
+      elemRanges.isEmpty && elemPoints.isEmpty && mapStats.isEmpty
 
   /** Header-stat aggregate twin of this scan ([[GraftStatsAggPushdown]]). */
   def toStatsAggScan(specs: Seq[AggSpec]): GraftAggScan =
@@ -705,7 +715,7 @@ class GraftScan(
     * `tokenRange.isEmpty`); the listing is re-derived lazily in the copy. */
   def withTokenRange(lo: Long, hi: Long, points: Seq[Long] = Nil): GraftScan =
     new GraftScan(path, required, pushed, limit, Some((lo, hi)), hconf, columnar, asOf,
-      spjBuckets, points, batchRows, elemRanges, elemPoints, toggles)
+      spjBuckets, points, batchRows, elemRanges, elemPoints, toggles, mapStats)
 
   /** [[GraftTokenRangePushdown]] generalized to LIST metadata columns:
     * attach element ranges/points per column (tokens keeps its own
@@ -716,7 +726,16 @@ class GraftScan(
     new GraftScan(path, required, pushed, limit,
       tok.map { case (lo, hi, _) => (lo, hi) }.orElse(tokenRange),
       hconf, columnar, asOf, spjBuckets,
-      tok.map(_._3).getOrElse(tokenPoints), batchRows, ranges, points, toggles)
+      tok.map(_._3).getOrElse(tokenPoints), batchRows, ranges, points, toggles,
+      mapStats)
+
+  /** [[GraftMapAccessPushdown]]: attach stat-only filters on the map
+    * pseudo-streams, already normalized to the stat domain. Applied at
+    * most once per scan (guarded by `mapStats.isEmpty`). */
+  def withMapStats(fs: Array[Filter]): GraftScan =
+    new GraftScan(path, required, pushed, limit, tokenRange, hconf, columnar,
+      asOf, spjBuckets, tokenPoints, batchRows, elemRanges, elemPoints,
+      toggles, fs)
 
   /** Storage-partitioned joins: a catalog-backed ledgered table IS
     * KeyGroupedPartitioning over `bucket(n, doc_id)` — every part-file
@@ -770,8 +789,10 @@ class GraftScan(
       runtimeFilters = StatPredicate.normalize(
         predicates.flatMap(GraftScan.v2ToSourceFilter), statTypeOf)
 
-  /** All filters active at execution: negotiated + runtime. */
-  private def effectiveFilters: Array[Filter] = pushed ++ runtimeFilters
+  /** All filters active at execution: negotiated + map pseudo-stream
+    * stat filters + runtime. `mapStats` joins every pruning layer here
+    * but never becomes a row predicate (the Filter node re-evaluates). */
+  private def effectiveFilters: Array[Filter] = pushed ++ mapStats ++ runtimeFilters
 
   // planning-time file skip telemetry, reported as driver metrics
   @volatile private var mFilesPlanned = 0L

@@ -1097,6 +1097,68 @@ class GraftDataSourceSpec extends AnyFunSuite {
       input.agg(count(lit(1)), max($"info.rank")).collect()(0))
   }
 
+  test("MAP-access predicates prune via the pseudo-streams' stats " +
+    "(attrs['lang'] = v -> attrs__k/attrs__v stat filters); results stay exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp()
+    // values correlate with doc_id, so sorted chunks carry tight value
+    // ranges — the layout where the __v stats actually discriminate
+    val input = TokenTables.synthetic(spark, nDocs = 400, seed = 42L)
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      .withColumn("d", expr("cast(substring(doc_id, 5) as int)"))
+      .withColumn("attrs", when($"d" % 4 =!= 1, map(
+        lit("lang"), format_string("v%05d", $"d"),
+        lit("tier"), concat(lit("t"), ($"d" % 3).cast("string")))))
+      .withColumn("scores", map(lit("rank"), $"d" * 10))
+      .drop("d")
+    input.write.format("graft").option("buckets", "4")
+      .option("tokensPerChunk", "64")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(dir)
+    GraftMapAccessPushdown.install(spark)
+    val table = spark.read.format("graft").load(dir)
+    // string-valued point lookup: prunes on the __v value stats
+    val q = table.filter($"attrs"("lang") === "v00200").select("doc_id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedMapStats") && plan.contains("attrs__k") &&
+      plan.contains("attrs__v"), s"map access not pushed onto pseudo-streams:\n$plan")
+    val (rows, m) = runWithScanMetrics(q)
+    assert(rows.map(_.getString(0)).toSeq === Seq("doc_000000000200"))
+    val totalSegments = spark.read.parquet(s"$dir/data").count()
+    val decoded = m.getOrElse("graft segments decoded", Long.MaxValue)
+    assert(decoded < totalSegments,
+      s"map value stats pruned nothing: decoded $decoded of $totalSegments: $m")
+    // a key that exists nowhere: the __k stats exclude it everywhere, so
+    // every segment (and every file, at planning) prunes
+    val none = table.filter($"attrs"("zz").isNotNull)
+    assert(none.queryExecution.executedPlan.toString.contains("PushedMapStats"))
+    val (noneRows, mNone) = runWithScanMetrics(none)
+    assert(noneRows.isEmpty)
+    // the __k stats exclude 'zz' in every FILE header, so planning prunes
+    // all part-files — no task runs, no segment decodes (the metric is
+    // absent when zero tasks launch)
+    assert(mNone.getOrElse("graft segments decoded", 0L) === 0L,
+      s"absent key decoded segments: $mNone")
+    assert(mNone.getOrElse("graft files planned", -1L) === 0L, s"$mNone")
+    // int-valued inequality on a second map column
+    val hi = table.filter($"scores"("rank") > lit(3900)).select("doc_id")
+    assert(hi.queryExecution.executedPlan.toString.contains("scores__v"))
+    assert(hi.count() === input.filter($"scores"("rank") > lit(3900)).count())
+    // exactness across the full matrix of shapes vs the raw input
+    def check(f: DataFrame => DataFrame): Unit =
+      assert(f(table).count() === f(input).count())
+    check(_.filter($"attrs"("lang") === "v00123"))
+    check(_.filter($"attrs"("tier") === "t1"))
+    check(_.filter($"attrs"("lang") >= "v00390"))
+    check(_.filter($"scores"("rank") <= lit(50)))
+    check(_.filter($"attrs"("lang").isNotNull))
+    // kill switch: rule must not engage
+    val off = spark.read.format("graft").option("pushdown", "false").load(dir)
+      .filter($"attrs"("lang") === "v00200")
+    assert(!off.queryExecution.executedPlan.toString.contains("PushedMapStats"))
+    assert(off.count() === 1L)
+  }
+
   test("IS [NOT] NULL on list/map/struct columns prunes via their " +
     "presence-bearing streams (__len/__k__len/__p); results stay exact") {
     import spark.implicits._
