@@ -910,6 +910,52 @@ object Encode {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** NESTED projection pruning end-to-end (round-5, closing the
+    * reference's own unchecked roadmap item README.md:96 "nested column
+    * pruning"): projecting a STRUCT member subset reads ONLY those
+    * members' streams — the scan schema carries the pruned struct, the v2
+    * parquet request omits the unprojected members' payload columns, and
+    * the decode never touches them. The entry REQUIRES the pruned struct
+    * in the executed plan and the fat unprojected member's absence, so it
+    * fails loudly if member pruning stops engaging. Values derive from
+    * n_tok, so DuckDB replays the members nested-free. */
+  def dsv2NestedPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-nestedprune-q").toString
+    try {
+      val input = TokenTables.fromDocuments(spark, dir)
+        .toDF("doc_id", "tokens", "n_tok", "source")
+        // 'blob' is the fat member the projection must never decode
+        .withColumn("info", when($"n_tok" % 4 =!= 0, struct(
+          when($"n_tok" % 5 =!= 0, ($"n_tok" / 10.0) - 5.0).as("score"),
+          sha2(concat($"doc_id", lit("pad"), $"n_tok".cast("string")), 512).as("blob"),
+          concat(lit("k"), ($"n_tok" % 3).cast("string")).as("kind"))))
+      input.write.format("graft").option("buckets", "8")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(base)
+      val table = spark.read.format("graft").load(base)
+      val pruned = table.select($"n_tok",
+        $"info.score".as("score"), $"info.kind".as("kind"))
+      val plan = pruned.queryExecution.executedPlan.toString
+      require(plan.contains("struct<score:double,kind:string>") &&
+        !plan.contains("blob"),
+        s"struct member subset not pruned in the scan schema:\n$plan")
+      val row = pruned.agg(
+        count(lit(1)).as("n_docs"),
+        count($"score").as("n_score"),
+        sum($"score".cast("decimal(18,6)")).cast("double").as("sum_score"),
+        sum(when($"kind" === "k1", $"n_tok".cast("long"))
+          .otherwise(0L)).as("sum_k1_tok"))
+        .collect().toSeq
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(row, 1),
+        StructType(Seq(
+          StructField("n_docs", LongType), StructField("n_score", LongType),
+          StructField("sum_score", DoubleType),
+          StructField("sum_k1_tok", LongType))))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
   /** LIST-element aggregate folding end-to-end (round-5, generalizing the
     * round-3 tokens-only fold): `min(array_min(tags))` / `max(array_max
     * (names))` over LIST metadata columns reduce to the element streams'
@@ -1507,6 +1553,26 @@ object Encode {
         |  MIN(kind) AS min_kind,
         |  MAX(kind) AS max_kind
         |FROM meta""".stripMargin,
+    "encode_dsv2_nested_prune" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> x <> '')) AS n_tok
+        |  FROM documents
+        |),
+        |meta AS (
+        |  SELECT doc_id, n_tok,
+        |    CASE WHEN n_tok % 4 <> 0 AND n_tok % 5 <> 0
+        |      THEN CAST(n_tok / 10.0 - 5.0 AS DECIMAL(18,6)) END AS score,
+        |    CASE WHEN n_tok % 4 <> 0 THEN 'k' || CAST(n_tok % 3 AS VARCHAR) END AS kind
+        |  FROM tok
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(score) AS BIGINT) AS n_score,
+        |  CAST(SUM(score) AS DOUBLE) AS sum_score,
+        |  CAST(SUM(CASE WHEN kind = 'k1' THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS sum_k1_tok
+        |FROM meta""".stripMargin,
     "encode_dsv2_elem_agg" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1623,6 +1689,7 @@ object Encode {
     "encode_dsv2_meta_struct" -> (dsv2MetaStruct _),
     "encode_dsv2_nested_pushdown" -> (dsv2NestedPushdown _),
     "encode_dsv2_nested_agg" -> (dsv2NestedAgg _),
+    "encode_dsv2_nested_prune" -> (dsv2NestedPrune _),
     "encode_dsv2_elem_agg" -> (dsv2ElemAgg _),
     "encode_dsv2_map_pushdown" -> (dsv2MapPushdown _),
     "encode_dsv2_schema_evolution" -> (dsv2SchemaEvolution _),

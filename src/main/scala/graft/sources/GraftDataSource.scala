@@ -23,7 +23,7 @@ import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, Cus
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
-import org.apache.spark.sql.sources.{And => SAnd, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Or => SOr}
+import org.apache.spark.sql.sources.{And => SAnd, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Or => SOr, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -316,9 +316,29 @@ class GraftScanBuilder(path: String, hconf: SerializableConfiguration,
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve table column order; an empty projection (COUNT(*)) still
-    // needs row counts, carried by nRows without decoding any stream
-    required = StructType(
-      fullSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+    // needs row counts, carried by nRows without decoding any stream.
+    // NESTED projection pruning (the reference's planned-but-unbuilt
+    // nested-column pruning, README.md:96): a STRUCT column pruned by
+    // Spark to a member subset keeps only that subset — every stream
+    // derivation downstream (parquet requested schema, decode, both
+    // emitters, size estimation) keys off this type, so unprojected
+    // member streams' payload pages are never read. Member definitions
+    // come from the table schema (authoritative types/nullability) in
+    // Spark's requested order, since Spark computes member ordinals from
+    // readSchema(). An empty member subset keeps the full struct (no
+    // caller shape to satisfy beyond presence, and presence needs __p
+    // regardless).
+    required = StructType(fullSchema.fields.flatMap { f =>
+      requiredSchema.fields.find(_.name == f.name).map { rf =>
+        (f.dataType, rf.dataType) match {
+          case (full: StructType, pruned: StructType)
+              if pruned.nonEmpty && pruned.length < full.length =>
+            f.copy(dataType = StructType(
+              pruned.fields.flatMap(pm => full.fields.find(_.name == pm.name))))
+          case _ => f
+        }
+      }
+    })
   }
 
   /** LIMIT pushdown, always partial: each partition reader caps the rows it
@@ -461,6 +481,8 @@ object GraftScan {
       case LessThan(a, v) => cmp(a, v)
       case LessThanOrEqual(a, v) => cmp(a, v)
       case In(a, vs) => vs.nonEmpty && vs.forall(cmp(a, _))
+      case EqualNullSafe(a, v) => if (v == null) scalar(a) else cmp(a, v)
+      case StringStartsWith(a, _) => typeOf(a).contains(StringType)
       case IsNull(a) => scalar(a)
       case IsNotNull(a) => scalar(a)
       case SAnd(l, r) => walk(l) && walk(r)
@@ -516,6 +538,12 @@ object GraftScan {
       case LessThan(a, v) => LessThan(member(a), v)
       case LessThanOrEqual(a, v) => LessThanOrEqual(member(a), v)
       case In(a, vs) => In(member(a), vs)
+      case EqualNullSafe(a, v) =>
+        // <=> NULL is a null check (presence-stream semantics for
+        // struct/list/map columns); <=> v prunes like the member rename
+        if (v == null) EqualNullSafe(nullCheck(a), v)
+        else EqualNullSafe(member(a), v)
+      case StringStartsWith(a, v) => StringStartsWith(member(a), v)
       case IsNull(a) => IsNull(nullCheck(a))
       case IsNotNull(a) => IsNotNull(nullCheck(a))
       case SAnd(l, r) => SAnd(walk(l), walk(r))
@@ -810,22 +838,138 @@ class GraftScan(
     * to broadcast small graft tables (a v2 scan is otherwise assumed
     * huge). */
   override def estimateStatistics(): Statistics = new Statistics {
-    private lazy val (rows, bytes) = {
+    private lazy val (rows, bytes, folded) = {
       val conf = hconf.value
       var r = 0L
       var b = 0L
-      val wantTokens = required.fieldNames.contains("tokens")
-      val cols = required.fieldNames.toSet ++ (if (wantTokens) Set("tok_len") else Set.empty)
+      // header bytesIn is keyed by STREAM name: canonical columns map
+      // 1:1 (+ tok_len riding tokens) but struct/map/list metadata
+      // columns fan out to pseudo-streams — resolve through streamsFor
+      // so their payload counts (and a member-pruned struct counts only
+      // its projected members' streams)
+      val cols = required.fields.flatMap { f =>
+        if (MetaColumns.CanonicalNames.contains(f.name))
+          if (f.name == "tokens") Seq("tokens", "tok_len") else Seq(f.name)
+        else MetaColumns.streamsFor(f)
+      }.toSet
+      // across-files fold of the per-file header folds, for CBO column
+      // statistics: stream -> (range, non-null count, input bytes)
+      val ranges = scala.collection.mutable.HashMap.empty[String, GraftLayout.ColRange]
+      val nVals = scala.collection.mutable.HashMap.empty[String, Long]
+      val colBytes = scala.collection.mutable.HashMap.empty[String, Long]
+      def cmp(a: String, bb: String) = graft.engine.GraftEncoder.compareUtf8(a, bb)
       GraftLayout.prefetchHeaders(files, conf)
       files.foreach { f =>
         val h = GraftLayout.header(f, conf)
         r += h.rows
         b += h.bytesIn.collect { case (c, n) if cols.contains(c) => n }.sum
+        h.ranges.foreach { case (c, cr) if cols.contains(c) =>
+          ranges.get(c) match {
+            case None => ranges(c) = cr
+            case Some(p) => ranges(c) = GraftLayout.ColRange(
+              math.min(p.minV, cr.minV), math.max(p.maxV, cr.maxV),
+              if (cmp(cr.minS, p.minS) < 0) cr.minS else p.minS,
+              if (cmp(cr.maxS, p.maxS) > 0) cr.maxS else p.maxS)
+          }
+        case _ => ()
+        }
+        h.nValues.foreach { case (c, n) if cols.contains(c) =>
+          nVals(c) = nVals.getOrElse(c, 0L) + n
+        case _ => ()
+        }
+        h.bytesIn.foreach { case (c, n) if cols.contains(c) =>
+          colBytes(c) = colBytes.getOrElse(c, 0L) + n
+        case _ => ()
+        }
       }
-      (r, math.max(1L, b))
+      (r, math.max(1L, b), (ranges.toMap, nVals.toMap, colBytes.toMap))
     }
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+
+    /** Column-level statistics to Catalyst (the reference's own TODO,
+      * metadata.rs:62-63 "column-level min/max stats to the optimizer"):
+      * header-folded min/max for every orderable non-string scalar
+      * (rendered back from the order-preserving stat domain into Catalyst
+      * internal values — Int days for DATE, Long micros for TIMESTAMP,
+      * the bits bijections for FLOAT/DOUBLE, unscaled Decimal), exact
+      * null counts for every column via its presence-bearing stream, and
+      * string/binary average lengths from the recorded pre-encode bytes.
+      * With CBO on, these drive join reorder and filter selectivity; all
+      * derived from the same memoized headers as numRows, zero data IO. */
+    override def columnStats()
+        : java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+                        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+      val (ranges, nVals, colBytes) = folded
+      val nRows = rows
+      def statValue(dt: DataType, v: Long): Any = dt match {
+        case IntegerType | DateType => v.toInt
+        case LongType | TimestampType | TimestampNTZType => v
+        case DoubleType => MetaColumns.fromSortableDouble(v)
+        case FloatType => MetaColumns.fromSortableFloat(v)
+        case BooleanType => v != 0L
+        case ByteType => v.toByte
+        case ShortType => v.toShort
+        case d: DecimalType =>
+          org.apache.spark.sql.types.Decimal.createUnsafe(v, d.precision, d.scale)
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
+      required.fields.foreach { f =>
+        val canonical = MetaColumns.CanonicalNames.contains(f.name)
+        // the stream whose non-null count IS the column's non-null count
+        val presenceStream = f.dataType match {
+          case _: MapType => MetaColumns.lenStream(s"${f.name}__k")
+          case _: org.apache.spark.sql.types.StructType => s"${f.name}__p"
+          case dt if MetaColumns.isList(dt) && !canonical => MetaColumns.lenStream(f.name)
+          case _ => f.name
+        }
+        val nulls: java.util.OptionalLong =
+          if (canonical) java.util.OptionalLong.of(0L) // non-null by construction
+          else java.util.OptionalLong.of(math.max(0L, nRows - nVals.getOrElse(presenceStream, 0L)))
+        val isOrderableNum = MetaColumns.isIntKind(f.dataType) &&
+          (canonical || nVals.contains(f.name)) // value-less fold = no range recorded
+        val range = if (isOrderableNum) ranges.get(f.name) else None
+        val minMax: (java.util.Optional[Object], java.util.Optional[Object]) = range match {
+          case Some(cr) => (
+            java.util.Optional.of(statValue(f.dataType, cr.minV).asInstanceOf[Object]),
+            java.util.Optional.of(statValue(f.dataType, cr.maxV).asInstanceOf[Object]))
+          case None => (java.util.Optional.empty[Object](), java.util.Optional.empty[Object]())
+        }
+        val avgBytes: java.util.OptionalLong = f.dataType match {
+          case StringType | BinaryType =>
+            val nonNull = if (canonical) nRows else nVals.getOrElse(f.name, 0L)
+            colBytes.get(f.name).filter(_ => nonNull > 0)
+              .map(bs => java.util.OptionalLong.of(math.max(1L, bs / nonNull)))
+              .getOrElse(java.util.OptionalLong.empty())
+          case _ => java.util.OptionalLong.empty()
+        }
+        // NDV upper bound: the stat domain is an order-preserving
+        // injection, so distinct values in [min,max] <= maxV-minV+1 (true
+        // even for the FLOAT/DOUBLE bits bijections), and never more than
+        // the non-null count. CBO's range/equality estimation requires an
+        // ndv to engage at all; an upper bound keeps estimates sound-ish
+        // (selectivity under-, never wildly over-estimated).
+        val ndv: java.util.OptionalLong = range match {
+          case Some(cr) =>
+            val span = (BigInt(cr.maxV) - BigInt(cr.minV) + 1).min(BigInt(Long.MaxValue))
+            val nonNull = math.max(1L,
+              if (canonical) nRows else nVals.getOrElse(f.name, 0L))
+            java.util.OptionalLong.of(span.min(BigInt(nonNull)).toLong)
+          case None => java.util.OptionalLong.empty()
+        }
+        out.put(Expressions.column(f.name), new ColumnStatistics {
+          override def min(): java.util.Optional[Object] = minMax._1
+          override def max(): java.util.Optional[Object] = minMax._2
+          override def nullCount(): java.util.OptionalLong = nulls
+          override def avgLen(): java.util.OptionalLong = avgBytes
+          override def distinctCount(): java.util.OptionalLong = ndv
+        })
+      }
+      out
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -1146,6 +1290,16 @@ private[sources] object StatPredicate {
       case In(a, vs) =>
         val ls = vs.map(leaf(a, _))
         if (ls.forall(_.isDefined)) Some(In(a, ls.map(_.get))) else None
+      // <=> NULL is exactly IS NULL; <=> v prunes exactly like = v (null
+      // rows can't equal a non-null v, and stats cover non-null rows) —
+      // after this rewrite no downstream walk needs an EqualNullSafe case
+      case EqualNullSafe(a, v) =>
+        if (v == null) Some(IsNull(a)) else leaf(a, v).map(EqualTo(a, _))
+      // prefix predicates stay in the string stat domain as-is
+      case f @ StringStartsWith(a, _) => typeOf(a) match {
+        case Some(StringType) => Some(f)
+        case _ => None
+      }
       case f @ IsNull(_) => Some(f) // value-less: nothing to normalize
       case f @ IsNotNull(_) => Some(f)
       case SAnd(l, r) => for { a <- walk(l); b <- walk(r) } yield SAnd(a, b)
@@ -1186,6 +1340,19 @@ private[sources] object StatPredicate {
     // satisfy IS NULL
     case IsNotNull(a) => !nulls(a).allNull.contains(true)
     case IsNull(a) => !nulls(a).hasNulls.contains(false)
+    // LIKE 'p%' (the ORC SearchArgument prefix-range trick): every
+    // p-prefixed string lies in [p, p-with-last-byte-bumped), so the
+    // chunk may match iff maxS >= p AND minS's |p|-byte truncation <= p
+    // (truncating past minS's end pads 0x00 — conservative, sound).
+    // Byte-level to dodge invalid-UTF-8 String round-trips.
+    case StringStartsWith(a, p) => get(a).forall { s =>
+      val cs = java.nio.charset.StandardCharsets.UTF_8
+      val pb = p.getBytes(cs)
+      val minT = java.util.Arrays.copyOf(
+        s.minS.getBytes(cs), math.min(s.minS.getBytes(cs).length, pb.length))
+      java.util.Arrays.compareUnsigned(pb, s.maxS.getBytes(cs)) <= 0 &&
+        java.util.Arrays.compareUnsigned(minT, pb) <= 0
+    }
     case SAnd(l, r) => mayMatch(get, l, nulls) && mayMatch(get, r, nulls)
     case SOr(l, r) => mayMatch(get, l, nulls) || mayMatch(get, r, nulls)
     case _ => true
@@ -1256,6 +1423,11 @@ private[sources] object StatPredicate {
     // for every row (keeps LIMIT planning composed with Spark's implied
     // null checks); nullable metadata columns guarantee nothing here
     case IsNotNull(a) if totalCol(a) => true
+    // if BOTH bounds carry the prefix, every value between them does too
+    // (byte-order: a first-differing byte above the prefix's would place
+    // the value above maxS, below would place it below minS)
+    case StringStartsWith(a, p) if totalCol(a) =>
+      get(a).exists(s => s.minS.startsWith(p) && s.maxS.startsWith(p))
     case SAnd(l, r) => mustMatchAll(get, l) && mustMatchAll(get, r)
     // per-row: if one disjunct holds for ALL rows, the OR does
     case SOr(l, r) => mustMatchAll(get, l) || mustMatchAll(get, r)

@@ -8,7 +8,7 @@ import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, INT32, INT64}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{And => SAnd, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Or => SOr}
+import org.apache.spark.sql.sources.{And => SAnd, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Or => SOr, StringStartsWith}
 import org.apache.spark.sql.types.{ArrayType, BinaryType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** The v2 ("pivoted") segment-file layout: ONE PARQUET COLUMN PER STREAM
@@ -286,6 +286,11 @@ object SegmentLayoutV2 {
       // can't express — so it stays a reader-side prune only.
       case IsNotNull(a) if a != "tokens" && hasCol(field(a, "nValues")) =>
         Some(FilterApi.gt(iCol(a, "nValues"), java.lang.Long.valueOf(0L)))
+      // LIKE 'p%': p is the least p-prefixed string, so maxS >= p is a
+      // necessary condition (the min-side needs byte truncation parquet
+      // predicates can't express; the reader-side mayMatch adds it)
+      case StringStartsWith(a, p) if strStatsPresent(a) =>
+        Some(FilterApi.gtEq(sCol(a, "maxS"), bin(p)))
       case SAnd(l, r) => (conv(l), conv(r)) match {
         case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
         case (a, b) => a.orElse(b) // dropping one AND side is sound (less pruning)

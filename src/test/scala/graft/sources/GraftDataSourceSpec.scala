@@ -460,6 +460,102 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("NESTED projection pruning: a struct member subset reads only its " +
+    "member streams (reference README.md:96, planned there, built here)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmp()
+    // 'blob' is deliberately fat so skipping its stream is measurable
+    val input = TokenTables.synthetic(spark, nDocs = 300, seed = 7L)
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      .withColumn("info", when($"n_tok" % 4 =!= 0, struct(
+        when($"n_tok" % 5 =!= 0, ($"n_tok" / 10.0) - 5.0).as("score"),
+        sha2(concat($"doc_id", lit("pad"), $"n_tok".cast("string")), 512).as("blob"),
+        concat(lit("k"), ($"n_tok" % 3).cast("string")).as("kind"))))
+    input.write.format("graft").option("buckets", "4")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(dir)
+    for (columnar <- Seq("true", "false")) {
+      val table = spark.read.format("graft").option("columnar", columnar).load(dir)
+      val pruned = table.select($"doc_id", $"info.score".as("score"))
+      val plan = pruned.queryExecution.executedPlan.toString
+      // the scan schema carries ONLY the projected member
+      assert(plan.contains("struct<score:double>") && !plan.contains("blob"),
+        s"columnar=$columnar: member subset not pruned in scan schema:\n$plan")
+      val (rows, m) = runWithScanMetrics(pruned)
+      // whole-struct projection (nothing to prune) as the byte baseline
+      val (fullRows, mFull) = runWithScanMetrics(table.select($"doc_id", $"info"))
+      val expect = input.select($"doc_id", $"info.score".as("score"))
+        .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+      assert(rows.length === 300 && fullRows.length === 300)
+      rows.foreach(r => assert(expect(r.getString(0)) === Option(r.get(1))))
+      // and the pruned scan decodes strictly fewer payload bytes than the
+      // full-struct scan (the blob + kind + __p-only delta)
+      val bPruned = m.getOrElse("graft payload bytes decoded", Long.MaxValue)
+      val bFull = mFull.getOrElse("graft payload bytes decoded", 0L)
+      assert(bPruned < bFull,
+        s"columnar=$columnar: pruned=$bPruned full=$bFull — member streams not skipped")
+    }
+  }
+
+  test("column-level min/max/null statistics reach Catalyst " +
+    "(the reference's metadata.rs:62-63 TODO, closed Spark-side)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    import spark.implicits._
+    val dir = tmp()
+    val input = TokenTables.synthetic(spark, nDocs = 250, seed = 11L)
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      .withColumn("score", when($"n_tok" % 5 =!= 0, ($"n_tok" / 10.0) - 5.0))
+      .withColumn("ts", timestamp_seconds(
+        unix_timestamp(to_timestamp(lit("2024-03-01 00:00:00"))) + $"n_tok"))
+    input.write.format("graft").option("buckets", "4")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(dir)
+    val df = spark.read.format("graft").load(dir)
+    val rel = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r
+    }.head
+    val stats = rel.stats
+    assert(stats.rowCount.contains(BigInt(250)))
+    val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+    // exact min/max for the int column, straight from the headers
+    val exp = input.agg(min($"n_tok"), max($"n_tok"),
+      min($"score"), max($"score"), sum(when($"score".isNull, 1).otherwise(0)),
+      min($"ts"), max($"ts")).collect().head
+    val nTok = byName("n_tok")
+    assert(nTok.min.contains(exp.getInt(0)) && nTok.max.contains(exp.getInt(1)))
+    assert(nTok.nullCount.contains(BigInt(0)))
+    // nullable double: bits-bijection inverted back to the exact values
+    val score = byName("score")
+    assert(score.min.contains(exp.getDouble(2)) && score.max.contains(exp.getDouble(3)))
+    assert(score.nullCount.contains(BigInt(exp.getLong(4))))
+    // timestamps fold in micros (Catalyst internal representation)
+    val ts = byName("ts")
+    val toMicros = (t: java.sql.Timestamp) =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+    assert(ts.min.contains(toMicros(exp.getTimestamp(5))) &&
+      ts.max.contains(toMicros(exp.getTimestamp(6))))
+    // strings carry exact null counts + measured average length, no min/max
+    val docId = byName("doc_id")
+    assert(docId.nullCount.contains(BigInt(0)) && docId.avgLen.exists(_ >= 1L))
+    assert(docId.min.isEmpty && docId.max.isEmpty)
+    // and CBO consumes them: filter selectivity shrinks the estimate
+    withCbo {
+      val filtered = spark.read.format("graft").load(dir).filter($"n_tok" > 1000000)
+      val est = filtered.queryExecution.optimizedPlan.stats.rowCount
+      assert(est.exists(_ < BigInt(250)),
+        s"CBO did not use column stats for selectivity: $est")
+    }
+  }
+
+  private def withCbo[A](body: => A): A = {
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try body finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("pushdown kill switches: identical results, pruning provably off " +
     "(orc.pushdown_predicate analog, options.rs:34)") {
     import spark.implicits._
@@ -497,6 +593,62 @@ class GraftDataSourceSpec extends AnyFunSuite {
     val allFiles = new java.io.File(bare).listFiles().count(_.getName.endsWith(".parquet"))
     assert(mLim.getOrElse("graft files planned", -1L) === allFiles.toLong,
       s"limitPlanning off must plan all $allFiles files: $mLim")
+  }
+
+  test("LIKE 'prefix%' prunes via string min/max (range layout); " +
+    "<=> normalizes to =/IS NULL and prunes; results stay exact") {
+    import spark.implicits._
+    val input = TokenTables.synthetic(spark, nDocs = 400, seed = 42L)
+    // ids 30..39 live in range-bucket 0 of `clustered` — every other
+    // bucket's [minS, maxS] lies outside the prefix interval
+    val pre = "doc_00000000003"
+    val (rows, m) = runWithScanMetrics(
+      spark.read.format("graft").load(clustered).filter($"doc_id".startsWith(pre)))
+    val expect = input.filter(_.doc_id.startsWith(pre)).collect().map(_.doc_id).toSet
+    assert(rows.map(_.getString(0)).toSet === expect && expect.size === 10)
+    assert(m.getOrElse("graft segments pruned (filter stats)", 0L) +
+      m.getOrElse("graft files pruned (planning)", 0L) > 0L,
+      s"prefix predicate pruned nothing: $m")
+    val desc = spark.read.format("graft").load(clustered)
+      .filter($"doc_id".startsWith(pre)).queryExecution.executedPlan.toString
+    assert(desc.contains("StringStartsWith(doc_id"), desc)
+    // a prefix stored nowhere prunes every stats-bearing file at planning
+    // (the fixture's one EMPTY part-file has no stats and soundly answers
+    // may-match — absent stats never prune)
+    val (none, mNone) = runWithScanMetrics(
+      spark.read.format("graft").load(clustered).filter($"doc_id".startsWith("zzz")))
+    assert(none.isEmpty && mNone.getOrElse("graft files planned", -1L) <= 1L &&
+      mNone.getOrElse("graft files pruned (planning)", 0L) >= 5L,
+      s"absent prefix should prune all stats-bearing files: $mNone")
+    // null-safe equality: non-null value prunes like EqualTo
+    val target = input.collect().head.doc_id
+    val (eqRows, mEq) = runWithScanMetrics(
+      spark.read.format("graft").load(clustered).filter($"doc_id" <=> target))
+    assert(eqRows.length === 1 && eqRows.head.getString(0) === target)
+    assert(mEq.getOrElse("graft segments pruned (filter stats)", 0L) +
+      mEq.getOrElse("graft files pruned (planning)", 0L) > 0L, s"<=> pruned nothing: $mEq")
+    // <=> NULL on a non-nullable canonical column plans zero files
+    val (nullRows, mNull) = runWithScanMetrics(
+      spark.read.format("graft").load(clustered)
+        .filter($"doc_id" <=> (null: String)))
+    assert(nullRows.isEmpty)
+    // on a NULLABLE metadata column the optimizer keeps EqualNullSafe:
+    // <=> v pushes (normalized to =), <=> NULL counts exactly the nulls
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    val dir2 = tmp()
+    val in2 = input.toDF("doc_id", "tokens", "n_tok", "source")
+      .withColumn("lang", when($"n_tok" % 3 =!= 0,
+        concat(lit("l"), ($"n_tok" % 4).cast("string"))))
+    in2.write.format("graft").option("buckets", "4")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(dir2)
+    val t2 = spark.read.format("graft").load(dir2)
+    val q2 = t2.filter($"lang" <=> "l1")
+    // the plan shows the NORMALIZED push: <=> v became EqualTo at plan time
+    assert(q2.queryExecution.executedPlan.toString.contains("EqualTo(lang,l1)"),
+      q2.queryExecution.executedPlan.toString)
+    assert(q2.count() === in2.filter($"lang" <=> "l1").count())
+    assert(t2.filter($"lang" <=> (null: String)).count() ===
+      in2.filter($"lang".isNull).count())
   }
 
   test("doc_id point lookup prunes via the chunk bloom where min/max cannot (hash layout)") {
