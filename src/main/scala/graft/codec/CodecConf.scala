@@ -30,7 +30,13 @@ final case class CodecConf(
     deflateMinGain: Double = 0.0,
     dictThreshold: Double = 0.8,
     bloomColumns: Set[String] = CodecConf.DefaultBloomColumns,
-    fileBloomBytes: Int = CodecConf.DefaultFileBloomBytes)
+    fileBloomBytes: Int = CodecConf.DefaultFileBloomBytes,
+    /** ENGINE-stream name of a scalar metadata column to cluster rows by
+      * within each bucket at encode (nulls first, stored-domain order,
+      * ties broken by source+doc_id for determinism) — the ORC
+      * `orc.sort.columns` / Iceberg sort-order analog: tight per-chunk
+      * stats on the sort column make its range/point predicates prune. */
+    sortBy: Option[String] = None)
 
 object CodecConf {
   val DefaultBloomColumns: Set[String] = Set("doc_id")

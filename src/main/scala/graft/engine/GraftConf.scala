@@ -29,7 +29,8 @@ final case class GraftConf(
     deflateMinGain: Double = graft.codec.BlockCompression.MinSampledGain,
     dictThreshold: Double = graft.select.CodecSelector.DictThreshold,
     bloomColumns: Set[String] = graft.codec.CodecConf.DefaultBloomColumns,
-    fileBloomBytes: Int = graft.codec.CodecConf.DefaultFileBloomBytes) {
+    fileBloomBytes: Int = graft.codec.CodecConf.DefaultFileBloomBytes,
+    sortBy: Option[String] = None) {
   require(tokensPerChunk > 0, s"${GraftConf.TokensPerChunk} must be > 0, got $tokensPerChunk")
   require(buckets > 0, s"${GraftConf.Buckets} must be > 0, got $buckets")
   require(zlibLevel >= 0 && zlibLevel <= 9, s"${GraftConf.ZlibLevel} must be in [0,9], got $zlibLevel")
@@ -46,12 +47,18 @@ final case class GraftConf(
       s"(${GraftConf.BloomableColumns.toSeq.sorted.mkString(",")}) or legal " +
       s"metadata column names, got ${bloomColumns.mkString(",")}")
   require(fileBloomBytes >= 0, s"${GraftConf.FileBloomBytes} must be >= 0, got $fileBloomBytes")
+  // USER-facing name: a scalar metadata column, or a struct member as
+  // `col.member`; the write builder resolves it to the engine stream and
+  // validates it against the actual schema
+  require(sortBy.forall(GraftConf.LegalSortName.matches),
+    s"${GraftConf.SortBy} must name a metadata column or struct member " +
+      s"(e.g. 'lang' or 'info.score'), got ${sortBy.getOrElse("")}")
 
   /** The kernel-facing slice, threaded through every codec call as an
     * immutable value (never global state — see [[graft.codec.CodecConf]]). */
   def codec: graft.codec.CodecConf =
     graft.codec.CodecConf(zlibLevel, deflateMinGain, dictThreshold, bloomColumns,
-      fileBloomBytes)
+      fileBloomBytes) // sortBy is resolved to its ENGINE stream by the writer
 }
 
 object GraftConf {
@@ -62,6 +69,7 @@ object GraftConf {
   final val DictThreshold = "graft.codec.dictThreshold"
   final val BloomColumns = "graft.codec.bloomColumns"
   final val FileBloomBytes = "graft.codec.fileBloomBytes"
+  final val SortBy = "graft.write.sortBy"
 
   /** Streams a bloom can be requested on (the five encoded streams). */
   final val BloomableColumns: Set[String] =
@@ -70,6 +78,10 @@ object GraftConf {
   /** Metadata column names follow the same rule [[graft.sources.MetaColumns]]
     * enforces at write time. */
   final val LegalStreamName: scala.util.matching.Regex = "[a-z][a-z0-9_]*".r
+
+  /** sortBy accepts a column name or one `col.member` struct path. */
+  final val LegalSortName: scala.util.matching.Regex =
+    "[a-z][a-z0-9_]*(\\.[a-z][a-z0-9_]*)?".r
 
   private def parseInt(key: String, v: String): Int =
     try v.trim.toInt
@@ -100,7 +112,8 @@ object GraftConf {
       bloomColumns = get(BloomColumns)
         .map(_.split(',').iterator.map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty).toSet)
         .getOrElse(d.bloomColumns),
-      fileBloomBytes = get(FileBloomBytes).map(parseInt(FileBloomBytes, _)).getOrElse(d.fileBloomBytes))
+      fileBloomBytes = get(FileBloomBytes).map(parseInt(FileBloomBytes, _)).getOrElse(d.fileBloomBytes),
+      sortBy = get(SortBy).map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty))
   }
 
   /** Read every `graft.*` key from the session conf. */

@@ -435,6 +435,12 @@ object SegmentStore {
     }
     val metaInput: Option[Dataset[Segment]] = metaSchema.map { schema =>
       val specs = metaFields.flatMap(graft.sources.MetaColumns.specsFor)
+      // the table's recorded (advisory) sort order survives compaction:
+      // the re-chunk re-sorts each bucket by it, so the clustering that
+      // made the sort column's stats prune stays tight across generations
+      val sortedConf = graft.codec.CodecConf.Default.copy(
+        sortBy = graft.sources.GraftTableMeta
+          .read(tableDir, spark.sparkContext.hadoopConfiguration).flatMap(_.sortBy))
       implicit val segEnc = org.apache.spark.sql.Encoders.product[Segment]
       readSegmentsOf(spark, tableDir, visible)
         .repartition(buckets, $"bucket")
@@ -442,7 +448,7 @@ object SegmentStore {
           it.toArray.groupBy(_.bucket).iterator.flatMap { case (_, ss) =>
             GraftEncoder.encodePartitionWithMeta(
               ss.iterator.flatMap(GraftEncoder.decodeSegmentWithMeta(_, specs)),
-              specs, tokensPerChunk)
+              specs, tokensPerChunk, sortedConf)
           }
         }
         .localCheckpoint()

@@ -956,6 +956,61 @@ object Encode {
     } finally deleteRecursively(new java.io.File(base))
   }
 
+  /** Sorted write end-to-end (round-5, the ORC `orc.sort.columns` /
+    * Iceberg sort-order analog): `sortBy=lang` clusters each bucket by
+    * the column's stored order (nulls first, then UTF-8 byte order), so
+    * its chunk stats come out tight and equality/range filters prune.
+    * The entry REQUIRES the ordering contract on the read-back (zero
+    * per-partition order violations) and the `_meta`-recorded sort order,
+    * so it fails loudly if the clustering stops being applied. Values
+    * derive from n_tok, so DuckDB replays the column nested-free. */
+  def dsv2SortedWrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-sorted-q").toString
+    try {
+      val input = TokenTables.fromDocuments(spark, dir)
+        .toDF("doc_id", "tokens", "n_tok", "source")
+        .withColumn("lang", when($"n_tok" % 5 =!= 0,
+          concat(lit("l"), ($"n_tok" % 8).cast("string"))))
+      input.write.format("graft").option("buckets", "4")
+        .option("sortBy", "lang")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(base)
+      require(graft.sources.GraftTableMeta
+        .read(base, spark.sparkContext.hadoopConfiguration)
+        .flatMap(_.sortBy).contains("lang"), "sortBy not recorded in lineage/_meta")
+      val table = spark.read.format("graft").load(base)
+      val violations = table.select($"lang").as[String]
+        .mapPartitions { it =>
+          var prev: String = null
+          var seenValue = false
+          var viol = 0L
+          it.foreach { v =>
+            if (v == null) { if (seenValue) viol += 1 }
+            else {
+              if (prev != null && graft.engine.GraftEncoder.compareUtf8(prev, v) > 0)
+                viol += 1
+              prev = v; seenValue = true
+            }
+          }
+          Iterator.single(viol)
+        }.collect().sum
+      require(violations == 0L,
+        s"sorted write broke the per-bucket ordering contract ($violations violations)")
+      val row = table.agg(
+        count(lit(1)).as("n_docs"),
+        count($"lang").as("n_lang"),
+        sum(when($"lang" === "l3", 1L).otherwise(0L)).as("n_l3"),
+        sum(when($"lang" === "l3", $"n_tok".cast("long")).otherwise(0L)).as("sum_l3_tok"))
+        .collect().toSeq
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(row, 1),
+        StructType(Seq(
+          StructField("n_docs", LongType), StructField("n_lang", LongType),
+          StructField("n_l3", LongType), StructField("sum_l3_tok", LongType))))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
   /** LIST-element aggregate folding end-to-end (round-5, generalizing the
     * round-3 tokens-only fold): `min(array_min(tags))` / `max(array_max
     * (names))` over LIST metadata columns reduce to the element streams'
@@ -1573,6 +1628,24 @@ object Encode {
         |  CAST(SUM(CASE WHEN kind = 'k1' THEN n_tok ELSE 0 END) AS BIGINT)
         |    AS sum_k1_tok
         |FROM meta""".stripMargin,
+    "encode_dsv2_sorted_write" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> x <> '')) AS n_tok
+        |  FROM documents
+        |),
+        |meta AS (
+        |  SELECT doc_id, n_tok,
+        |    CASE WHEN n_tok % 5 <> 0 THEN 'l' || CAST(n_tok % 8 AS VARCHAR) END AS lang
+        |  FROM tok
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(lang) AS BIGINT) AS n_lang,
+        |  CAST(SUM(CASE WHEN lang = 'l3' THEN 1 ELSE 0 END) AS BIGINT) AS n_l3,
+        |  CAST(SUM(CASE WHEN lang = 'l3' THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS sum_l3_tok
+        |FROM meta""".stripMargin,
     "encode_dsv2_elem_agg" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1690,6 +1763,7 @@ object Encode {
     "encode_dsv2_nested_pushdown" -> (dsv2NestedPushdown _),
     "encode_dsv2_nested_agg" -> (dsv2NestedAgg _),
     "encode_dsv2_nested_prune" -> (dsv2NestedPrune _),
+    "encode_dsv2_sorted_write" -> (dsv2SortedWrite _),
     "encode_dsv2_elem_agg" -> (dsv2ElemAgg _),
     "encode_dsv2_map_pushdown" -> (dsv2MapPushdown _),
     "encode_dsv2_schema_evolution" -> (dsv2SchemaEvolution _),

@@ -111,6 +111,17 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
 
+  /** Prefix filter (`LIKE 'p%'` -> StringStartsWith): the shape the
+    * round-5 prefix pushdown prunes on — in the graft-storage suite this
+    * filter reaches the connector and skips via string min/max stats. */
+  def filterPrefix(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .filter(col("c_name").startsWith("Customer#00000001"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("c_acctbal")).as("sum_bal"),
+        min(col("c_name")).as("first_name"),
+        max(col("c_name")).as("last_name"))
+
   // --- projection / scalar functions -----------------------------------------
 
   def projScalar(spark: SparkSession, dir: String): DataFrame =
@@ -589,6 +600,7 @@ object Relational {
     "q_filter_compound" -> (filterCompound _),
     "q_filter_isnull" -> (filterIsNull _),
     "q_filter_in_between" -> (filterInBetween _),
+    "q_filter_prefix" -> (filterPrefix _),
     "q_proj_scalar" -> (projScalar _),
     "q_proj_like" -> (projLike _),
     "q_case_when" -> (caseWhen _),
@@ -775,6 +787,11 @@ object Relational {
         |WHERE event_type IN ('click','purchase') AND value BETWEEN 10.0 AND 500.0
         |  AND value IS NOT NULL
         |GROUP BY event_type""".stripMargin,
+    "q_filter_prefix" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |  MIN(c_name) AS first_name, MAX(c_name) AS last_name
+        |FROM customer WHERE c_name LIKE 'Customer#00000001%'""".stripMargin,
     "q_proj_scalar" ->
       """SELECT p_partkey, UPPER(p_brand) AS brand_u, CAST(LENGTH(p_name) AS INTEGER) AS name_len,
         |  SUBSTRING(p_name, 1, 8) AS name8, p_brand || '#' || p_type AS brand_type

@@ -41,10 +41,16 @@ object GraftTableMeta {
   final val BucketFunction = "murmur3-seed42-pmod"
 
   final case class Meta(formatVersion: Int, bucketFunction: String,
-                        schemaDdl: Option[String], schemaVersion: Int = 0) {
+                        schemaDdl: Option[String], schemaVersion: Int = 0,
+                        sortBy: Option[String] = None) {
     def render: String = {
       val base = s"formatVersion=$formatVersion\nbucketFunction=$bucketFunction\n"
-      schemaDdl.fold(base)(d => base + s"schema=$d\n")
+      val withSchema = schemaDdl.fold(base)(d => base + s"schema=$d\n")
+      // ADVISORY sort order (engine-stream name, [[graft.codec.CodecConf
+      // .sortBy]]): recorded at creation so appends inherit the clustering
+      // and compaction re-sorts by it; never validated (a divergent append
+      // only loses pruning tightness, never correctness — stats recompute)
+      sortBy.fold(withSchema)(c => withSchema + s"sortBy=$c\n")
     }
   }
 
@@ -231,7 +237,8 @@ object GraftTableMeta {
     Some(Meta(
       kv.get("formatVersion").flatMap(_.toIntOption).getOrElse(0),
       kv.getOrElse("bucketFunction", ""),
-      kv.get("schema").filter(_.nonEmpty)))
+      kv.get("schema").filter(_.nonEmpty),
+      sortBy = kv.get("sortBy").filter(_.nonEmpty)))
   }
 
   /** Does the table already have committed history (any ledger file)? A
@@ -259,8 +266,9 @@ object GraftTableMeta {
     *   canonical TokenRow schema; see [[GraftWriteBuilder]])
     */
   def ensureForCommit(tableDir: String, conf: Configuration,
-                      schemaDdl: Option[String] = None): Meta = {
-    val want = Meta(FormatVersion, BucketFunction, schemaDdl)
+                      schemaDdl: Option[String] = None,
+                      sortBy: Option[String] = None): Meta = {
+    val want = Meta(FormatVersion, BucketFunction, schemaDdl, sortBy = sortBy)
     read(tableDir, conf) match {
       case Some(m) => validate(tableDir, m, schemaDdl); m
       case None =>

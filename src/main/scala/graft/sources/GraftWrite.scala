@@ -106,7 +106,19 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
     }
     val tokensPerChunk = Option(opts.get("tokensPerChunk")).map(_.toInt)
       .getOrElse(conf.tokensPerChunk)
-    new GraftWrite(path, schema, buckets, tokensPerChunk, conf.codec,
+    // Sort order (ORC `orc.sort.columns` / Iceberg sort-order analog):
+    // explicit `sortBy` option > `graft.write.sortBy` session default >
+    // the order recorded at table creation (appends inherit clustering
+    // without restating the knob). Resolved here to the ENGINE stream
+    // (`info.score` -> `info__f_score`) and validated against the schema.
+    val sortStream: Option[String] =
+      Option(opts.get("sortBy")).map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty)
+        .orElse(conf.sortBy)
+        .orElse(GraftTableMeta.read(path, hconf.value).flatMap(_.sortBy))
+        .map(GraftWriteBuilder.resolveSortStream(schema, _))
+    new GraftWrite(path, schema, buckets, tokensPerChunk,
+      conf.codec.copy(sortBy = sortStream),
       truncateFirst, info.queryId(), hconf)
   }
 }
@@ -118,6 +130,29 @@ object GraftWriteBuilder {
 
   /** Canonical four + optional scalar metadata columns ([[MetaColumns]]). */
   def validateSchema(s: StructType): Unit = MetaColumns.validate(s)
+
+  /** Resolve a user sortBy name to its ENGINE stream and validate it
+    * against `schema`: a scalar metadata column maps to itself, a struct
+    * member path `c.m` to `c__f_m`, and an already-resolved engine name
+    * (the `_meta`-recorded form appends inherit) passes through. Must be
+    * a scalar (non-list, non-binary, non-map/struct-root) stream — only
+    * those have a total stored-domain order to cluster by. */
+  def resolveSortStream(schema: StructType, user: String): String = {
+    val engine = MetaColumns.metaFields(schema).flatMap(MetaColumns.engineFields)
+    val resolved = user.split('.') match {
+      case Array(c, m) => s"${c}__f_$m"
+      case _ => user
+    }
+    val f = engine.find(_.name == resolved).getOrElse(throw new IllegalArgumentException(
+      s"sortBy '$user' does not name a metadata column or struct member of " +
+        s"this table; columns: ${MetaColumns.metaFields(schema).map(_.name).mkString(",")}"))
+    require(!MetaColumns.isList(f.dataType) &&
+      f.dataType != org.apache.spark.sql.types.BinaryType &&
+      !resolved.endsWith("__p"),
+      s"sortBy '$user' must be a scalar orderable column (not a list, map, " +
+        "binary, or a bare struct — sort by a struct MEMBER as 'col.member')")
+    resolved
+  }
 }
 
 /** One committed writer task's contribution: its bucket's staged file (None
@@ -191,7 +226,7 @@ class GraftBatchWrite(path: String, stagingDir: String, schema: StructType,
     // finding: a silently changed bucket function corrupts SPJ and restart)
     // — and record/require the table schema (metadata columns are fixed at
     // creation; mixed stream sets inside one table would corrupt reads).
-    GraftTableMeta.ensureForCommit(path, conf, Some(MetaColumns.ddl(schema)))
+    GraftTableMeta.ensureForCommit(path, conf, Some(MetaColumns.ddl(schema)), codecConf.sortBy)
     // Snapshot id chosen at commit time so SUCCESSIVE appends
     // monotonically stack (the Iceberg "new snapshot per commit" stance).
     // Batch ids live BELOW StreamEpochBase: the streaming sink derives its
@@ -264,7 +299,7 @@ class GraftStreamingWrite(path: String, stagingDir: String, schema: StructType,
     // raw ids), so the replay check below could misfire either way —
     // fail fast by name instead of double-publishing or dropping data
     // (advisor finding on the r3 id-space rebase).
-    GraftTableMeta.ensureForCommit(path, conf, Some(MetaColumns.ddl(schema)))
+    GraftTableMeta.ensureForCommit(path, conf, Some(MetaColumns.ddl(schema)), codecConf.sortBy)
     val snapshotId = GraftWriteCommit.StreamEpochBase + epochId
     val already = GraftLayout.committedSnapshots(path, conf)
       .exists(_.contains(snapshotId))

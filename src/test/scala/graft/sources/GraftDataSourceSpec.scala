@@ -1357,6 +1357,76 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(off.collect()(0) === on.collect()(0))
   }
 
+  test("sortBy clusters each bucket by the column's stored order: tight " +
+    "chunk stats prune, appends inherit it, compaction preserves it") {
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    import spark.implicits._
+    def withLang(n: Int, seed: Long) =
+      TokenTables.synthetic(spark, nDocs = n, seed = seed)
+        .toDF("doc_id", "tokens", "n_tok", "source")
+        .withColumn("lang", when($"n_tok" % 5 =!= 0,
+          concat(lit("l"), ($"n_tok" % 8).cast("string"))))
+    val input = withLang(400, 42L)
+    val sortedDir = tmp()
+    val plainDir = tmp()
+    input.write.format("graft").option("buckets", "2")
+      .option("tokensPerChunk", "8192").option("sortBy", "lang")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(sortedDir)
+    input.write.format("graft").option("buckets", "2")
+      .option("tokensPerChunk", "8192")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(plainDir)
+    val expect = input.filter($"lang" === "l3").count()
+    // under the v2 layout pruned segments are never materialized (the stat
+    // predicate rides to parquet as a record filter), so clustering shows
+    // up as FEWER decoded segments for the same filtered result
+    def decodedOn(dir: String): (Long, Long) = {
+      val (rows, m) = runWithScanMetrics(
+        spark.read.format("graft").load(dir).filter($"lang" === "l3"))
+      (rows.length.toLong, m.getOrElse("graft segments decoded", Long.MaxValue) +
+        m.getOrElse("graft segments pruned (filter stats)", 0L))
+    }
+    val (nSorted, decodedSorted) = decodedOn(sortedDir)
+    val (nPlain, decodedPlain) = decodedOn(plainDir)
+    assert(nSorted === expect && nPlain === expect && expect > 0L)
+    assert(decodedSorted < decodedPlain,
+      s"clustering should out-prune the unsorted layout: " +
+        s"decoded $decodedSorted vs $decodedPlain segments")
+    // the ordering contract itself: per scan partition (= one bucket's
+    // file), lang is nulls-first then non-decreasing in UTF-8 byte order
+    def orderViolations(dir: String): Long =
+      spark.read.format("graft").load(dir).select($"lang").as[String]
+        .mapPartitions { it =>
+          var prev: String = null
+          var seenValue = false
+          var viol = 0L
+          it.foreach { v =>
+            if (v == null) { if (seenValue) viol += 1 }
+            else {
+              if (prev != null && graft.engine.GraftEncoder.compareUtf8(prev, v) > 0) viol += 1
+              prev = v; seenValue = true
+            }
+          }
+          Iterator.single(viol)
+        }.collect().sum
+    assert(orderViolations(sortedDir) === 0L)
+    // the order is recorded at creation and appends INHERIT it (no option)
+    assert(GraftTableMeta.read(sortedDir, spark.sparkContext.hadoopConfiguration)
+      .flatMap(_.sortBy) === Some("lang"))
+    withLang(100, 7L).write.format("graft")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(sortedDir)
+    assert(orderViolations(sortedDir) === 0L,
+      "appended snapshot lost the recorded clustering")
+    // compaction folds generations through the same sorted re-chunk
+    val compacted = SegmentStore.compact(spark, sortedDir, upTo = Long.MaxValue,
+      buckets = 2, tokensPerChunk = 8192)
+    assert(compacted.nonEmpty)
+    assert(orderViolations(sortedDir) === 0L, "compaction lost the clustering")
+    val total = withLang(400, 42L).unionAll(withLang(100, 7L))
+    assert(spark.read.format("graft").load(sortedDir).count() === total.count())
+    assert(spark.read.format("graft").load(sortedDir)
+      .filter($"lang" === "l3").count() === total.filter($"lang" === "l3").count())
+  }
+
   test("graft table schemas are fixed at creation (append with a different column set fails)") {
     import spark.implicits._
     val dir = tmp()
