@@ -31,12 +31,12 @@ final case class CodecConf(
     dictThreshold: Double = 0.8,
     bloomColumns: Set[String] = CodecConf.DefaultBloomColumns,
     fileBloomBytes: Int = CodecConf.DefaultFileBloomBytes,
-    /** ENGINE-stream name of a scalar metadata column to cluster rows by
-      * within each bucket at encode (nulls first, stored-domain order,
-      * ties broken by source+doc_id for determinism) — the ORC
-      * `orc.sort.columns` / Iceberg sort-order analog: tight per-chunk
-      * stats on the sort column make its range/point predicates prune. */
-    sortBy: Option[String] = None)
+    /** ENGINE-stream names of scalar metadata columns to cluster rows by
+      * within each bucket at encode, in key order (nulls first per key,
+      * stored-domain order, ties broken by source+doc_id for determinism)
+      * — the ORC `orc.sort.columns` / Iceberg sort-order analog: tight
+      * per-chunk stats on the sort columns make their predicates prune. */
+    sortBy: Seq[String] = Nil)
 
 object CodecConf {
   val DefaultBloomColumns: Set[String] = Set("doc_id")

@@ -42,17 +42,19 @@ final case class GraftConf(
   // writer validates the actual schema; an opted-in name with no stream
   // simply never builds a filter)
   require(bloomColumns.forall(c => GraftConf.BloomableColumns.contains(c) ||
-    (GraftConf.LegalStreamName.matches(c) && !c.contains("__"))),
+    (GraftConf.LegalSortName.matches(c) && !c.contains("__"))),
     s"${GraftConf.BloomColumns} entries must be canonical streams " +
-      s"(${GraftConf.BloomableColumns.toSeq.sorted.mkString(",")}) or legal " +
-      s"metadata column names, got ${bloomColumns.mkString(",")}")
+      s"(${GraftConf.BloomableColumns.toSeq.sorted.mkString(",")}), legal " +
+      "metadata column names, or 'col.member' struct paths, " +
+      s"got ${bloomColumns.mkString(",")}")
   require(fileBloomBytes >= 0, s"${GraftConf.FileBloomBytes} must be >= 0, got $fileBloomBytes")
   // USER-facing name: a scalar metadata column, or a struct member as
   // `col.member`; the write builder resolves it to the engine stream and
   // validates it against the actual schema
-  require(sortBy.forall(GraftConf.LegalSortName.matches),
-    s"${GraftConf.SortBy} must name a metadata column or struct member " +
-      s"(e.g. 'lang' or 'info.score'), got ${sortBy.getOrElse("")}")
+  require(sortBy.forall(_.split(',').iterator.map(_.trim).filter(_.nonEmpty)
+      .forall(GraftConf.LegalSortName.matches)),
+    s"${GraftConf.SortBy} must be a comma-separated list of metadata columns " +
+      s"or struct members (e.g. 'lang' or 'lang,info.score'), got ${sortBy.getOrElse("")}")
 
   /** The kernel-facing slice, threaded through every codec call as an
     * immutable value (never global state — see [[graft.codec.CodecConf]]). */

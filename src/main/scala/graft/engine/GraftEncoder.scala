@@ -743,29 +743,28 @@ object GraftEncoder {
                               codecConf: CodecConf = CodecConf.Default): Iterator[Segment] = {
     val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
     val buf = rows.toArray
-    // optional clustering ([[CodecConf.sortBy]], an ENGINE-stream name):
-    // rows sort by the stored-domain value of that scalar stream FIRST
+    // optional clustering ([[CodecConf.sortBy]], ENGINE-stream names in
+    // key order): rows sort by each key's stored-domain value in turn
     // (nulls before values, Long numerically, String in UTF-8 byte order —
     // the stats' own order, so per-chunk [min,max] comes out tight), then
     // by the canonical (source, doc_id) key so equal-key runs stay
     // deterministic and segment bytes reproduce
-    val sortIdx: Int = codecConf.sortBy match {
-      case None => -1
-      case Some(name) =>
-        val i = specs.indexWhere(_.name == name)
-        require(i >= 0 && !specs(i).isList && !specs(i).isBinary,
-          s"sortBy '$name' must name a scalar (non-list, non-binary) " +
-            s"metadata stream of this table; streams: ${specs.map(_.name).mkString(",")}")
-        i
-    }
+    val sortIdxs: Array[Int] = codecConf.sortBy.map { name =>
+      val i = specs.indexWhere(_.name == name)
+      require(i >= 0 && !specs(i).isList && !specs(i).isBinary,
+        s"sortBy '$name' must name a scalar (non-list, non-binary) " +
+          s"metadata stream of this table; streams: ${specs.map(_.name).mkString(",")}")
+      i
+    }.toArray
     java.util.Arrays.sort(buf, new java.util.Comparator[(BucketedRow, Array[AnyRef])] {
       def compare(x: (BucketedRow, Array[AnyRef]), y: (BucketedRow, Array[AnyRef])): Int = {
         val a = x._1
         val b = y._1
         if (a.bucket != b.bucket) return Integer.compare(a.bucket, b.bucket)
-        if (sortIdx >= 0) {
-          val va = x._2(sortIdx)
-          val vb = y._2(sortIdx)
+        var k = 0
+        while (k < sortIdxs.length) {
+          val va = x._2(sortIdxs(k))
+          val vb = y._2(sortIdxs(k))
           val c =
             if (va == null && vb == null) 0
             else if (va == null) -1
@@ -778,6 +777,7 @@ object GraftEncoder {
                 s"unreachable: sortBy value shape ${other.getClass}")
             }
           if (c != 0) return c
+          k += 1
         }
         val s = a.source.compareTo(b.source)
         if (s != 0) s else a.doc_id.compareTo(b.doc_id)

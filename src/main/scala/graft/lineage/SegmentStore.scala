@@ -440,7 +440,8 @@ object SegmentStore {
       // made the sort column's stats prune stays tight across generations
       val sortedConf = graft.codec.CodecConf.Default.copy(
         sortBy = graft.sources.GraftTableMeta
-          .read(tableDir, spark.sparkContext.hadoopConfiguration).flatMap(_.sortBy))
+          .read(tableDir, spark.sparkContext.hadoopConfiguration).flatMap(_.sortBy)
+          .toSeq.flatMap(_.split(',').iterator.map(_.trim).filter(_.nonEmpty)))
       implicit val segEnc = org.apache.spark.sql.Encoders.product[Segment]
       readSegmentsOf(spark, tableDir, visible)
         .repartition(buckets, $"bucket")

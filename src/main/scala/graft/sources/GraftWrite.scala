@@ -106,19 +106,30 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
     }
     val tokensPerChunk = Option(opts.get("tokensPerChunk")).map(_.toInt)
       .getOrElse(conf.tokensPerChunk)
-    // Sort order (ORC `orc.sort.columns` / Iceberg sort-order analog):
-    // explicit `sortBy` option > `graft.write.sortBy` session default >
-    // the order recorded at table creation (appends inherit clustering
-    // without restating the knob). Resolved here to the ENGINE stream
-    // (`info.score` -> `info__f_score`) and validated against the schema.
-    val sortStream: Option[String] =
+    // Sort order (ORC `orc.sort.columns` / Iceberg sort-order analog,
+    // comma-separated multi-key): explicit `sortBy` option >
+    // `graft.write.sortBy` session default > the order recorded at table
+    // creation (appends inherit clustering without restating the knob).
+    // Each key resolves here to its ENGINE stream (`info.score` ->
+    // `info__f_score`) and is validated against the schema.
+    val sortStreams: Seq[String] =
       Option(opts.get("sortBy")).map(_.trim.toLowerCase(java.util.Locale.ROOT))
         .filter(_.nonEmpty)
         .orElse(conf.sortBy)
         .orElse(GraftTableMeta.read(path, hconf.value).flatMap(_.sortBy))
+        .toSeq
+        .flatMap(_.split(',').iterator.map(_.trim).filter(_.nonEmpty))
         .map(GraftWriteBuilder.resolveSortStream(schema, _))
+    // bloomColumns may name struct members as `col.member`: resolve them
+    // to the member's engine stream here (the encoder keys blooms by
+    // stream name; the read side already renames member predicates onto
+    // the same stream, so build and probe meet with no further mapping)
+    val bloomCols = conf.codec.bloomColumns.map {
+      case c if c.contains(".") => GraftWriteBuilder.resolveSortStream(schema, c)
+      case c => c
+    }
     new GraftWrite(path, schema, buckets, tokensPerChunk,
-      conf.codec.copy(sortBy = sortStream),
+      conf.codec.copy(sortBy = sortStreams, bloomColumns = bloomCols),
       truncateFirst, info.queryId(), hconf)
   }
 }
@@ -226,7 +237,8 @@ class GraftBatchWrite(path: String, stagingDir: String, schema: StructType,
     // finding: a silently changed bucket function corrupts SPJ and restart)
     // — and record/require the table schema (metadata columns are fixed at
     // creation; mixed stream sets inside one table would corrupt reads).
-    GraftTableMeta.ensureForCommit(path, conf, Some(MetaColumns.ddl(schema)), codecConf.sortBy)
+    GraftTableMeta.ensureForCommit(path, conf, Some(MetaColumns.ddl(schema)),
+      Some(codecConf.sortBy.mkString(",")).filter(_.nonEmpty))
     // Snapshot id chosen at commit time so SUCCESSIVE appends
     // monotonically stack (the Iceberg "new snapshot per commit" stance).
     // Batch ids live BELOW StreamEpochBase: the streaming sink derives its
@@ -299,7 +311,8 @@ class GraftStreamingWrite(path: String, stagingDir: String, schema: StructType,
     // raw ids), so the replay check below could misfire either way —
     // fail fast by name instead of double-publishing or dropping data
     // (advisor finding on the r3 id-space rebase).
-    GraftTableMeta.ensureForCommit(path, conf, Some(MetaColumns.ddl(schema)), codecConf.sortBy)
+    GraftTableMeta.ensureForCommit(path, conf, Some(MetaColumns.ddl(schema)),
+      Some(codecConf.sortBy.mkString(",")).filter(_.nonEmpty))
     val snapshotId = GraftWriteCommit.StreamEpochBase + epochId
     val already = GraftLayout.committedSnapshots(path, conf)
       .exists(_.contains(snapshotId))

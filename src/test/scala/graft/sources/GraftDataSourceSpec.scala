@@ -1059,6 +1059,36 @@ class GraftDataSourceSpec extends AnyFunSuite {
       s"absent key planned file tasks: $m2")
   }
 
+  test("STRUCT-member blooms (bloomColumns=col.member) prune member point " +
+    "lookups via the member's own stream filter") {
+    import org.apache.spark.sql.functions.struct
+    import spark.implicits._
+    val dir = tmp()
+    def uid(i: Int): Long = (i.toLong * 2654435761L) % 1000000007L
+    val input = (0 until 400).map { i =>
+      (f"doc$i%05d", Seq(i), 1, "web", uid(i), s"k${i % 3}")
+    }.toDF("doc_id", "tokens", "n_tok", "source", "m_uid", "m_kind")
+      .select($"doc_id", $"tokens", $"n_tok", $"source",
+        struct($"m_uid".as("uid"), $"m_kind".as("kind")).as("info"))
+    input.write.format("graft").option("buckets", "2")
+      .option("tokensPerChunk", "32")
+      .option("graft.codec.bloomColumns", "info.uid")
+      .mode("append").save(dir)
+    val table = spark.read.format("graft").load(dir)
+    val (rows, m) = runWithScanMetrics(table.filter($"info.uid" === uid(123)))
+    assert(rows.length === 1 && rows.head.getAs[String]("doc_id") === "doc00123")
+    assert(m.getOrElse("graft segments pruned (bloom)", 0L) > 0L,
+      s"member bloom did not prune: $m")
+    // absent key inside the range: file-level folded bloom plans nothing
+    val present = (0 until 400).map(uid).toSet
+    val absent = Iterator.from(1).map(uid(123) + _).find(!present.contains(_)).get
+    val (none, m2) = runWithScanMetrics(table.filter($"info.uid" === absent))
+    assert(none.isEmpty)
+    assert(m2.getOrElse("graft segments decoded", 0L) === 0L &&
+      m2.getOrElse("graft files pruned (planning)", 0L) > 0L,
+      s"absent member key was not file-pruned: $m2")
+  }
+
   test("IS NULL / IS NOT NULL prune on non-null counts; results stay exact") {
     import spark.implicits._
     val dir = tmp()
@@ -1366,11 +1396,14 @@ class GraftDataSourceSpec extends AnyFunSuite {
         .toDF("doc_id", "tokens", "n_tok", "source")
         .withColumn("lang", when($"n_tok" % 5 =!= 0,
           concat(lit("l"), ($"n_tok" % 8).cast("string"))))
+        .withColumn("score", when($"n_tok" % 7 =!= 0, $"n_tok" % 100))
     val input = withLang(400, 42L)
     val sortedDir = tmp()
     val plainDir = tmp()
+    // multi-key order (Iceberg sort-order shape): lang primary, score
+    // secondary — the comma list records, inherits, and compacts as one
     input.write.format("graft").option("buckets", "2")
-      .option("tokensPerChunk", "8192").option("sortBy", "lang")
+      .option("tokensPerChunk", "8192").option("sortBy", "lang,score")
       .mode(org.apache.spark.sql.SaveMode.Append).save(sortedDir)
     input.write.format("graft").option("buckets", "2")
       .option("tokensPerChunk", "8192")
@@ -1392,26 +1425,38 @@ class GraftDataSourceSpec extends AnyFunSuite {
       s"clustering should out-prune the unsorted layout: " +
         s"decoded $decodedSorted vs $decodedPlain segments")
     // the ordering contract itself: per scan partition (= one bucket's
-    // file), lang is nulls-first then non-decreasing in UTF-8 byte order
+    // file), (lang, score) pairs are nulls-first then non-decreasing —
+    // lang primary (UTF-8 byte order), score secondary within equal lang
     def orderViolations(dir: String): Long =
-      spark.read.format("graft").load(dir).select($"lang").as[String]
+      spark.read.format("graft").load(dir).select($"lang", $"score")
+        .as[(Option[String], Option[Int])]
         .mapPartitions { it =>
-          var prev: String = null
-          var seenValue = false
+          def cmp(a: (Option[String], Option[Int]), b: (Option[String], Option[Int])): Int = {
+            val l = (a._1, b._1) match {
+              case (None, None) => 0
+              case (None, _) => -1
+              case (_, None) => 1
+              case (Some(x), Some(y)) => graft.engine.GraftEncoder.compareUtf8(x, y)
+            }
+            if (l != 0) l else (a._2, b._2) match {
+              case (None, None) => 0
+              case (None, _) => -1
+              case (_, None) => 1
+              case (Some(x), Some(y)) => Integer.compare(x, y)
+            }
+          }
+          var prev: (Option[String], Option[Int]) = null
           var viol = 0L
           it.foreach { v =>
-            if (v == null) { if (seenValue) viol += 1 }
-            else {
-              if (prev != null && graft.engine.GraftEncoder.compareUtf8(prev, v) > 0) viol += 1
-              prev = v; seenValue = true
-            }
+            if (prev != null && cmp(prev, v) > 0) viol += 1
+            prev = v
           }
           Iterator.single(viol)
         }.collect().sum
     assert(orderViolations(sortedDir) === 0L)
     // the order is recorded at creation and appends INHERIT it (no option)
     assert(GraftTableMeta.read(sortedDir, spark.sparkContext.hadoopConfiguration)
-      .flatMap(_.sortBy) === Some("lang"))
+      .flatMap(_.sortBy) === Some("lang,score"))
     withLang(100, 7L).write.format("graft")
       .mode(org.apache.spark.sql.SaveMode.Append).save(sortedDir)
     assert(orderViolations(sortedDir) === 0L,
