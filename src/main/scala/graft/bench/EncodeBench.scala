@@ -286,6 +286,33 @@ object EncodeBench {
       // flattens artificially. 16m -> ~8x more scan tasks (the same knob a
       // real cluster tunes so scan tasks >> executor slots).
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      // AQE partition coalescing sized by BYTES, not by the parallelism
+      // floor (optimization guide §2.2 "fewer, larger reduce partitions"):
+      // with the default parallelismFirst=true every KB-scale shuffle
+      // still fans out to `cpus` reducers, so metadata-scale stages (the
+      // dedup pair graph, lineage reads, tiny dimension aggregates) paid
+      // 32 task launches each — round-6 stage telemetry measured
+      // dedup_clusters at 32 jobs x 32 tiny tasks = 22.7 s of summed task
+      // time for ~350 edges. Spark's own tuning guide recommends false.
+      // The advisory size is scale-adaptive by definition (a 100 TB
+      // shuffle still gets bytes/advisory reducers) and parameterised for
+      // production tuning.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // 1m advisory: small enough that CPU-dense mid-size shuffles (the
+      // embedding exact-verify pairs, the ngram candidate aggregation —
+      // a few MiB of shuffle bytes carrying millions of rows of real
+      // per-row work) keep multi-task parallelism, while KB-scale
+      // metadata stages still collapse to one task. Production would
+      // raise this with data volume; parameterised for that.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PART", "1m"))
+      // Let AQE coalesce apply to plans that materialize a cache too —
+      // without it every `.persist()` materialization (the dedup pair
+      // graph, the label-propagation loop, memTable) keeps the full
+      // shuffle fan-out for KB-scale data. Output partitioning of a cache
+      // is not part of any result contract here (results are value-sorted
+      // by the driver; ordered entries sort explicitly).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -38,17 +38,33 @@ object TokenTables {
     h
   }
 
+  /** Tokens = maximal runs of [a-z0-9] in the lowercased text, each hashed
+    * with [[stableHash]] — semantically identical to the original
+    * `split("[^a-z0-9]+")` formulation, but computed in one allocation-free
+    * scan: no per-call regex compile, no String[] of word copies (this
+    * kernel runs once per row in every encode entry and dominated their
+    * map-stage task time). The FNV fold is applied to the run's chars
+    * directly, which equals hashing the word substring. */
   def tokenize(text: String): Array[Int] = {
-    val parts = text.toLowerCase.split("[^a-z0-9]+")
-    val out = new Array[Int](parts.length)
+    val s = text.toLowerCase
+    val len = s.length
+    var out = new Array[Int](math.min(16, len + 1))
     var n = 0
     var i = 0
-    while (i < parts.length) {
-      if (parts(i).nonEmpty) {
-        out(n) = (stableHash(parts(i)) & 0x7fffffff) % VocabSize
+    while (i < len) {
+      var c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        var h = 0x811c9dc5
+        do {
+          h ^= c
+          h *= 0x01000193
+          i += 1
+          c = if (i < len) s.charAt(i) else ' '
+        } while ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))
+        if (n == out.length) out = java.util.Arrays.copyOf(out, n * 2)
+        out(n) = (h & 0x7fffffff) % VocabSize
         n += 1
-      }
-      i += 1
+      } else i += 1
     }
     java.util.Arrays.copyOf(out, n)
   }

@@ -79,24 +79,89 @@ object Dedup {
 
   // ---- MinHash ------------------------------------------------------------
 
-  /** Word 3-shingle set of a text (hashed to 64-bit). */
-  def shingles(text: String, n: Int = 3): Array[Long] = {
-    val words = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
-    if (words.length < n) {
-      if (words.isEmpty) Array.emptyLongArray else Array(stableHash64(words.mkString(" ")))
-    } else {
-      val set = new java.util.TreeSet[java.lang.Long]()
-      var i = 0
-      while (i + n <= words.length) {
-        set.add(stableHash64(words.slice(i, i + n).mkString(" ")))
-        i += 1
-      }
-      val out = new Array[Long](set.size)
-      val it = set.iterator()
-      var j = 0
-      while (it.hasNext) { out(j) = it.next(); j += 1 }
-      out
+  /** Word [start, end) ranges of the lowercased text — maximal [a-z0-9]
+    * runs, identical to `split("[^a-z0-9]+")` with empties dropped, found
+    * in one scan with no substring allocation (shared by [[shingles]] and
+    * [[simhash]], the dedup signature hot kernels). Returns (starts, ends,
+    * count). */
+  private def wordRanges(s: String): (Array[Int], Array[Int], Int) = {
+    val len = s.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nw = 0
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        val st = i
+        var cc = c
+        while ((cc >= 'a' && cc <= 'z') || (cc >= '0' && cc <= '9')) {
+          i += 1
+          cc = if (i < len) s.charAt(i) else ' '
+        }
+        if (nw == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nw * 2)
+          ends = java.util.Arrays.copyOf(ends, nw * 2)
+        }
+        starts(nw) = st; ends(nw) = i; nw += 1
+      } else i += 1
     }
+    (starts, ends, nw)
+  }
+
+  /** FNV-1a 64 fold of chars [from, until) of `s` onto `h0` — equals
+    * [[stableHash64]] over the substring without materializing it. */
+  private def fnvRange(s: String, from: Int, until: Int, h0: Long): Long = {
+    var h = h0
+    var j = from
+    while (j < until) { h = (h ^ s.charAt(j)) * 1099511628211L; j += 1 }
+    h
+  }
+
+  private final val Fnv64Basis = 0xcbf29ce484222325L
+  private final val Fnv64Prime = 1099511628211L
+
+  /** Word 3-shingle set of a text (hashed to 64-bit). Semantically the
+    * original `stableHash64(words.slice(i, i+n).mkString(" "))` TreeSet
+    * formulation; computed allocation-free — the FNV fold runs over the
+    * word char ranges with an explicit ' ' separator (identical hash), and
+    * sort+dedup of a primitive array replaces the boxed TreeSet (same
+    * ascending-unique output). */
+  def shingles(text: String, n: Int = 3): Array[Long] = {
+    val s = text.toLowerCase
+    val (starts, ends, nw) = wordRanges(s)
+    if (nw == 0) return Array.emptyLongArray
+    if (nw < n) {
+      var h = Fnv64Basis
+      var w = 0
+      while (w < nw) {
+        if (w > 0) h = (h ^ ' ') * Fnv64Prime
+        h = fnvRange(s, starts(w), ends(w), h)
+        w += 1
+      }
+      return Array(h)
+    }
+    val raw = new Array[Long](nw - n + 1)
+    var k = 0
+    while (k + n <= nw) {
+      var h = Fnv64Basis
+      var w = k
+      while (w < k + n) {
+        if (w > k) h = (h ^ ' ') * Fnv64Prime
+        h = fnvRange(s, starts(w), ends(w), h)
+        w += 1
+      }
+      raw(k) = h
+      k += 1
+    }
+    java.util.Arrays.sort(raw)
+    var m = 0
+    var t = 0
+    while (t < raw.length) {
+      if (m == 0 || raw(m - 1) != raw(t)) { raw(m) = raw(t); m += 1 }
+      t += 1
+    }
+    java.util.Arrays.copyOf(raw, m)
   }
 
   /** MinHash signature: k independent mixes, one pass over the shingle set
@@ -306,11 +371,12 @@ object Dedup {
   // ---- SimHash ------------------------------------------------------------
 
   def simhash(text: String): Long = {
-    val words = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val s = text.toLowerCase
+    val (starts, ends, nw) = wordRanges(s)
     val acc = new Array[Int](SimhashBits)
     var i = 0
-    while (i < words.length) {
-      val h = mix(stableHash64(words(i)))
+    while (i < nw) {
+      val h = mix(fnvRange(s, starts(i), ends(i), Fnv64Basis))
       var b = 0
       while (b < SimhashBits) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -411,6 +477,10 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     val embs = corpus.toDF("vid", "emb", "nrm")
+    // Exact verify stays a typed Dataset.map over primitive while-loop
+    // kernels: the zip_with/aggregate HOF formulation is CodegenFallback
+    // (interpreted, per-element lambda dispatch) and measured ~5x SLOWER
+    // here — the same finding as Similarity's bruteforce kernel note.
     cand
       .join(embs.select(col("vid").as("id1"), col("emb").as("e1"), col("nrm").as("n1")), Seq("id1"))
       .join(embs.select(col("vid").as("id2"), col("emb").as("e2"), col("nrm").as("n2")), Seq("id2"))

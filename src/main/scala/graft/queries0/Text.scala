@@ -140,11 +140,17 @@ object Text {
         (best > 0 && en === best).as("is_en"))
       .filter(col("is_en") && col("n_chars_txt") >= CleanMinChars &&
         col("stopword_ratio") >= CleanMinStopRatio)
-    val keep = scored
-      .groupBy(md5(col("text").cast("binary")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    scored.join(keep, Seq("doc_id"), "left_semi")
+    // "Lowest doc_id per content hash" as ONE window pass instead of the
+    // groupBy + left-semi self-join: doc_ids are unique, so rn = 1 under
+    // (partition md5, order doc_id) selects exactly the rows whose doc_id
+    // is the group minimum — identical output, but the ~17-replace scoring
+    // projection above is computed once, not once per self-join side, and
+    // the md5 aggregation + doc_id join shuffles collapse into one
+    // exchange (guide §2.4).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
       .select(col("doc_id"), col("n_chars_txt"), col("stopword_ratio"))
       .orderBy(col("doc_id"))
   }
