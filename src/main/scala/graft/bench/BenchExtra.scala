@@ -35,16 +35,39 @@ object BenchExtra {
     val stages = new AtomicInteger(0)
     val taskMs = new AtomicLong(0L)
     val shufB = new AtomicLong(0L)
+    val jobLog = sys.env.get("SPARK_GRAFT_EXTRA_JOBLOG").contains("1")
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (jobLog) println(s"[extra-job] ${j.jobId} ${j.stageInfos.map(_.numTasks).sum} tasks  " +
+          j.properties.getProperty("callSite.short", "?"))
+        ()
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         taskMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
         shufB.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        if (jobLog) {
+          val i = s.stageInfo
+          println(f"[extra-stage] id=${i.stageId}%4d tasks=${i.numTasks}%4d " +
+            f"wall=${i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)}%5dms " +
+            f"task=${i.taskMetrics.executorRunTime}%6dms ${i.name.take(80)}")
+        }
         ()
       }
     }
     spark.sparkContext.addSparkListener(listener)
+
+    // Graft-storage suite timing (the queries_graft block of the frozen
+    // bench), runnable standalone for suite-scan optimization work.
+    if (sys.env.get("SPARK_GRAFT_EXTRA_SUITE").contains("1")) {
+      val (setup, suite) = GraftRelationalBench.run(spark, sfDir)
+      println(f"[extra-suite] setup ${setup}%.3f s")
+      suite.foreach { case (n, s, r) => println(f"[extra-suite] $n%-34s $s%8.3f s  rows=$r") }
+      println(f"[extra-suite] TOTAL ${suite.map(_._2).sum}%.3f s")
+      spark.stop()
+      return
+    }
 
     val entries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }

@@ -17,21 +17,29 @@ import graft.sources.GraftLayout
   */
 object Encode {
 
-  private def roundtrip(spark: SparkSession, input: org.apache.spark.sql.Dataset[graft.engine.TokenRow]): DataFrame = {
+  private def roundtrip(spark: SparkSession, input0: org.apache.spark.sql.Dataset[graft.engine.TokenRow]): DataFrame = {
     import spark.implicits._
-    val segments = GraftEncoder.encode(input, buckets = 16)
-    val decoded = GraftEncoder.decode(segments)
-    val in = input.toDF("doc_id", "tokens", "n_tok", "source")
-    val dec = decoded.toDF("doc_id", "tokens_dec", "n_tok_dec", "source_dec")
-    in.join(dec, Seq("doc_id"), "full_outer")
-      .withColumn("ok",
-        $"tokens" === $"tokens_dec" && $"n_tok" === $"n_tok_dec" &&
-          $"source" === $"source_dec")
-      .groupBy($"source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(coalesce($"ok", lit(false)), 0L).otherwise(1L)).as("n_mismatch"))
-      .orderBy($"source")
+    // The input feeds BOTH the encode pipeline and the compare side of the
+    // audit join — persist so the tokenize pass runs once, materialize the
+    // (group-by-source scale) result, then release the cache (the
+    // minhashLshPlan lifecycle pattern).
+    val input = input0.persist()
+    try {
+      val segments = GraftEncoder.encode(input, buckets = 16)
+      val decoded = GraftEncoder.decode(segments)
+      val in = input.toDF("doc_id", "tokens", "n_tok", "source")
+      val dec = decoded.toDF("doc_id", "tokens_dec", "n_tok_dec", "source_dec")
+      in.join(dec, Seq("doc_id"), "full_outer")
+        .withColumn("ok",
+          $"tokens" === $"tokens_dec" && $"n_tok" === $"n_tok_dec" &&
+            $"source" === $"source_dec")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(coalesce($"ok", lit(false)), 0L).otherwise(1L)).as("n_mismatch"))
+        .orderBy($"source")
+        .localCheckpoint(true)
+    } finally input.unpersist()
   }
 
   /** Round-trip on the documents-derived token table of this sf dir. */
@@ -249,7 +257,8 @@ object Encode {
     * incremental). */
   def streamingIncremental(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val input = TokenTables.fromDocuments(spark, dir)
+    // persisted: feeds the 4-file staging write and the final audit join
+    val input = TokenTables.fromDocuments(spark, dir).persist()
     val base = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
     try {
       input.repartition(4).write.parquet(s"$base/input")
@@ -284,7 +293,10 @@ object Encode {
             org.apache.spark.sql.types.StructField("sum_tokens", org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("n_mismatch", org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("n_snapshots", org.apache.spark.sql.types.LongType))))
-    } finally deleteRecursively(new java.io.File(base))
+    } finally {
+      input.unpersist()
+      deleteRecursively(new java.io.File(base))
+    }
   }
 
   /** SQL-side decode through the native Catalyst expressions
@@ -381,8 +393,9 @@ object Encode {
     import spark.implicits._
     val k = 13
     val base = java.nio.file.Files.createTempDirectory("graft-dsv2-limit-q").toString
+    // persisted: feeds the table write and the validity join
+    val input = TokenTables.fromDocuments(spark, dir).persist()
     try {
-      val input = TokenTables.fromDocuments(spark, dir)
       SegmentStore.encodeCommit(input, base, snapshotId = 1L, buckets = 8)
       val limited = spark.read.format("graft").load(base).limit(k)
       require(limited.queryExecution.executedPlan.toString.contains(s"PushedLimit: $k"),
@@ -399,7 +412,10 @@ object Encode {
           $"source_got" === $"source")
         .count()
       Seq((got.length.toLong, nValid)).toDF("n_rows", "n_valid")
-    } finally deleteRecursively(new java.io.File(base))
+    } finally {
+      input.unpersist()
+      deleteRecursively(new java.io.File(base))
+    }
   }
 
   /** Token-range predicate pushdown through the connector, end-to-end from
@@ -482,8 +498,9 @@ object Encode {
   def dsv2Write(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-dsv2-write-q").toString
+    // persisted: the tokenized input feeds the write AND the audit join
+    val input = TokenTables.fromDocuments(spark, dir).persist()
     try {
-      val input = TokenTables.fromDocuments(spark, dir)
       input.toDF("doc_id", "tokens", "n_tok", "source")
         .write.format("graft").option("buckets", "8")
         .mode(org.apache.spark.sql.SaveMode.Append).save(base)
@@ -494,7 +511,10 @@ object Encode {
         spark.read.format("graft").load(base)
           .toDF("doc_id", "tokens_dec", "n_tok_dec", "source_dec"),
         withTokens = true)
-    } finally deleteRecursively(new java.io.File(base))
+    } finally {
+      input.unpersist()
+      deleteRecursively(new java.io.File(base))
+    }
   }
 
   /** METADATA COLUMNS through the connector (the reference's scalar type
@@ -512,13 +532,15 @@ object Encode {
   def dsv2Meta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-dsv2-meta-q").toString
+    // persisted: feeds the write and the null-safe audit join
+    val input = TokenTables.fromDocuments(spark, dir)
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      .withColumn("views", $"n_tok".cast("long") * 3L)
+      .withColumn("quality", when($"n_tok" % 7 =!= 0, $"n_tok" / 10.0 - 5.0))
+      .withColumn("lang",
+        when($"n_tok" % 5 =!= 0, concat(lit("l"), ($"n_tok" % 3).cast("string"))))
+      .persist()
     try {
-      val input = TokenTables.fromDocuments(spark, dir)
-        .toDF("doc_id", "tokens", "n_tok", "source")
-        .withColumn("views", $"n_tok".cast("long") * 3L)
-        .withColumn("quality", when($"n_tok" % 7 =!= 0, $"n_tok" / 10.0 - 5.0))
-        .withColumn("lang",
-          when($"n_tok" % 5 =!= 0, concat(lit("l"), ($"n_tok" % 3).cast("string"))))
       input.write.format("graft").option("buckets", "8")
         .mode(org.apache.spark.sql.SaveMode.Append).save(base)
       val table = spark.read.format("graft").load(base)
@@ -554,7 +576,10 @@ object Encode {
           org.apache.spark.sql.types.StructField("sum_views", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("n_quality", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("n_mismatch", org.apache.spark.sql.types.LongType))))
-    } finally deleteRecursively(new java.io.File(base))
+    } finally {
+      input.unpersist()
+      deleteRecursively(new java.io.File(base))
+    }
   }
 
   /** THE FULL SCALAR TYPE MATRIX through the connector (round-5 top item:
@@ -575,8 +600,7 @@ object Encode {
     import spark.implicits._
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("graft-dsv2-alltypes-q").toString
-    try {
-      val input = TokenTables.fromDocuments(spark, dir)
+    val input = TokenTables.fromDocuments(spark, dir)
         .toDF("doc_id", "tokens", "n_tok", "source")
         .withColumn("flag", when($"n_tok" % 11 =!= 0, $"n_tok" % 2 === 0))
         .withColumn("tiny", when($"n_tok" % 7 =!= 0,
@@ -589,6 +613,8 @@ object Encode {
           ($"n_tok" * 137).cast(DecimalType(15, 5))))
         .withColumn("blob", when($"n_tok" % 6 =!= 0,
           concat(lit("b"), ($"n_tok" % 17).cast("string")).cast("binary")))
+        .persist() // feeds the write and the null-safe audit join
+    try {
       input.write.format("graft").option("buckets", "8")
         .mode(org.apache.spark.sql.SaveMode.Append).save(base)
       val table = spark.read.format("graft").load(base)
@@ -626,7 +652,10 @@ object Encode {
         StructType(Seq("n_docs", "n_flag", "n_true", "sum_tiny", "sum_small",
           "sum_ratio", "sum_price", "sum_blob_len", "n_mismatch")
           .map(n => StructField(n, LongType))))
-    } finally deleteRecursively(new java.io.File(base))
+    } finally {
+      input.unpersist()
+      deleteRecursively(new java.io.File(base))
+    }
   }
 
   /** LIST METADATA COLUMNS through the connector (round-5 item 2 — the
@@ -643,15 +672,16 @@ object Encode {
     import spark.implicits._
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("graft-dsv2-list-q").toString
+    val input = TokenTables.fromDocuments(spark, dir)
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      .withColumn("tags", when($"n_tok" % 4 =!= 0,
+        array($"n_tok" % 50, ($"n_tok" * 3) % 50, ($"n_tok" * 7) % 50)))
+      .withColumn("words", when($"n_tok" % 10 =!= 0,
+        array(concat(lit("w"), ($"n_tok" % 5).cast("string")),
+          concat(lit("w"), ($"n_tok" % 11).cast("string")))))
+      .persist() // feeds the write and the null-safe audit join
     try {
       graft.sources.GraftTokenRangePushdown.install(spark)
-      val input = TokenTables.fromDocuments(spark, dir)
-        .toDF("doc_id", "tokens", "n_tok", "source")
-        .withColumn("tags", when($"n_tok" % 4 =!= 0,
-          array($"n_tok" % 50, ($"n_tok" * 3) % 50, ($"n_tok" * 7) % 50)))
-        .withColumn("words", when($"n_tok" % 10 =!= 0,
-          array(concat(lit("w"), ($"n_tok" % 5).cast("string")),
-            concat(lit("w"), ($"n_tok" % 11).cast("string")))))
       input.write.format("graft").option("buckets", "8")
         .mode(org.apache.spark.sql.SaveMode.Append).save(base)
       val table = spark.read.format("graft").load(base)
@@ -688,7 +718,10 @@ object Encode {
         spark.sparkContext.parallelize(row, 1),
         StructType(Seq("n_docs", "n_tags", "sum_tag_len", "n_words", "n_w3",
           "n_has7", "n_mismatch").map(n => StructField(n, LongType))))
-    } finally deleteRecursively(new java.io.File(base))
+    } finally {
+      input.unpersist()
+      deleteRecursively(new java.io.File(base))
+    }
   }
 
   /** MAP metadata columns end-to-end (the map_list fixture's
@@ -703,17 +736,18 @@ object Encode {
     import spark.implicits._
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("graft-dsv2-map-q").toString
+    val input = TokenTables.fromDocuments(spark, dir)
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      // NULL map every 4th row; 'tier' value NULL every 5th row
+      .withColumn("attrs", when($"n_tok" % 4 =!= 0,
+        map(lit("lang"), concat(lit("l"), ($"n_tok" % 3).cast("string")),
+          lit("tier"), when($"n_tok" % 5 =!= 0,
+            concat(lit("t"), ($"n_tok" % 2).cast("string"))))))
+      .withColumn("scores", when($"n_tok" % 7 =!= 0,
+        map(lit("views"), $"n_tok".cast("long") * 3L,
+          lit("mod"), ($"n_tok" % 13).cast("long"))))
+      .persist() // feeds the write and the null-safe audit join
     try {
-      val input = TokenTables.fromDocuments(spark, dir)
-        .toDF("doc_id", "tokens", "n_tok", "source")
-        // NULL map every 4th row; 'tier' value NULL every 5th row
-        .withColumn("attrs", when($"n_tok" % 4 =!= 0,
-          map(lit("lang"), concat(lit("l"), ($"n_tok" % 3).cast("string")),
-            lit("tier"), when($"n_tok" % 5 =!= 0,
-              concat(lit("t"), ($"n_tok" % 2).cast("string"))))))
-        .withColumn("scores", when($"n_tok" % 7 =!= 0,
-          map(lit("views"), $"n_tok".cast("long") * 3L,
-            lit("mod"), ($"n_tok" % 13).cast("long"))))
       input.write.format("graft").option("buckets", "8")
         .mode(org.apache.spark.sql.SaveMode.Append).save(base)
       val table = spark.read.format("graft").load(base)
@@ -747,7 +781,10 @@ object Encode {
         StructType(Seq("n_docs", "n_attrs", "n_lang1", "n_tier_null",
           "sum_views", "sum_mod", "sum_keys", "n_mismatch")
           .map(n => StructField(n, LongType))))
-    } finally deleteRecursively(new java.io.File(base))
+    } finally {
+      input.unpersist()
+      deleteRecursively(new java.io.File(base))
+    }
   }
 
   /** STRUCT metadata columns end-to-end (the reference type matrix's last
@@ -761,14 +798,15 @@ object Encode {
     import spark.implicits._
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("graft-dsv2-struct-q").toString
+    val input = TokenTables.fromDocuments(spark, dir)
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      // NULL struct every 4th row; NULL 'score' MEMBER every 5th row
+      .withColumn("info", when($"n_tok" % 4 =!= 0, struct(
+        when($"n_tok" % 5 =!= 0, ($"n_tok" / 10.0) - 5.0).as("score"),
+        ($"n_tok" * 7).cast("decimal(15,5)").as("price"),
+        concat(lit("k"), ($"n_tok" % 3).cast("string")).as("kind"))))
+      .persist() // feeds the write and the null-safe audit join
     try {
-      val input = TokenTables.fromDocuments(spark, dir)
-        .toDF("doc_id", "tokens", "n_tok", "source")
-        // NULL struct every 4th row; NULL 'score' MEMBER every 5th row
-        .withColumn("info", when($"n_tok" % 4 =!= 0, struct(
-          when($"n_tok" % 5 =!= 0, ($"n_tok" / 10.0) - 5.0).as("score"),
-          ($"n_tok" * 7).cast("decimal(15,5)").as("price"),
-          concat(lit("k"), ($"n_tok" % 3).cast("string")).as("kind"))))
       input.write.format("graft").option("buckets", "8")
         .mode(org.apache.spark.sql.SaveMode.Append).save(base)
       val table = spark.read.format("graft").load(base)
@@ -800,7 +838,10 @@ object Encode {
           StructField("n_score", LongType), StructField("sum_score", DoubleType),
           StructField("sum_price", DoubleType), StructField("n_k1", LongType),
           StructField("n_mismatch", LongType))))
-    } finally deleteRecursively(new java.io.File(base))
+    } finally {
+      input.unpersist()
+      deleteRecursively(new java.io.File(base))
+    }
   }
 
   /** NESTED predicate pushdown end-to-end (round-5: the DataFusion-side
@@ -1117,9 +1158,11 @@ object Encode {
     import spark.implicits._
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("graft-dsv2-evolve-q").toString
+    // persisted: feeds both generation writes and the gen-2 audit join
+    val all = TokenTables.fromDocuments(spark, dir)
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      .persist()
     try {
-      val all = TokenTables.fromDocuments(spark, dir)
-        .toDF("doc_id", "tokens", "n_tok", "source")
       val gen1 = all.filter($"n_tok" % 2 === 0)
       val gen2in = all.filter($"n_tok" % 2 =!= 0)
         .withColumn("lang", concat(lit("l"), ($"n_tok" % 3).cast("string")))
@@ -1154,7 +1197,10 @@ object Encode {
           StructField("n_docs", LongType),
           StructField("sum_tokens", LongType),
           StructField("n_mismatch", LongType))))
-    } finally deleteRecursively(new java.io.File(base))
+    } finally {
+      all.unpersist()
+      deleteRecursively(new java.io.File(base))
+    }
   }
 
   /** METADATA-TABLE COMPACTION end-to-end: the widened table lands in
@@ -1169,13 +1215,15 @@ object Encode {
   def compactionMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-compact-meta-q").toString
+    // persisted: feeds three snapshot writes + the post-compaction audit
+    val input = TokenTables.fromDocuments(spark, dir)
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      .withColumn("views", $"n_tok".cast("long") * 3L)
+      .withColumn("quality", when($"n_tok" % 7 =!= 0, $"n_tok" / 10.0 - 5.0))
+      .withColumn("lang",
+        when($"n_tok" % 5 =!= 0, concat(lit("l"), ($"n_tok" % 3).cast("string"))))
+      .persist()
     try {
-      val input = TokenTables.fromDocuments(spark, dir)
-        .toDF("doc_id", "tokens", "n_tok", "source")
-        .withColumn("views", $"n_tok".cast("long") * 3L)
-        .withColumn("quality", when($"n_tok" % 7 =!= 0, $"n_tok" / 10.0 - 5.0))
-        .withColumn("lang",
-          when($"n_tok" % 5 =!= 0, concat(lit("l"), ($"n_tok" % 3).cast("string"))))
       for (r <- 0 until 3)
         input.filter($"n_tok" % 3 === r).write.format("graft")
           .option("buckets", "4").mode(org.apache.spark.sql.SaveMode.Append).save(base)
@@ -1210,7 +1258,10 @@ object Encode {
           org.apache.spark.sql.types.StructField("sum_views", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("n_quality", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("n_mismatch", org.apache.spark.sql.types.LongType))))
-    } finally deleteRecursively(new java.io.File(base))
+    } finally {
+      input.unpersist()
+      deleteRecursively(new java.io.File(base))
+    }
   }
 
   /** Snapshot TIME TRAVEL through the lineage ledger (the Iceberg
@@ -1224,8 +1275,9 @@ object Encode {
   def dsv2TimeTravel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-dsv2-tt-q").toString
+    // persisted: both snapshot writes filter the same tokenized input
+    val input = TokenTables.fromDocuments(spark, dir).persist()
     try {
-      val input = TokenTables.fromDocuments(spark, dir)
       val even = input.filter(_.n_tok % 2 == 0)
       val odd = input.filter(_.n_tok % 2 == 1)
       even.toDF("doc_id", "tokens", "n_tok", "source")
@@ -1243,7 +1295,10 @@ object Encode {
         coalesce(sum($"n_tok"), lit(0L)).cast("long").as("t")).collect()(0)
       Seq((a.getLong(0), a.getLong(1), f.getLong(0), f.getLong(1)))
         .toDF("asof_docs", "asof_tokens", "full_docs", "full_tokens")
-    } finally deleteRecursively(new java.io.File(base))
+    } finally {
+      input.unpersist()
+      deleteRecursively(new java.io.File(base))
+    }
   }
 
   /** Snapshot COMPACTION (table maintenance for the streaming path: one
@@ -1262,8 +1317,10 @@ object Encode {
   def compaction(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-compact-q").toString
+    // persisted: three filtered snapshot writes + the final audit all scan
+    // the same tokenized input — one tokenize pass, not four
+    val input = TokenTables.fromDocuments(spark, dir).persist()
     try {
-      val input = TokenTables.fromDocuments(spark, dir)
       for (r <- 0 until 3)
         SegmentStore.encodeCommit(input.filter(_.n_tok % 3 == r), base,
           snapshotId = r + 1L, buckets = 4)
@@ -1278,9 +1335,11 @@ object Encode {
       val filesAfter = files().length
       require(filesAfter < filesBefore,
         s"compaction must shrink the part-file count: $filesBefore -> $filesAfter")
-      val visibleSnapshots = SegmentStore.readLineage(spark, base).collect()
+      // one ledger read serves both sides of the visibility check
+      val ledgerRows = SegmentStore.readLineage(spark, base).collect()
+      val visibleSnapshots = ledgerRows
         .filter(_.status == SegmentStore.Committed).map(_.snapshotId).toSet --
-        SegmentStore.readLineage(spark, base).collect()
+        ledgerRows
           .flatMap(r => SegmentStore.supersededBy(r.status).map(_ => r.snapshotId)).toSet
       require(visibleSnapshots == Set(SegmentStore.CompactionBase),
         s"exactly the compacted generation must be visible, got $visibleSnapshots")
@@ -1291,7 +1350,10 @@ object Encode {
         spark.read.format("graft").load(base)
           .toDF("doc_id", "tokens_dec", "n_tok_dec", "source_dec"),
         withTokens = true)
-    } finally deleteRecursively(new java.io.File(base))
+    } finally {
+      input.unpersist()
+      deleteRecursively(new java.io.File(base))
+    }
   }
 
   /** STORAGE-PARTITIONED JOIN through [[graft.sources.GraftCatalog]]: two
@@ -1310,12 +1372,13 @@ object Encode {
     // for whatever entry runs next (order-dependent verification)
     val prevBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
     val prevCatalog = spark.conf.getOption("spark.sql.catalog.gcat")
+    // persisted: both table writes (full + even-filtered) scan the input
+    val input = TokenTables.fromDocuments(spark, dir).persist()
     try {
       spark.conf.set("spark.sql.catalog.gcat",
         classOf[graft.sources.GraftCatalog].getName)
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val input = TokenTables.fromDocuments(spark, dir)
       SegmentStore.encodeCommit(input, s"$base/a", snapshotId = 1L, buckets = 8)
       SegmentStore.encodeCommit(input.filter(_.n_tok % 2 == 0), s"$base/b",
         snapshotId = 1L, buckets = 8)
@@ -1338,6 +1401,7 @@ object Encode {
           org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("sum_tokens", org.apache.spark.sql.types.LongType))))
     } finally {
+      input.unpersist()
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       prevBucketing.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
         spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
@@ -1357,8 +1421,9 @@ object Encode {
   def dsv2StreamingWrite(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-dsv2-stream-w-q").toString
+    // persisted: feeds the 4-file staging write and the final audit join
+    val input = TokenTables.fromDocuments(spark, dir).persist()
     try {
-      val input = TokenTables.fromDocuments(spark, dir)
       input.toDF("doc_id", "tokens", "n_tok", "source")
         .repartition(4).write.parquet(s"$base/in")
       implicit val enc = org.apache.spark.sql.Encoders.product[graft.engine.TokenRow]
@@ -1378,7 +1443,10 @@ object Encode {
         spark.read.format("graft").load(s"$base/table")
           .toDF("doc_id", "tokens_dec", "n_tok_dec", "source_dec"),
         withTokens = false)
-    } finally deleteRecursively(new java.io.File(base))
+    } finally {
+      input.unpersist()
+      deleteRecursively(new java.io.File(base))
+    }
   }
 
   /** DuckDB replays of the connector entries. [[dsv2Scan]]: the tokenizer
