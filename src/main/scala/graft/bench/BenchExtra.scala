@@ -60,11 +60,15 @@ object BenchExtra {
 
     // Graft-storage suite timing (the queries_graft block of the frozen
     // bench), runnable standalone for suite-scan optimization work.
-    if (sys.env.get("SPARK_GRAFT_EXTRA_SUITE").contains("1")) {
-      val (setup, suite) = GraftRelationalBench.run(spark, sfDir)
-      println(f"[extra-suite] setup ${setup}%.3f s")
-      suite.foreach { case (n, s, r) => println(f"[extra-suite] $n%-34s $s%8.3f s  rows=$r") }
-      println(f"[extra-suite] TOTAL ${suite.map(_._2).sum}%.3f s")
+    sys.env.get("SPARK_GRAFT_EXTRA_SUITE").map(_.toInt).filter(_ > 0).foreach { nReps =>
+      val all = (1 to nReps).map(_ => GraftRelationalBench.run(spark, sfDir))
+      val setup = all.map(_._1).min
+      val byName = all.flatMap(_._2).groupBy(_._1)
+      println(f"[extra-suite] setup ${setup}%.3f s (min of $nReps)")
+      byName.toSeq.sortBy(_._1).foreach { case (n, rs) =>
+        println(f"[extra-suite] $n%-34s ${rs.map(_._2).min}%8.3f s  rows=${rs.head._3}")
+      }
+      println(f"[extra-suite] TOTAL ${byName.values.map(_.map(_._2).min).sum}%.3f s")
       spark.stop()
       return
     }

@@ -418,7 +418,13 @@ object Relational {
   /** Lazy query + live cache handle (PlanAuditSpec audits that the query
     * really scans the in-memory relation; callers MUST unpersist). */
   private[graft] def memTablePlan(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val df = t(spark, dir, "lineitem").cache()
+    // Spread the load across the executor before caching: the parquet
+    // table is one input split, so the columnar-cache build (decompress +
+    // re-encode every column) otherwise runs as ONE task — 2.4 s serial
+    // vs ~0.3 s across cores. Real mem-table loaders parallelize the load
+    // the same way; the query result is partitioning-independent.
+    val df = t(spark, dir, "lineitem")
+      .repartition(spark.sparkContext.defaultParallelism).cache()
     df.count() // materialize the cache (MemTable::load analog)
     df.createOrReplaceTempView("mem_lineitem")
     spark.sql(
