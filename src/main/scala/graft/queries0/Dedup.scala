@@ -37,8 +37,9 @@ object Dedup {
   final val Bands = 24    // 24 bands x 2 rows
   final val SimhashBits = 64
   final val SimhashBands = 4
-  final val EmbPlanes = 32    // random hyperplanes for embedding LSH
-  final val EmbBands = 8      // 8 bands x 4 bits
+  final val EmbPlanes = 64    // random hyperplanes for embedding LSH
+  final val EmbBands = 8      // 8 bands x 8 bits
+  final val EmbBandBits = 8   // sign bits per band (key space 256/band)
   final val CosineThreshold = 0.95
 
   private def mix(z0: Long): Long = {
@@ -445,13 +446,17 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup at scale: random-hyperplane LSH banding
-    * (8 bands x 4 sign bits from 32 fixed hyperplanes) generates candidate
+    * (8 bands x 8 sign bits from 64 fixed hyperplanes) generates candidate
     * pairs inside one narrow map pass + an id-only band join; only unique
     * candidate pairs get their vectors joined back for the exact cosine
     * verify. No driver-side collect, no all-pairs loop — the same shape as
-    * [[minhashLsh]]. Miss probability for a planted pair (cos ~0.997) is
-    * (1 - 0.9757^4)^8 ~ 6e-9 per pair, and everything is deterministic, so
-    * the DuckDB all-pairs oracle matches exactly. */
+    * [[minhashLsh]]. 8-bit band keys (round-6 re-banding, was 4-bit):
+    * candidate collisions shrink ~keyspace-fold (n²/2 · 2^-8 per band vs
+    * 2^-4 — the dominant cost of this operator at ANY scale) while the
+    * planted-pair (cos ~0.997, per-bit agreement 0.9753) miss probability
+    * stays negligible: (1 - 0.9753^8)^8 ≈ 1.2e-6 per pair. Everything is
+    * deterministic and the result is verified against the DuckDB all-pairs
+    * oracle at every sf, plus the DedupSpec no-miss-vs-bruteforce test. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val (result, corpus) = embeddingNearDupPlan(spark, dir)
     try result.localCheckpoint(true) finally corpus.unpersist()
@@ -467,8 +472,16 @@ object Dedup {
       .map { case (id, emb) => (id, emb, Similarity.norm(emb)) }
       .persist() // feeds the band self-join AND both exact-verify joins
     val bandRows = corpus.flatMap { case (id, emb, _) =>
-      val bucket = Similarity.lshBucket(emb, planes.value)
-      (0 until EmbBands).iterator.map(b => (id, b, (bucket >>> (4 * b)) & 15))
+      val ps = planes.value
+      (0 until EmbBands).iterator.map { b =>
+        var key = 0
+        var j = 0
+        while (j < EmbBandBits) {
+          if (Similarity.dot(emb, ps(b * EmbBandBits + j)) > 0) key |= 1 << j
+          j += 1
+        }
+        (id, b, key)
+      }
     }.toDF("id", "band", "key")
     val a = bandRows.as("a")
     val b = bandRows.as("b")
