@@ -34,4 +34,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Entry-local temp TABLE dirs (Files.createTempDirectory) follow the
+  // same stance as spark.local.dir (EncodeBench.session): in this
+  // single-node sandbox every thread shares one virtual disk, which fakes
+  // an IO ceiling (and IO noise) a multi-node cluster doesn't have —
+  // round-6 telemetry showed the encode entries' wall time tracking disk
+  // noise through their /tmp table writes. 126 GiB tmpfs >> the MB-scale
+  // per-entry tables, and every entry deletes its dir in a finally.
+  s"-Djava.io.tmpdir=${sys.env.getOrElse("SPARK_GRAFT_TMPDIR", "/dev/shm")}",
 )
