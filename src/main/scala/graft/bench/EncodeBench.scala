@@ -313,6 +313,12 @@ object EncodeBench {
       // is not part of any result contract here (results are value-sorted
       // by the driver; ordered entries sort explicitly).
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // Whole-stage-codegen class cache: the default 100 entries thrash
+      // across a 150-query bench (parquet loop + graft suite compile
+      // several fragments each; evictions force recompiles of shapes the
+      // suite re-uses). Compiled classes are small; 2000 entries is still
+      // bounded. Static conf — takes effect at first session creation.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
