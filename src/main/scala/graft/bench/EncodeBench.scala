@@ -241,18 +241,31 @@ object EncodeBench {
     * the honest in-sandbox rendering of "N executors" for the north_rule's
     * N-vs-4N scaling criterion. Requires SPARK_HOME/SPARK_SCALA_VERSION
     * (set by build.sbt for forked runs). */
-  def clusterSession(executors: Int, coresPerExec: Int = 4, memMb: Int = 6144): SparkSession = {
+  def clusterSession(executors: Int, coresPerExec: Int = 4, memMb: Int = 10240): SparkSession = {
     SparkSession.getActiveSession.foreach(_.stop())
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val shm = new java.io.File("/dev/shm/graft-spark-local")
     if (!shm.exists()) shm.mkdirs()
     val cores = executors * coresPerExec
+    // Round-6 GC profiling pass (VERDICT r5 item 8) — measured on this
+    // host, 2-vs-8 executors, reps=2, same encode job:
+    //   6 GiB ParallelGC (old default): cpu_work_ratio 0.26-0.59 — thrash
+    //   10 GiB ParallelGC:              cpu_work_ratio 0.73
+    //   10 GiB G1GC:                    cpu_work_ratio 1.08 — same CPU at
+    //     both levels, i.e. the block finally measures the ALGORITHM; the
+    //     residual wall gap at 8 executors is host saturation (the same
+    //     ceiling the single-JVM local[32] pair shows).
+    // The collector is the dominant factor, heap second. G1 @ 10 GiB is
+    // therefore the recorded default (8 x 10 GiB + 16 GiB driver < 128
+    // GiB host); env-overridable for further experiments.
+    val execMb = sys.env.get("SPARK_GRAFT_CLUSTER_MEM_MB").map(_.toInt).getOrElse(memMb)
+    val gcOpt = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_GC", "-XX:+UseG1GC")
     val s = SparkSession.builder()
-      .master(s"local-cluster[$executors,$coresPerExec,$memMb]")
-      .config("spark.executor.memory", s"${memMb}m")
+      .master(s"local-cluster[$executors,$coresPerExec,$execMb]")
+      .config("spark.executor.memory", s"${execMb}m")
       .config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
-      .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+      .config("spark.executor.extraJavaOptions", gcOpt)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
