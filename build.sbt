@@ -41,5 +41,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // round-6 telemetry showed the encode entries' wall time tracking disk
   // noise through their /tmp table writes. 126 GiB tmpfs >> the MB-scale
   // per-entry tables, and every entry deletes its dir in a finally.
-  s"-Djava.io.tmpdir=${sys.env.getOrElse("SPARK_GRAFT_TMPDIR", "/dev/shm")}",
+  s"-Djava.io.tmpdir=${sys.env.getOrElse("SPARK_GRAFT_TMPDIR",
+    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+    else System.getProperty("java.io.tmpdir"))}",
 )

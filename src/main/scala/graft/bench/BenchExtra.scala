@@ -29,7 +29,13 @@ object BenchExtra {
     val explainTo = sys.env.get("SPARK_GRAFT_EXPLAIN_TO")
 
     val spark = EncodeBench.session(cpus)
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try SparkEntry.entry(spark).count() catch {
+      case e: Throwable =>
+        // a failed warm-up silently re-skews every first-entry number —
+        // say so loudly (and never swallow a fatal error)
+        System.err.println(s"[extra] WARM-UP FAILED — timings below run cold: $e")
+        if (!scala.util.control.NonFatal(e)) throw e
+    }
 
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
@@ -83,6 +89,7 @@ object BenchExtra {
         jobs.set(0); stages.set(0); taskMs.set(0L); shufB.set(0L)
         spark.sparkContext.setJobDescription(name)
         val t0 = System.nanoTime()
+        var failed = false
         try {
           val df = fn(spark, sfDir)
           df.count()
@@ -94,9 +101,14 @@ object BenchExtra {
               java.nio.file.Paths.get(d, s"$name.txt"),
               txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           }
-        } catch { case e: Throwable => System.err.println(s"[extra] $name FAILED: $e") }
-        val secs = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(200) // drain listener bus so counts attribute correctly
+        } catch { case e: Throwable =>
+          failed = true
+          System.err.println(s"[extra] $name FAILED: $e")
+          println(s"[extra] $name FAILED (rep $r): ${e.getClass.getSimpleName}")
+        }
+        // a failed rep's (fast) wall time must never win `best`
+        val secs = if (failed) Double.MaxValue else (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // drain the async listener bus so counts attribute correctly
         if (secs < best) {
           best = secs
           bestJobs = jobs.get(); bestStages = stages.get()

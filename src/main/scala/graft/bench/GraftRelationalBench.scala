@@ -45,7 +45,13 @@ object GraftRelationalBench {
               spark.read.parquet(s"$sfDir/$name.parquet"), s"$root/$name", name, buckets)
           })
         }.foreach(_.get())
-      } finally pool.shutdown()
+      } finally {
+        // On a failed write, drain the pool BEFORE the outer finally
+        // deletes root — an orderly shutdown() would leave in-flight
+        // writers racing the recursive delete.
+        pool.shutdownNow()
+        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS): Unit
+      }
       val setupSec = (System.nanoTime() - t0) / 1e9
       sys.env.get("SPARK_GRAFT_SUITE_SHUFFLE")
         .foreach(spark.conf.set("spark.sql.shuffle.partitions", _))

@@ -49,12 +49,8 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  private def stableHash64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h = (h ^ s.charAt(i)) * 1099511628211L; i += 1 }
-    h
-  }
+  // (the FNV-1a 64 fold formerly inlined here lives in [[fnvRange]] /
+  // [[Fnv64Basis]] / [[Fnv64Prime]] — one copy of the pinned constants)
 
   /** documents + exact duplicates (+200000) + near-duplicates (+100000,
     * one appended token). Deterministic. */
@@ -110,17 +106,17 @@ object Dedup {
     (starts, ends, nw)
   }
 
-  /** FNV-1a 64 fold of chars [from, until) of `s` onto `h0` — equals
-    * [[stableHash64]] over the substring without materializing it. */
+  private final val Fnv64Basis = 0xcbf29ce484222325L
+  private final val Fnv64Prime = 1099511628211L
+
+  /** FNV-1a 64 fold of chars [from, until) of `s` onto `h0` — equals the
+    * original stableHash64 over the substring without materializing it. */
   private def fnvRange(s: String, from: Int, until: Int, h0: Long): Long = {
     var h = h0
     var j = from
-    while (j < until) { h = (h ^ s.charAt(j)) * 1099511628211L; j += 1 }
+    while (j < until) { h = (h ^ s.charAt(j)) * Fnv64Prime; j += 1 }
     h
   }
-
-  private final val Fnv64Basis = 0xcbf29ce484222325L
-  private final val Fnv64Prime = 1099511628211L
 
   /** Word 3-shingle set of a text (hashed to 64-bit). Semantically the
     * original `stableHash64(words.slice(i, i+n).mkString(" "))` TreeSet
@@ -454,9 +450,15 @@ object Dedup {
     * candidate collisions shrink ~keyspace-fold (n²/2 · 2^-8 per band vs
     * 2^-4 — the dominant cost of this operator at ANY scale) while the
     * planted-pair (cos ~0.997, per-bit agreement 0.9753) miss probability
-    * stays negligible: (1 - 0.9753^8)^8 ≈ 1.2e-6 per pair. Everything is
-    * deterministic and the result is verified against the DuckDB all-pairs
-    * oracle at every sf, plus the DedupSpec no-miss-vs-bruteforce test. */
+    * stays negligible: (1 - 0.9753^8)^8 ≈ 1.2e-6 per pair. A pair sitting
+    * AT the 0.95 threshold would miss with ~1.2e-2 under these bands (vs
+    * ~2e-4 under the old 4-bit ones) — safe here for the same reason the
+    * MinhashK banding is: the corpora have a hard cosine gap (max natural
+    * pair ~0.54, planted ~0.997; no mass near the threshold), verified
+    * deterministically by the all-pairs DuckDB oracle at every sf and the
+    * DedupSpec no-miss-vs-bruteforce test. A corpus dense at the
+    * threshold would widen bands (more planes) — the standard LSH
+    * recall/cost knob, spent on cost here because the gap is proven. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val (result, corpus) = embeddingNearDupPlan(spark, dir)
     try result.localCheckpoint(true) finally corpus.unpersist()

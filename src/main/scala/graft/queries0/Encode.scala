@@ -392,9 +392,9 @@ object Encode {
   def dsv2Limit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val k = 13
-    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-limit-q").toString
     // persisted: feeds the table write and the validity join
     val input = TokenTables.fromDocuments(spark, dir).persist()
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-limit-q").toString
     try {
       SegmentStore.encodeCommit(input, base, snapshotId = 1L, buckets = 8)
       val limited = spark.read.format("graft").load(base).limit(k)
@@ -497,9 +497,9 @@ object Encode {
     * write half it never shipped. */
   def dsv2Write(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-write-q").toString
     // persisted: the tokenized input feeds the write AND the audit join
     val input = TokenTables.fromDocuments(spark, dir).persist()
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-write-q").toString
     try {
       input.toDF("doc_id", "tokens", "n_tok", "source")
         .write.format("graft").option("buckets", "8")
@@ -531,7 +531,6 @@ object Encode {
     * replays it exactly from the raw documents table. */
   def dsv2Meta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-meta-q").toString
     // persisted: feeds the write and the null-safe audit join
     val input = TokenTables.fromDocuments(spark, dir)
       .toDF("doc_id", "tokens", "n_tok", "source")
@@ -540,6 +539,7 @@ object Encode {
       .withColumn("lang",
         when($"n_tok" % 5 =!= 0, concat(lit("l"), ($"n_tok" % 3).cast("string"))))
       .persist()
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-meta-q").toString
     try {
       input.write.format("graft").option("buckets", "8")
         .mode(org.apache.spark.sql.SaveMode.Append).save(base)
@@ -599,7 +599,6 @@ object Encode {
   def dsv2MetaAllTypes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types._
-    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-alltypes-q").toString
     val input = TokenTables.fromDocuments(spark, dir)
         .toDF("doc_id", "tokens", "n_tok", "source")
         .withColumn("flag", when($"n_tok" % 11 =!= 0, $"n_tok" % 2 === 0))
@@ -614,6 +613,7 @@ object Encode {
         .withColumn("blob", when($"n_tok" % 6 =!= 0,
           concat(lit("b"), ($"n_tok" % 17).cast("string")).cast("binary")))
         .persist() // feeds the write and the null-safe audit join
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-alltypes-q").toString
     try {
       input.write.format("graft").option("buckets", "8")
         .mode(org.apache.spark.sql.SaveMode.Append).save(base)
@@ -671,7 +671,6 @@ object Encode {
   def dsv2MetaList(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types._
-    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-list-q").toString
     val input = TokenTables.fromDocuments(spark, dir)
       .toDF("doc_id", "tokens", "n_tok", "source")
       .withColumn("tags", when($"n_tok" % 4 =!= 0,
@@ -680,6 +679,7 @@ object Encode {
         array(concat(lit("w"), ($"n_tok" % 5).cast("string")),
           concat(lit("w"), ($"n_tok" % 11).cast("string")))))
       .persist() // feeds the write and the null-safe audit join
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-list-q").toString
     try {
       graft.sources.GraftTokenRangePushdown.install(spark)
       input.write.format("graft").option("buckets", "8")
@@ -735,7 +735,6 @@ object Encode {
   def dsv2MetaMap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types._
-    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-map-q").toString
     val input = TokenTables.fromDocuments(spark, dir)
       .toDF("doc_id", "tokens", "n_tok", "source")
       // NULL map every 4th row; 'tier' value NULL every 5th row
@@ -747,6 +746,7 @@ object Encode {
         map(lit("views"), $"n_tok".cast("long") * 3L,
           lit("mod"), ($"n_tok" % 13).cast("long"))))
       .persist() // feeds the write and the null-safe audit join
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-map-q").toString
     try {
       input.write.format("graft").option("buckets", "8")
         .mode(org.apache.spark.sql.SaveMode.Append).save(base)
@@ -797,7 +797,6 @@ object Encode {
   def dsv2MetaStruct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types._
-    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-struct-q").toString
     val input = TokenTables.fromDocuments(spark, dir)
       .toDF("doc_id", "tokens", "n_tok", "source")
       // NULL struct every 4th row; NULL 'score' MEMBER every 5th row
@@ -806,6 +805,7 @@ object Encode {
         ($"n_tok" * 7).cast("decimal(15,5)").as("price"),
         concat(lit("k"), ($"n_tok" % 3).cast("string")).as("kind"))))
       .persist() // feeds the write and the null-safe audit join
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-struct-q").toString
     try {
       input.write.format("graft").option("buckets", "8")
         .mode(org.apache.spark.sql.SaveMode.Append).save(base)
@@ -1157,11 +1157,11 @@ object Encode {
   def dsv2SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types._
-    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-evolve-q").toString
     // persisted: feeds both generation writes and the gen-2 audit join
     val all = TokenTables.fromDocuments(spark, dir)
       .toDF("doc_id", "tokens", "n_tok", "source")
       .persist()
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-evolve-q").toString
     try {
       val gen1 = all.filter($"n_tok" % 2 === 0)
       val gen2in = all.filter($"n_tok" % 2 =!= 0)
@@ -1214,7 +1214,6 @@ object Encode {
     * DuckDB replays it from the raw documents table. */
   def compactionMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-compact-meta-q").toString
     // persisted: feeds three snapshot writes + the post-compaction audit
     val input = TokenTables.fromDocuments(spark, dir)
       .toDF("doc_id", "tokens", "n_tok", "source")
@@ -1223,6 +1222,7 @@ object Encode {
       .withColumn("lang",
         when($"n_tok" % 5 =!= 0, concat(lit("l"), ($"n_tok" % 3).cast("string"))))
       .persist()
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-meta-q").toString
     try {
       for (r <- 0 until 3)
         input.filter($"n_tok" % 3 === r).write.format("graft")
@@ -1274,9 +1274,9 @@ object Encode {
     * DuckDB), so the whole as-of contract is oracle-checked. */
   def dsv2TimeTravel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-tt-q").toString
     // persisted: both snapshot writes filter the same tokenized input
     val input = TokenTables.fromDocuments(spark, dir).persist()
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-tt-q").toString
     try {
       val even = input.filter(_.n_tok % 2 == 0)
       val odd = input.filter(_.n_tok % 2 == 1)
@@ -1316,10 +1316,10 @@ object Encode {
     * the raw documents. */
   def compaction(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-compact-q").toString
     // persisted: three filtered snapshot writes + the final audit all scan
     // the same tokenized input — one tokenize pass, not four
     val input = TokenTables.fromDocuments(spark, dir).persist()
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-q").toString
     try {
       for (r <- 0 until 3)
         SegmentStore.encodeCommit(input.filter(_.n_tok % 3 == r), base,
@@ -1366,7 +1366,6 @@ object Encode {
     * join result is SQL-expressible, so DuckDB replays it exactly. */
   def dsv2Spj(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-spj-q").toString
     // every conf this entry flips is restored in the finally — leaking SPJ
     // bucketing or the catalog into the session would change plan shapes
     // for whatever entry runs next (order-dependent verification)
@@ -1374,6 +1373,7 @@ object Encode {
     val prevCatalog = spark.conf.getOption("spark.sql.catalog.gcat")
     // persisted: both table writes (full + even-filtered) scan the input
     val input = TokenTables.fromDocuments(spark, dir).persist()
+    val base = java.nio.file.Files.createTempDirectory("graft-spj-q").toString
     try {
       spark.conf.set("spark.sql.catalog.gcat",
         classOf[graft.sources.GraftCatalog].getName)
@@ -1420,9 +1420,9 @@ object Encode {
     * SQL-expressible. */
   def dsv2StreamingWrite(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-stream-w-q").toString
     // persisted: feeds the 4-file staging write and the final audit join
     val input = TokenTables.fromDocuments(spark, dir).persist()
+    val base = java.nio.file.Files.createTempDirectory("graft-dsv2-stream-w-q").toString
     try {
       input.toDF("doc_id", "tokens", "n_tok", "source")
         .repartition(4).write.parquet(s"$base/in")
